@@ -1,0 +1,122 @@
+"""Round-trip and region-read tests for the in-house TIFF stack."""
+
+import numpy as np
+import pytest
+
+from wsinsight_tpu.wsi.tiff import (
+    TiffFile,
+    lzw_decode,
+    lzw_encode,
+    packbits_decode,
+    write_pyramidal_tiff,
+)
+from wsinsight_tpu.wsi.slide import TpuSlide
+
+
+def _rand_img(h, w, seed=0):
+    rng = np.random.default_rng(seed)
+    return rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+
+
+@pytest.mark.parametrize("compression", ["none", "deflate", "lzw"])
+def test_roundtrip_lossless(tmp_path, compression):
+    img = _rand_img(300, 500)
+    path = tmp_path / f"rt_{compression}.tif"
+    write_pyramidal_tiff(str(path), img, tile=(128, 128), compression=compression, mpp=0.5)
+    with TiffFile(str(path)) as tf:
+        out = tf.pages[0].asarray()
+        assert tf.mpp() == (0.5, 0.5)
+    np.testing.assert_array_equal(out, img)
+
+
+def test_roundtrip_jpeg(tmp_path):
+    img = np.full((256, 256, 3), 200, dtype=np.uint8)
+    path = tmp_path / "rt_jpeg.tif"
+    write_pyramidal_tiff(str(path), img, tile=(128, 128), compression="jpeg")
+    with TiffFile(str(path)) as tf:
+        out = tf.pages[0].asarray()
+    assert np.abs(out.astype(int) - 200).max() <= 6  # lossy but close
+
+
+def test_bigtiff_roundtrip(tmp_path):
+    img = _rand_img(256, 256, seed=3)
+    path = tmp_path / "big.tif"
+    from wsinsight_tpu.wsi.tiff import TiffWriter
+
+    with TiffWriter(str(path), bigtiff=True) as tw:
+        tw.write(img, tile=(128, 128), compression="deflate")
+    with TiffFile(str(path)) as tf:
+        assert tf.bigtiff
+        np.testing.assert_array_equal(tf.pages[0].asarray(), img)
+
+
+def test_lzw_codec_roundtrip():
+    rng = np.random.default_rng(1)
+    data = rng.integers(0, 8, size=5000, dtype=np.uint8).tobytes()
+    assert lzw_decode(lzw_encode(data)) == data
+
+
+def test_packbits():
+    # RLE example from the TIFF spec.
+    encoded = bytes([0xFE, 0xAA, 0x02, 0x80, 0x00, 0x2A, 0xFD, 0xAA, 0x03, 0x80, 0x00, 0x2A, 0x22, 0xF7, 0xAA])
+    out = packbits_decode(encoded)
+    assert out == bytes([0xAA] * 3 + [0x80, 0x00, 0x2A] + [0xAA] * 4 + [0x80, 0x00, 0x2A, 0x22] + [0xAA] * 10)
+
+
+def test_pyramid_levels(tmp_path):
+    img = _rand_img(512, 768, seed=2)
+    path = tmp_path / "pyr.tif"
+    write_pyramidal_tiff(str(path), img, tile=(128, 128), compression="deflate", levels=3)
+    slide = TpuSlide(str(path))
+    assert slide.level_count == 3
+    assert slide.dimensions == (768, 512)
+    assert slide.level_dimensions[1] == (384, 256)
+    assert slide.level_downsamples[1] == pytest.approx(2.0)
+
+
+def test_read_region_and_oob_padding(tmp_path):
+    img = _rand_img(300, 400, seed=4)
+    path = tmp_path / "r.tif"
+    write_pyramidal_tiff(str(path), img, tile=(128, 128), compression="deflate")
+    slide = TpuSlide(str(path))
+    # interior read
+    region = slide.read_region_array((37, 53), 0, (100, 90))
+    np.testing.assert_array_equal(region, img[53:143, 37:137])
+    # out-of-bounds reads are zero-padded (matching tiffslide/openslide RGB behavior,
+    # reference: tests/test_all.py:747-765)
+    region = slide.read_region_array((350, 250), 0, (100, 100))
+    np.testing.assert_array_equal(region[:50, :50], img[250:, 350:])
+    assert (region[50:, :] == 0).all()
+    assert (region[:, 50:] == 0).all()
+    # fully outside
+    region = slide.read_region_array((1000, 1000), 0, (64, 64))
+    assert (region == 0).all()
+    # negative origin
+    region = slide.read_region_array((-10, -10), 0, (20, 20))
+    assert (region[:10, :10] == 0).all()
+    np.testing.assert_array_equal(region[10:, 10:], img[:10, :10])
+
+
+def test_thumbnail(purple_slide):
+    slide = TpuSlide(str(purple_slide))
+    thumb = slide.get_thumbnail((2048, 2048))
+    assert thumb.size == (2048, 2048)
+    arr = np.asarray(thumb)
+    assert (arr[..., 0] == 128).all() and (arr[..., 1] == 0).all()
+
+
+def test_mpp(purple_slide):
+    from wsinsight_tpu.wsi import get_avg_mpp
+
+    assert get_avg_mpp(str(purple_slide)) == pytest.approx(0.25)
+
+
+def test_svs_style_mpp_description(tmp_path):
+    img = _rand_img(64, 64)
+    path = tmp_path / "svsish.tif"
+    write_pyramidal_tiff(
+        str(path), img, tile=(64, 64), compression="none",
+        description="Aperio Fake |AppMag = 40|MPP = 0.2527",
+    )
+    with TiffFile(str(path)) as tf:
+        assert tf.mpp() == (0.2527, 0.2527)
