@@ -1,0 +1,126 @@
+"""End-to-end engine tests: patch stage -> inference -> CSV, on CPU devices.
+
+Exercises the full slide->CSV flow with a random-weight local model (golden
+probability values need real zoo weights, which require network; coordinate
+layout, CSV schema, resume, and shard-invariance are asserted instead)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from wsinsight_tpu.engine import run_inference
+from wsinsight_tpu.patchlib import segment_and_patch_one_slide
+from wsinsight_tpu.uri_path import URIPath
+from wsinsight_tpu.zoo import load_local_model, make_random_local_model
+
+
+@pytest.fixture(scope="module")
+def patched_results(purple_slide, tmp_path_factory):
+    results = tmp_path_factory.mktemp("results")
+    segment_and_patch_one_slide(
+        slide_path=URIPath(str(purple_slide)),
+        save_dir=URIPath(str(results)),
+        qupath_detection_dir=None,
+        qupath_geojson_detection_dir=None,
+        qupath_geojson_annotation_dir=None,
+        patch_size_px=350,
+        patch_spacing_um_px=0.25,
+    )
+    return results
+
+
+@pytest.fixture(scope="module")
+def local_model(tmp_path_factory):
+    d = tmp_path_factory.mktemp("model")
+    cfg, weights = make_random_local_model(
+        "resnet34", 2, d, class_names=["Other", "Tumor"], resize_size=64
+    )
+    return load_local_model(cfg, weights)
+
+
+def test_engine_end_to_end(patched_results, local_model, purple_slide):
+    failed_patching, failed_inference = run_inference(
+        wsi_dir=URIPath(str(purple_slide.parent)),
+        slide_paths=[URIPath(str(purple_slide))],
+        results_dir=URIPath(str(patched_results)),
+        model_info=local_model,
+        batch_size=32,
+        num_workers=2,
+    )
+    assert failed_patching == []
+    assert failed_inference == []
+    csv = patched_results / "model-outputs-csv" / "purple.csv"
+    assert csv.exists()
+    df = pd.read_csv(csv)
+    assert list(df.columns) == ["minx", "miny", "width", "height", "prob_Other", "prob_Tumor"]
+    assert len(df) == 144
+    # Coordinates match the golden reference layout exactly.
+    golden = pd.read_csv("tests/reference/breast-tumor-resnet34.tcga-brca/purple.csv")
+    np.testing.assert_array_equal(df[["minx", "miny"]].to_numpy(), golden[["minx", "miny"]].to_numpy())
+    assert (df["width"] == 350).all()
+    # Probabilities sum to 1 (softmax) and are identical across patches of a
+    # uniform slide.
+    probs = df[["prob_Other", "prob_Tumor"]].to_numpy()
+    np.testing.assert_allclose(probs.sum(axis=1), 1.0, atol=1e-5)
+    np.testing.assert_allclose(probs, np.broadcast_to(probs[0], probs.shape), atol=1e-5)
+
+
+def test_engine_resume(patched_results, local_model, purple_slide):
+    csv = patched_results / "model-outputs-csv" / "purple.csv"
+    mtime = csv.stat().st_mtime_ns
+    run_inference(
+        wsi_dir=None,
+        slide_paths=None,
+        results_dir=URIPath(str(patched_results)),
+        model_info=local_model,
+    )
+    assert csv.stat().st_mtime_ns == mtime
+
+
+def test_shard_invariance(patched_results, local_model, purple_slide, tmp_path):
+    """Same CSV whether the batch shards over 1 or 8 CPU devices."""
+    import shutil
+
+    probs = {}
+    for ndev, bs in ((1, 32), (8, 32)):
+        results = tmp_path / f"r{ndev}"
+        results.mkdir()
+        shutil.copytree(patched_results / "patches", results / "patches")
+        from wsinsight_tpu.engine.runner import ClassifierEngine
+        from wsinsight_tpu.engine.data import PatchBatchSource
+
+        engine = ClassifierEngine(local_model, max_devices=ndev)
+        src = PatchBatchSource(
+            wsi_path=URIPath(str(purple_slide)),
+            patch_path=URIPath(str(results / "patches" / "purple.h5")),
+            use_hdf5_images=False,
+            batch_size=engine.pad_batch(bs),
+            num_threads=2,
+        )
+        out = [engine.run_batch(b.images, b.n_valid) for b in src]
+        src.close()
+        probs[ndev] = np.concatenate(out, axis=0)
+    np.testing.assert_allclose(probs[1], probs[8], atol=1e-6)
+
+
+def test_sigmoid_single_logit(tmp_path, patched_results, purple_slide):
+    """num_classes=1 exercises the sigmoid branch (paad-style model)."""
+    cfg, weights = make_random_local_model(
+        "resnet34", 1, tmp_path, class_names=["Tumor"], resize_size=64
+    )
+    model = load_local_model(cfg, weights)
+    import shutil
+
+    results = tmp_path / "results"
+    results.mkdir()
+    shutil.copytree(patched_results / "patches", results / "patches")
+    run_inference(
+        wsi_dir=None,
+        slide_paths=None,
+        results_dir=URIPath(str(results)),
+        model_info=model,
+        batch_size=64,
+    )
+    df = pd.read_csv(results / "model-outputs-csv" / "purple.csv")
+    assert list(df.columns) == ["minx", "miny", "width", "height", "prob_Tumor"]
+    assert ((df["prob_Tumor"] >= 0) & (df["prob_Tumor"] <= 1)).all()

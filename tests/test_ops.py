@@ -1,0 +1,106 @@
+"""Preprocess/stain op tests: PIL resize parity and stain-normalization sanity."""
+
+import numpy as np
+import pytest
+from PIL import Image
+
+import jax.numpy as jnp
+
+from wsinsight_tpu.ops.preprocess import (
+    TransformSpec,
+    make_preprocess_fn,
+    pil_resize_batch,
+)
+from wsinsight_tpu.ops.stain import (
+    color_convolution,
+    color_deconvolution,
+    default_target_stains,
+    deconvolution_based_normalization,
+    estimate_stains_from_batch,
+)
+
+
+@pytest.mark.parametrize("in_size,out_size", [(350, 224), (100, 100), (64, 224), (2100, 224)])
+def test_resize_matches_pil(in_size, out_size):
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 256, size=(in_size, in_size, 3), dtype=np.uint8)
+    expected = np.asarray(
+        Image.fromarray(img).resize((out_size, out_size), Image.Resampling.BILINEAR)
+    ).astype(np.float32)
+    got = np.asarray(pil_resize_batch(jnp.asarray(img[None].astype(np.float32)), (out_size, out_size)))[0]
+    # f32 path: rounding ties can land 1 uint8 level off on a tiny fraction.
+    assert np.abs(got - expected).max() <= 1.0
+    frac_exact = (np.abs(got - expected) < 0.5).mean()
+    assert frac_exact > 0.95
+    # int32 fixed-point path is bit-exact with PIL.
+    exact = np.asarray(
+        pil_resize_batch(
+            jnp.asarray(img[None].astype(np.float32)), (out_size, out_size), exact=True
+        )
+    )[0]
+    np.testing.assert_array_equal(exact, expected)
+
+
+def test_preprocess_fn_normalize():
+    spec = TransformSpec(size=(4, 4), mean=(0.5, 0.5, 0.5), std=(0.25, 0.25, 0.25), to_tensor=True)
+    fn = make_preprocess_fn(spec)
+    batch = np.full((2, 8, 8, 3), 255, np.uint8)
+    out = np.asarray(fn(jnp.asarray(batch)))
+    np.testing.assert_allclose(out, (1.0 - 0.5) / 0.25, atol=1e-6)
+    assert out.shape == (2, 4, 4, 3)
+
+
+def test_preprocess_scale():
+    spec = TransformSpec(size=None, scale=(0.0, 1.0), to_tensor=True)
+    fn = make_preprocess_fn(spec)
+    batch = np.zeros((1, 4, 4, 3), np.uint8)
+    batch[0, 0, 0, 0] = 255
+    batch[0, 1, 1, 1] = 128
+    out = np.asarray(fn(jnp.asarray(batch)))
+    assert out.max() == pytest.approx(1.0)
+    assert out.min() == pytest.approx(0.0)
+
+
+def test_transform_spec_from_config():
+    spec = TransformSpec.from_config(
+        [
+            {"name": "Resize", "arguments": {"size": 224}},
+            {"name": "ToTensor"},
+            {"name": "Normalize", "arguments": {"mean": [0.1, 0.2, 0.3], "std": [1, 1, 1]}},
+        ]
+    )
+    assert spec.size == (224, 224)
+    assert spec.mean == (0.1, 0.2, 0.3)
+    with pytest.raises(KeyError):
+        TransformSpec.from_config([{"name": "RandomCrop", "arguments": {}}])
+
+
+def test_stain_deconvolution_roundtrip():
+    w = default_target_stains()
+    rng = np.random.default_rng(0)
+    img = rng.integers(30, 220, size=(16, 16, 3)).astype(np.float32)
+    conc = color_deconvolution(jnp.asarray(img), jnp.asarray(w))
+    back = np.asarray(color_convolution(conc, jnp.asarray(w)))
+    np.testing.assert_allclose(back, img, atol=1e-2)
+
+
+def test_stain_normalization_identity_when_same_stains():
+    w = default_target_stains()
+    rng = np.random.default_rng(1)
+    img = rng.integers(30, 220, size=(8, 8, 3)).astype(np.float32)
+    out = np.asarray(deconvolution_based_normalization(jnp.asarray(img), jnp.asarray(w), jnp.asarray(w)))
+    np.testing.assert_allclose(out, img, atol=1e-2)
+
+
+def test_estimate_stains_shape():
+    # Synthetic H&E-ish mixture.
+    rng = np.random.default_rng(2)
+    w_true = default_target_stains()
+    conc = np.zeros((4096, 3), np.float32)
+    conc[:, 0] = rng.uniform(0.0, 1.5, 4096)
+    conc[:, 1] = rng.uniform(0.0, 1.5, 4096)
+    rgb = np.asarray(color_convolution(jnp.asarray(conc * 80), jnp.asarray(w_true)))
+    batch = rgb.reshape(1, 64, 64, 3).astype(np.uint8)
+    w_est = estimate_stains_from_batch(batch)
+    assert w_est.shape == (3, 3)
+    np.testing.assert_allclose(np.linalg.norm(w_est, axis=0), 1.0, atol=1e-4)

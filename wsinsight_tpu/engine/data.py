@@ -1,0 +1,187 @@
+"""Host-side patch pipeline: threaded decode feeding padded uint8 batches.
+
+Replaces the reference's torch Dataset + DataLoader worker processes (reference:
+wsinsight/modellib/data.py:149-314, run_inference.py:288-299). Differences by
+design:
+
+* patches are decoded by a thread pool into pinned numpy batches (the in-house
+  TIFF reader releases the GIL inside zlib/cv2, so threads scale without the
+  spawn/pickle overhead of worker processes),
+* transform math (resize/normalize/stain) moves to the TPU (ops/preprocess.py),
+  so workers only decode uint8 pixels,
+* the final batch is padded to full batch size with a validity count so the
+  jitted forward sees a single static shape.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from concurrent.futures import ThreadPoolExecutor
+from dataclasses import dataclass
+from typing import Iterator
+
+import h5py
+import numpy as np
+import numpy.typing as npt
+
+from ..uri_path import URIPath
+from ..wsi import get_wsi_cls
+
+
+def read_patch_coords(path) -> tuple[npt.NDArray[np.int_], npt.NDArray | None, int]:
+    """Read /coords + attrs -> ((N,4) [minx,miny,w,h], tile_dim, patch_size).
+
+    Mirrors the reference loader incl. the patch_level==0 assertion
+    (reference: modellib/data.py:22-63).
+    """
+    with h5py.File(path, mode="r") as f:
+        coords = f["/coords"][()]
+        meta = f["/coords"].attrs
+        if "patch_level" not in meta.keys():
+            raise KeyError(
+                "Could not find required key 'patch_level' in hdf5 of patch coordinates."
+            )
+        if meta["patch_level"] != 0:
+            raise NotImplementedError(
+                f"This script is designed for patch_level=0 but got {meta['patch_level']}"
+            )
+        if coords.ndim != 2 or coords.shape[1] != 2:
+            raise ValueError(f"expected (N, 2) coords, got {coords.shape}")
+        if "patch_size" not in meta.keys():
+            raise KeyError("expected key 'patch_size' in attrs of coords dataset")
+        patch_size = int(meta["patch_size"])
+        wh = np.full_like(coords, patch_size)
+        coords = np.concatenate((coords, wh), axis=1)
+        tile_dim = meta["tile_dim"] if "tile_dim" in meta.keys() else None
+    return coords, tile_dim, patch_size
+
+
+@dataclass
+class Batch:
+    images: npt.NDArray[np.uint8]  # (B, P, P, 3), zero-padded past n_valid
+    coords: npt.NDArray[np.int64]  # (B, 4)
+    n_valid: int
+
+
+class PatchBatchSource:
+    """Iterate padded uint8 batches for one slide's patch set."""
+
+    def __init__(
+        self,
+        wsi_path: URIPath | None,
+        patch_path: URIPath,
+        use_hdf5_images: bool,
+        batch_size: int = 32,
+        num_threads: int = 8,
+        prefetch: int = 2,
+        shuffle_seed: int | None = None,
+    ):
+        self.patch_path = patch_path
+        self.wsi_path = wsi_path
+        self.batch_size = batch_size
+        self.num_threads = max(1, num_threads)
+        self.prefetch = max(1, prefetch)
+
+        self.coords, self.tile_dim, self.patch_size = read_patch_coords(
+            patch_path.materialize() if isinstance(patch_path, URIPath) else patch_path
+        )
+        if self.coords.size == 0:
+            raise ValueError(f"No patches were found in {patch_path}")
+
+        self._order = np.arange(len(self.coords))
+        if shuffle_seed is not None:
+            np.random.default_rng(shuffle_seed).shuffle(self._order)
+
+        self._use_hdf5_images = use_hdf5_images
+        self._h5: h5py.File | None = None
+        self._images = None
+        self._slide = None
+        self._h5_lock = threading.Lock()
+        self._open_sources()
+
+    def _open_sources(self) -> None:
+        p = self.patch_path
+        local = p.materialize() if isinstance(p, URIPath) else p
+        self._h5 = h5py.File(local, "r")
+        if self._use_hdf5_images and "/images" in self._h5:
+            imgs = self._h5["/images"]
+            if imgs.ndim == 4 and imgs.shape[0] == len(self.coords):
+                self._images = imgs
+            else:
+                self._use_hdf5_images = False
+        else:
+            self._use_hdf5_images = False
+        if not self._use_hdf5_images:
+            if self.wsi_path is None:
+                raise FileNotFoundError("no /images cache and no wsi_path given")
+            self._slide = get_wsi_cls()(self.wsi_path)
+
+    def __len__(self) -> int:
+        return len(self.coords)
+
+    @property
+    def num_batches(self) -> int:
+        return -(-len(self.coords) // self.batch_size)
+
+    def _fetch_one(self, idx: int) -> np.ndarray:
+        if self._use_hdf5_images:
+            with self._h5_lock:  # h5py datasets are not thread-safe
+                arr = self._images[idx]
+            if arr.shape[0] == 3 and arr.shape[-1] != 3:
+                arr = np.transpose(arr, (1, 2, 0))
+            return np.ascontiguousarray(arr[:, :, :3], dtype=np.uint8)
+        minx, miny, w, h = self.coords[idx]
+        fast = getattr(self._slide, "read_region_array", None)
+        if fast is not None:
+            return fast((int(minx), int(miny)), 0, (int(w), int(h)))
+        region = self._slide.read_region(
+            location=(int(minx), int(miny)), level=0, size=(int(w), int(h))
+        )
+        return np.asarray(region.convert("RGB"), dtype=np.uint8)
+
+    def _make_batch(self, pool: ThreadPoolExecutor, indices: np.ndarray) -> Batch:
+        p = self.patch_size
+        images = np.zeros((self.batch_size, p, p, 3), np.uint8)
+        for slot, arr in zip(range(len(indices)), pool.map(self._fetch_one, indices)):
+            images[slot] = arr
+        coords = np.zeros((self.batch_size, 4), np.int64)
+        coords[: len(indices)] = self.coords[indices]
+        return Batch(images=images, coords=coords, n_valid=len(indices))
+
+    def __iter__(self) -> Iterator[Batch]:
+        """Yield batches; decode runs ahead of the consumer by `prefetch`."""
+        q: queue.Queue = queue.Queue(maxsize=self.prefetch)
+        splits = [
+            self._order[i : i + self.batch_size]
+            for i in range(0, len(self._order), self.batch_size)
+        ]
+
+        def producer() -> None:
+            try:
+                with ThreadPoolExecutor(max_workers=self.num_threads) as pool:
+                    for indices in splits:
+                        q.put(self._make_batch(pool, indices))
+                q.put(None)
+            except BaseException as err:  # propagate to consumer
+                q.put(err)
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is None:
+                break
+            if isinstance(item, BaseException):
+                raise item
+            yield item
+        t.join()
+
+    def close(self) -> None:
+        if self._h5 is not None:
+            try:
+                self._h5.close()
+            except Exception:
+                pass
+        if self._slide is not None and hasattr(self._slide, "close"):
+            self._slide.close()

@@ -1,0 +1,456 @@
+"""Batched sharded inference over precomputed patches -> model-output CSVs.
+
+TPU-native re-design of the reference engine (reference:
+wsinsight/modellib/run_inference.py:45-738):
+
+* torch Dataset/DataLoader/DataParallel -> threaded uint8 decode
+  (engine/data.py) + one jitted step (preprocess -> forward -> softmax) with
+  batch sharded over a 1-D device mesh,
+* per-patch CPU transforms -> fused on-device resize/normalize/stain
+  (ops/preprocess.py, ops/stain.py),
+* device pick: WSINFER_FORCE_CPU env honored (reference: :151-160),
+* branches preserved: patch classification (default), QuPath TSV / GeoJSON
+  pseudo-models, object-based end2end (CellViT -> stitcher), references-dir
+  overlay (with the annot_prob_* values actually filled — the reference left
+  them NaN, SURVEY.md §2.11),
+* resume: slides with existing CSVs are skipped (reference: :219-225),
+* output CSV columns: minx,miny,width,height,prob_<class>... (reference:
+  :568-607).
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import os
+from functools import partial
+from typing import List
+
+import h5py
+import numpy as np
+import pandas as pd
+import tqdm
+
+from .. import errors
+from ..uri_path import URIPath
+from ..wsi import _validate_wsi_directory
+from ..zoo import ModelHandle
+from .data import PatchBatchSource
+
+logger = logging.getLogger(__name__)
+
+EPSILON = 1e-8
+I_0 = 255
+
+
+class ClassifierEngine:
+    """Jitted (preprocess -> forward -> probs) step, batch-sharded on a mesh."""
+
+    def __init__(
+        self,
+        model_info: ModelHandle,
+        mixed_precision: bool = False,
+        w_est: np.ndarray | None = None,
+        w_def: np.ndarray | None = None,
+        max_devices: int | None = None,
+    ):
+        import jax
+        import jax.numpy as jnp
+
+        from ..models import create_model
+        from ..ops.preprocess import TransformSpec, make_preprocess_fn
+        from ..parallel.mesh import batch_sharding, get_data_mesh, replicated_sharding
+
+        self.jax = jax
+        cfg = model_info.config
+        compute_dtype = jnp.bfloat16 if mixed_precision else jnp.float32
+        self.model = create_model(cfg.architecture, cfg.num_classes, dtype=compute_dtype)
+        self.params = model_info.load_flax_params()
+        self.spec = TransformSpec.from_config(cfg.transform)
+        preprocess = make_preprocess_fn(self.spec, compute_dtype)
+
+        self.mesh = get_data_mesh(max_devices)
+        self.n_devices = self.mesh.devices.size
+        self._batch_sharding = batch_sharding(self.mesh)
+        self._replicated = replicated_sharding(self.mesh)
+        self.params = jax.device_put(self.params, self._replicated)
+
+        w_est_arr = None if w_est is None else jnp.asarray(w_est, jnp.float32)
+        w_def_arr = None if w_def is None else jnp.asarray(w_def, jnp.float32)
+
+        def step(params, batch_u8):
+            x = batch_u8.astype(jnp.float32)
+            if w_est_arr is not None and w_def_arr is not None:
+                from ..ops.stain import deconvolution_based_normalization
+
+                x = deconvolution_based_normalization(x + EPSILON, w_est_arr, w_def_arr)
+                # The reference round-trips through uint8 PIL (data.py:300).
+                x = jnp.clip(jnp.round(x), 0.0, 255.0)
+            x = preprocess(x.astype(jnp.uint8))
+            logits = self.model.apply({"params": params}, x)
+            if logits.ndim > 1 and logits.shape[1] > 1:
+                return jax.nn.softmax(logits, axis=1)
+            return jax.nn.sigmoid(logits[:, 0])[:, None]
+
+        self._step = jax.jit(
+            step,
+            in_shardings=(self._replicated, self._batch_sharding),
+            out_shardings=self._replicated,
+        )
+
+    def pad_batch(self, n: int) -> int:
+        """Global batch size: requested size rounded up to the device count."""
+        d = self.n_devices
+        return -(-n // d) * d
+
+    def run_batch(self, images_u8: np.ndarray, n_valid: int) -> np.ndarray:
+        probs = self._step(self.params, images_u8)
+        return np.asarray(probs)[:n_valid]
+
+
+def _one_hot_probs(indexer: np.ndarray, n: int, k: int) -> np.ndarray:
+    probs = np.zeros((n, k), dtype=np.float32)
+    valid = indexer >= 0
+    probs[np.nonzero(valid)[0], indexer[valid]] = 1.0
+    return probs
+
+
+def _norm_names(series: pd.Series) -> pd.Series:
+    return series.str.strip().str.replace(" ", "_").str.lower()
+
+
+def run_inference(
+    wsi_dir: URIPath | None,
+    slide_paths: List[URIPath] | None,
+    results_dir: URIPath,
+    references_dir: str | URIPath | None = None,
+    qupath_detection_dir: str | URIPath | None = None,
+    qupath_geojson_detection_dir: str | URIPath | None = None,
+    qupath_geojson_annotation_dir: str | URIPath | None = None,
+    qupath_name_as_class: bool = False,
+    model_info: ModelHandle | None = None,
+    halo_size_px: int = 46,
+    batch_size: int = 32,
+    num_workers: int = 4,
+    speedup: bool = False,
+    stain_normalization: bool = False,
+    object_based: bool = False,
+    object_detection: str | None = None,
+    mixed_precision: bool = False,
+    stitch_workers: int | None = None,
+) -> tuple[list[str], list[str]]:
+    """Run batched inference on precomputed patches; emit per-slide CSVs.
+
+    Returns (failed_patching, failed_inference) slide-stem lists
+    (reference: run_inference.py:45-105).
+    """
+    from ..parallel.mesh import force_cpu_if_requested
+
+    force_cpu_if_requested()
+
+    if wsi_dir:
+        if not wsi_dir.exists():
+            raise errors.WholeSlideImageDirectoryNotFound(f"directory not found: {wsi_dir}")
+        _validate_wsi_directory(wsi_dir)
+    if not results_dir.exists():
+        raise errors.ResultsDirectoryNotFound(str(results_dir))
+
+    patch_dir = results_dir / "patches"
+    if not patch_dir.exists():
+        raise errors.PatchDirectoryNotFound(
+            "The 'patches' directory was not found in results directory. This can"
+            " happen for a few reasons: 1) no tissue was detected in the slides,"
+            " 2) the physical spacing (MPP) could not be read from any of the"
+            " slides, or 3) something else... Please read the logs above for"
+            " potential errors."
+        )
+    patch_paths = [p for p in patch_dir.iterdir() if p.is_file()]
+    if slide_paths:
+        stems = {s.stem for s in slide_paths}
+        patch_paths = [p for p in patch_paths if p.stem in stems]
+
+    model_output_dir = results_dir / "model-outputs-csv"
+    model_output_dir.mkdir(exist_ok=True)
+
+    is_pseudo = (
+        qupath_detection_dir is not None
+        or qupath_geojson_detection_dir is not None
+        or qupath_geojson_annotation_dir is not None
+    )
+
+    failed_patching = [p.stem for p in patch_paths if not p.exists()]
+    failed_inference: list[str] = []
+
+    engine: ClassifierEngine | None = None
+    cell_engine = None
+
+    with tqdm.tqdm(total=len(patch_paths), desc="Images", position=0) as pbar:
+        for patch_path in patch_paths:
+            local_h5 = patch_path.materialize() if isinstance(patch_path, URIPath) else patch_path
+            with h5py.File(local_h5, "r") as f:
+                use_hdf5_images = "/images" in f
+                g_slide = f["/slide"]
+                wsi_path = URIPath(g_slide.attrs["slide_path"])
+                mpp = float(g_slide.attrs["slide_mpp"])
+                slide_width = int(g_slide.attrs["slide_width"])
+                slide_height = int(g_slide.attrs["slide_height"])
+
+            slide_csv_name = wsi_path.with_suffix(".csv").name
+            slide_csv = model_output_dir / slide_csv_name
+            if slide_csv.exists():
+                print("Output CSV exists... skipping.")
+                print(slide_csv)
+                pbar.update(1)
+                continue
+
+            slide_superior_structure = None
+
+            if object_based and qupath_detection_dir is not None and not (
+                qupath_geojson_detection_dir or qupath_geojson_annotation_dir
+            ):
+                # QuPath TSV pseudo-model (reference: :318-357).
+                cfg = model_info.config
+                slide_det = URIPath(qupath_detection_dir) / wsi_path.with_suffix(".txt").name
+                if not slide_det.exists():
+                    failed_inference.append(wsi_path.stem)
+                    pbar.update(1)
+                    continue
+                qpdet_df = pd.read_csv(slide_det.materialize(), delimiter="\t")
+                half = round(cfg.patch_size_pixels / 2)
+                x = np.rint(qpdet_df["Centroid X µm"] / mpp - half).astype(np.int32)
+                y = np.rint(qpdet_df["Centroid Y µm"] / mpp - half).astype(np.int32)
+                coords_arr = np.column_stack(
+                    [x, y, np.full_like(x, cfg.patch_size_pixels), np.full_like(y, cfg.patch_size_pixels)]
+                )
+                det_mask = (qpdet_df["Object type"] == "Detection") | (
+                    qpdet_df["Object type"] == "Cell"
+                )
+                col = "Name" if qupath_name_as_class else "Classification"
+                indexer = pd.Index(cfg.class_names).get_indexer(
+                    _norm_names(qpdet_df[det_mask][col])
+                )
+                probs_arr = _one_hot_probs(indexer, len(qpdet_df), len(cfg.class_names))
+                slide_superior_structure = qpdet_df["Parent"]
+
+            elif object_based and qupath_geojson_detection_dir is not None and not (
+                qupath_detection_dir or qupath_geojson_annotation_dir
+            ):
+                # QuPath GeoJSON pseudo-model (reference: :359-416).
+                cfg = model_info.config
+                slide_geojson = (
+                    URIPath(qupath_geojson_detection_dir) / wsi_path.with_suffix(".geojson").name
+                )
+                if not slide_geojson.exists():
+                    failed_inference.append(wsi_path.stem)
+                    pbar.update(1)
+                    continue
+                feats = json.loads(slide_geojson.read_text()).get("features", [])
+                from ..geometry import polygon_centroid
+
+                half = round(cfg.patch_size_pixels / 2)
+                rows = []
+                names = []
+                obj_types = []
+                for feat in feats:
+                    geom = feat.get("geometry") or {}
+                    props = feat.get("properties") or {}
+                    coords_list = geom.get("coordinates") or []
+                    if geom.get("type") == "Polygon" and coords_list:
+                        ring = np.asarray(coords_list[0], dtype=np.float64)
+                    elif geom.get("type") == "MultiPolygon" and coords_list:
+                        ring = np.asarray(coords_list[0][0], dtype=np.float64)
+                    else:
+                        continue
+                    cx, cy = polygon_centroid(ring)
+                    rows.append((cx, cy))
+                    cls = props.get("classification")
+                    names.append(
+                        props.get("name")
+                        if qupath_name_as_class
+                        else (cls.get("name") if isinstance(cls, dict) else cls)
+                    )
+                    obj_types.append(props.get("objectType", ""))
+                if not rows:
+                    failed_inference.append(wsi_path.stem)
+                    pbar.update(1)
+                    continue
+                centers = np.asarray(rows)
+                x = np.rint(centers[:, 0] / mpp - half).astype(np.int32)
+                y = np.rint(centers[:, 1] / mpp - half).astype(np.int32)
+                coords_arr = np.column_stack(
+                    [x, y, np.full_like(x, cfg.patch_size_pixels), np.full_like(y, cfg.patch_size_pixels)]
+                )
+                name_series = pd.Series([n if n is not None else "" for n in names])
+                indexer = pd.Index(cfg.class_names).get_indexer(_norm_names(name_series))
+                keep = np.isin(np.array(obj_types), ["detection", "cell"])
+                indexer = np.where(keep, indexer, -1)
+                probs_arr = _one_hot_probs(indexer, len(centers), len(cfg.class_names))
+
+            elif object_based and object_detection == "end2end":
+                # CellViT/HoVer-Net single-cell path (reference: :431-535).
+                from .cells import run_cell_inference
+
+                if cell_engine is None:
+                    from .cells import CellEngine
+
+                    cell_engine = CellEngine(
+                        model_info, mixed_precision=mixed_precision
+                    )
+                try:
+                    coords_arr, probs_arr, polys = run_cell_inference(
+                        cell_engine,
+                        wsi_path=wsi_path,
+                        patch_path=patch_path,
+                        use_hdf5_images=use_hdf5_images,
+                        slide_width=slide_width,
+                        slide_height=slide_height,
+                        mpp=mpp,
+                        halo_size_px=halo_size_px,
+                        batch_size=batch_size,
+                        num_workers=num_workers,
+                        stitch_workers=stitch_workers,
+                    )
+                except Exception as err:
+                    logger.error(f"cell inference failed for {wsi_path}", exc_info=err)
+                    failed_inference.append(wsi_path.stem)
+                    pbar.update(1)
+                    continue
+                if polys is not None and len(polys) > 0:
+                    from ..patchlib.io import write_polygons_group
+
+                    with patch_path.open("rb+" if patch_path.exists() else "wb+") as fh:
+                        with h5py.File(fh, "a") as f:
+                            write_polygons_group(f, polys, f["/coords"].compression)
+
+            else:
+                # Default patch-classification branch (reference: :537-558).
+                w_est = w_def = None
+                if stain_normalization:
+                    from ..ops.stain import default_target_stains, estimate_stains_from_batch
+
+                    try:
+                        sample_src = PatchBatchSource(
+                            wsi_path=wsi_path,
+                            patch_path=patch_path,
+                            use_hdf5_images=use_hdf5_images,
+                            batch_size=min(256, 256),
+                            num_threads=num_workers or 4,
+                            shuffle_seed=0,
+                        )
+                        sample = next(iter(sample_src))
+                        sample_src.close()
+                        w_est = estimate_stains_from_batch(sample.images[: sample.n_valid])
+                        w_def = default_target_stains()
+                    except Exception as err:
+                        logger.error(f"stain estimation failed for {wsi_path}", exc_info=err)
+                        failed_inference.append(wsi_path.stem)
+                        pbar.update(1)
+                        continue
+
+                if engine is None or stain_normalization:
+                    engine = ClassifierEngine(
+                        model_info,
+                        mixed_precision=mixed_precision,
+                        w_est=w_est,
+                        w_def=w_def,
+                    )
+                try:
+                    src = PatchBatchSource(
+                        wsi_path=wsi_path,
+                        patch_path=patch_path,
+                        use_hdf5_images=use_hdf5_images,
+                        batch_size=engine.pad_batch(batch_size),
+                        num_threads=num_workers or 4,
+                    )
+                except Exception as err:
+                    logger.error(f"could not open patches for {wsi_path}", exc_info=err)
+                    failed_inference.append(wsi_path.stem)
+                    pbar.update(1)
+                    continue
+
+                slide_coords: list[np.ndarray] = []
+                slide_probs: list[np.ndarray] = []
+                with tqdm.tqdm(total=src.num_batches, position=1, leave=False) as qbar:
+                    for batch in src:
+                        probs = engine.run_batch(batch.images, batch.n_valid)
+                        slide_coords.append(batch.coords[: batch.n_valid])
+                        slide_probs.append(probs)
+                        qbar.update(1)
+                src.close()
+                coords_arr = np.concatenate(slide_coords, axis=0)
+                probs_arr = np.concatenate(slide_probs, axis=0)
+
+            if len(coords_arr) == 0:
+                pbar.update(1)
+                continue
+
+            slide_df = pd.DataFrame(
+                dict(
+                    minx=coords_arr[:, 0],
+                    miny=coords_arr[:, 1],
+                    width=coords_arr[:, 2],
+                    height=coords_arr[:, 3],
+                )
+            )
+            prob_colnames = [f"prob_{c}" for c in model_info.config.class_names]
+            slide_df.loc[:, prob_colnames] = probs_arr
+            if slide_superior_structure is not None:
+                slide_df.loc[:, "qupath_detection_parent"] = slide_superior_structure
+
+            if references_dir is not None and object_based:
+                _apply_references_overlay(slide_df, URIPath(references_dir), slide_csv_name)
+
+            with slide_csv.open("w") as fh:
+                slide_df.to_csv(fh, index=False)
+            pbar.update(1)
+
+    return failed_patching, failed_inference
+
+
+def _apply_references_overlay(
+    slide_df: pd.DataFrame, references_dir: URIPath, slide_csv_name: str
+) -> None:
+    """Point-in-box overlay of a prior run's tile CSV onto per-cell rows.
+
+    Chunked, vectorized containment + largest-area tie-break (reference:
+    run_inference.py:613-729). Unlike the reference — whose value-fill lines
+    were commented out, leaving annot_prob_* always NaN (SURVEY.md §2.11) —
+    the matched tile probabilities are actually written.
+    """
+    annot_csv = references_dir / "model-outputs-csv" / slide_csv_name
+    annot_df = pd.read_csv(
+        annot_csv.materialize() if isinstance(annot_csv, URIPath) else annot_csv,
+        engine="c",
+        low_memory=False,
+    )
+    cx = (slide_df["minx"] + slide_df["width"] * 0.5).to_numpy()
+    cy = (slide_df["miny"] + slide_df["height"] * 0.5).to_numpy()
+
+    ax0 = annot_df["minx"].to_numpy()
+    ay0 = annot_df["miny"].to_numpy()
+    ax1 = (annot_df["minx"] + annot_df["width"]).to_numpy()
+    ay1 = (annot_df["miny"] + annot_df["height"]).to_numpy()
+    area = (annot_df["width"] * annot_df["height"]).to_numpy()
+    prob_cols = [c for c in annot_df.columns if c.startswith("prob_")]
+    probs_mat = annot_df[prob_cols].to_numpy(dtype=np.float32)
+
+    n_points = len(slide_df)
+    for c in prob_cols:
+        slide_df["annot_prob_" + c] = np.nan
+
+    chunk = max(1000, min(200_000 // max(1, len(annot_df) // 1000 + 1), n_points or 1))
+    for s in range(0, n_points, chunk):
+        e = min(n_points, s + chunk)
+        mask = (
+            (cx[s:e, None] >= ax0[None, :])
+            & (cx[s:e, None] <= ax1[None, :])
+            & (cy[s:e, None] >= ay0[None, :])
+            & (cy[s:e, None] <= ay1[None, :])
+        )
+        has_hit = mask.any(axis=1)
+        cand = np.where(mask, area[None, :], -np.inf)
+        best = cand.argmax(axis=1)
+        for j, c in enumerate(prob_cols):
+            vals = np.full(e - s, np.nan, dtype=np.float32)
+            vals[has_hit] = probs_mat[best[has_hit], j]
+            slide_df.loc[slide_df.index[s:e], "annot_prob_" + c] = vals

@@ -1,0 +1,48 @@
+"""Device mesh and sharding helpers.
+
+The reference's only parallelism over accelerators is torch DataParallel
+(reference: wsinsight/modellib/run_inference.py:173-174). The TPU-native
+equivalent is a 1-D "data" mesh with batch-dimension sharding under jit;
+XLA inserts any needed collectives over ICI (SURVEY.md §2.8).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def force_cpu_if_requested() -> None:
+    """Honor WSINFER_FORCE_CPU (reference: run_inference.py:151-160)."""
+    if os.getenv("WSINFER_FORCE_CPU", "0").lower() not in {"0", "f", "false"}:
+        jax.config.update("jax_platforms", "cpu")
+
+
+def get_data_mesh(max_devices: int | None = None) -> Mesh:
+    """1-D mesh over all local devices, axis name 'data'."""
+    devices = jax.devices()
+    if max_devices:
+        devices = devices[:max_devices]
+    return Mesh(np.array(devices), axis_names=("data",))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P("data"))
+
+
+def replicated_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def pad_to_multiple(n: int, m: int) -> int:
+    return -(-n // m) * m
+
+
+def device_batch_size(batch_size: int, mesh: Mesh) -> int:
+    """Round batch size up so it divides evenly across the mesh."""
+    d = mesh.devices.size
+    return pad_to_multiple(batch_size, d)

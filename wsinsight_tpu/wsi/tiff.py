@@ -23,10 +23,9 @@ Supported on write:
 
 from __future__ import annotations
 
-import io
-import math
 import os
 import struct
+import threading
 import zlib
 from dataclasses import dataclass, field
 from fractions import Fraction
@@ -305,13 +304,28 @@ class TiffPage:
             raise TiffError("cv2 failed to decode JPEG tile")
         return arr[:, :, ::-1]  # BGR -> RGB
 
-    def decode_segment(self, index: int) -> np.ndarray:
-        """Decode tile/strip `index` to an (h, w, samples) uint8 array."""
+    def read_segment_raw(self, index: int) -> bytes:
+        """Read the compressed bytes of tile/strip `index` (thread-safe)."""
         assert self.offsets is not None and self.bytecounts is not None
         off = int(self.offsets[index])
         cnt = int(self.bytecounts[index])
+        lock = getattr(self, "io_lock", None)
+        if lock is not None:
+            with lock:
+                self.fh.seek(off)
+                return self.fh.read(cnt)
         self.fh.seek(off)
-        raw = self.fh.read(cnt)
+        return self.fh.read(cnt)
+
+    def decode_segment(self, index: int, raw: bytes | None = None) -> np.ndarray:
+        """Decode tile/strip `index` to an (h, w, samples) uint8 array.
+
+        The file read is serialized behind a lock; decompression runs
+        unlocked so decode threads scale (the reference gets this from
+        per-worker slide handles, reference: modellib/data.py:198-236).
+        """
+        if raw is None:
+            raw = self.read_segment_raw(index)
 
         if self.is_tiled:
             seg_w, seg_h = self.tile_width, self.tile_height
@@ -391,12 +405,14 @@ class TiffFile:
             first_ifd = struct.unpack(self.byteorder + "Q", rest[:8])[0]
         else:
             raise TiffError(f"bad TIFF magic {magic}")
+        self._io_lock = threading.Lock()
         self.pages: list[TiffPage] = []
         off = first_ifd
         seen = set()
         while off and off not in seen:
             seen.add(off)
             page = self._read_ifd(off)
+            page.io_lock = self._io_lock  # serialize raw reads across threads
             self.pages.append(page)
             off = page.next_ifd
 
