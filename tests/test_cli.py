@@ -1,0 +1,113 @@
+"""CLI tests via click.testing.CliRunner (reference: tests/test_all.py:283-373)."""
+
+import json
+
+import numpy as np
+import pandas as pd
+import pytest
+from click.testing import CliRunner
+
+from wsinsight_tpu.cli.cli import cli
+from wsinsight_tpu.zoo import make_random_local_model
+
+
+@pytest.fixture(scope="module")
+def model_files(tmp_path_factory):
+    d = tmp_path_factory.mktemp("climodel")
+    return make_random_local_model(
+        "resnet34", 2, d, class_names=["Other", "Tumor"], resize_size=64
+    )
+
+
+def test_cli_help():
+    runner = CliRunner()
+    res = runner.invoke(cli, ["--help"])
+    assert res.exit_code == 0
+    for cmd in ("run", "patch", "infer"):
+        assert cmd in res.output
+
+
+def test_cli_run_end_to_end(purple_slide, model_files, tmp_path):
+    cfg, weights = model_files
+    results = tmp_path / "results"
+    runner = CliRunner()
+    res = runner.invoke(
+        cli,
+        [
+            "run",
+            "-i", str(purple_slide.parent),
+            "-o", str(results),
+            "--config", str(cfg),
+            "--model-path", str(weights),
+            "--geojson",
+            "--omecsv",
+            "-b", "64",
+        ],
+        catch_exceptions=False,
+    )
+    assert res.exit_code == 0, res.output
+    csv = results / "model-outputs-csv" / "purple.csv"
+    df = pd.read_csv(csv)
+    assert len(df) == 144
+    assert (results / "model-outputs-geojson" / "purple.geojson").exists()
+    assert (results / "model-outputs-omecsv" / "purple.ome.csv.gz").exists()
+    assert (results / "masks" / "purple.jpg").exists()
+    assert (results / "wsi_list.csv").exists()
+    # GeoJSON box geometry equals CSV coords (reference: tests/test_all.py:399-410).
+    gj = json.loads((results / "model-outputs-geojson" / "purple.geojson").read_text())
+    feat0 = gj["features"][0]
+    ring = np.asarray(feat0["geometry"]["coordinates"][0])
+    row0 = df.iloc[0]
+    assert ring[:, 0].min() == row0.minx
+    assert ring[:, 1].min() == row0.miny
+    assert ring[:, 0].max() == row0.minx + row0.width
+    assert ring[:, 1].max() == row0.miny + row0.height
+    # Metadata files written for each stage.
+    metas = sorted(results.glob("*_metadata_*.json"))
+    prefixes = {m.name.split("_metadata_")[0] for m in metas}
+    assert {"patch", "infer", "run"} <= prefixes
+    meta = json.loads(metas[0].read_text())
+    assert meta["model_config"]["architecture"] == "resnet34"
+    assert meta["runtime"]["versions"]["jax"]
+
+
+def test_cli_patch_requires_model(tmp_path, purple_slide):
+    runner = CliRunner()
+    res = runner.invoke(
+        cli,
+        ["patch", "-i", str(purple_slide.parent), "-o", str(tmp_path / "r")],
+    )
+    assert res.exit_code != 0
+    assert "required" in res.output
+
+
+def test_cli_mutually_exclusive_model_args(tmp_path, purple_slide, model_files):
+    cfg, weights = model_files
+    runner = CliRunner()
+    res = runner.invoke(
+        cli,
+        [
+            "patch",
+            "-i", str(purple_slide.parent),
+            "-o", str(tmp_path / "r"),
+            "-m", "breast-tumor-resnet34.tcga-brca",
+            "--config", str(cfg),
+            "--model-path", str(weights),
+        ],
+    )
+    assert res.exit_code != 0
+    assert "mutually exclusive" in res.output
+
+
+def test_cli_unknown_registered_model(tmp_path, purple_slide):
+    runner = CliRunner()
+    res = runner.invoke(
+        cli,
+        [
+            "patch",
+            "-i", str(purple_slide.parent),
+            "-o", str(tmp_path / "r"),
+            "-m", "not-a-model",
+        ],
+    )
+    assert res.exit_code != 0

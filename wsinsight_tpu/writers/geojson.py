@@ -18,6 +18,7 @@ wsinsight/write_geojson.py:38-482) without geopandas/shapely/orjson:
 from __future__ import annotations
 
 import json
+import multiprocessing
 import uuid
 from colorsys import hsv_to_rgb
 from concurrent.futures import ProcessPoolExecutor, as_completed
@@ -335,7 +336,8 @@ def write_geojsons(
         return
 
     pbar = tqdm(total=total, desc="Files completed", dynamic_ncols=True) if show_progress else None
-    with ProcessPoolExecutor(max_workers=num_workers) as ex:
+    # spawn: forking after JAX initialization can deadlock worker processes
+    with ProcessPoolExecutor(max_workers=num_workers, mp_context=multiprocessing.get_context("spawn")) as ex:
         futures = [
             ex.submit(
                 _worker,

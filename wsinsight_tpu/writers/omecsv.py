@@ -11,6 +11,7 @@ prefix stripped, `.ome.csv.gz` outputs, resume-skip, process-pool fan-out. The
 from __future__ import annotations
 
 import gzip
+import multiprocessing
 from concurrent.futures import ProcessPoolExecutor, as_completed
 from pathlib import Path
 from typing import Dict, List, Optional, Union
@@ -158,7 +159,7 @@ def write_omecsvs(
         return
 
     pbar = tqdm(total=len(csvs), desc="OME-CSVs", dynamic_ncols=True) if show_progress else None
-    with ProcessPoolExecutor(max_workers=num_workers) as ex:
+    with ProcessPoolExecutor(max_workers=num_workers, mp_context=multiprocessing.get_context("spawn")) as ex:
         futures = [
             ex.submit(make_omecsv, csv, results_dir, output_dir, overlap, prefix, usecols, dtype)
             for csv in csvs
