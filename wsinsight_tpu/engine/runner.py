@@ -78,19 +78,29 @@ class ClassifierEngine:
         w_est_arr = None if w_est is None else jnp.asarray(w_est, jnp.float32)
         w_def_arr = None if w_def is None else jnp.asarray(w_def, jnp.float32)
 
-        def step(params, batch_u8):
-            x = batch_u8.astype(jnp.float32)
-            if w_est_arr is not None and w_def_arr is not None:
-                from ..ops.stain import deconvolution_based_normalization
+        # Matmul/conv precision: full float32 passes for parity with the torch
+        # reference (TPU "default" runs bf16 multiplies — measured ~3.3x faster
+        # but logits drift beyond the 1e-3 budget). mixed_precision opts into
+        # the fast path (the reference exposes the same trade via autocast,
+        # run_inference.py:446-456). WSINSIGHT_PRECISION overrides.
+        precision = os.getenv(
+            "WSINSIGHT_PRECISION", "default" if mixed_precision else "float32"
+        )
 
-                x = deconvolution_based_normalization(x + EPSILON, w_est_arr, w_def_arr)
-                # The reference round-trips through uint8 PIL (data.py:300).
-                x = jnp.clip(jnp.round(x), 0.0, 255.0)
-            x = preprocess(x.astype(jnp.uint8))
-            logits = self.model.apply({"params": params}, x)
-            if logits.ndim > 1 and logits.shape[1] > 1:
-                return jax.nn.softmax(logits, axis=1)
-            return jax.nn.sigmoid(logits[:, 0])[:, None]
+        def step(params, batch_u8):
+            with jax.default_matmul_precision(precision):
+                x = batch_u8.astype(jnp.float32)
+                if w_est_arr is not None and w_def_arr is not None:
+                    from ..ops.stain import deconvolution_based_normalization
+
+                    x = deconvolution_based_normalization(x + EPSILON, w_est_arr, w_def_arr)
+                    # The reference round-trips through uint8 PIL (data.py:300).
+                    x = jnp.clip(jnp.round(x), 0.0, 255.0)
+                x = preprocess(x.astype(jnp.uint8))
+                logits = self.model.apply({"params": params}, x)
+                if logits.ndim > 1 and logits.shape[1] > 1:
+                    return jax.nn.softmax(logits, axis=1)
+                return jax.nn.sigmoid(logits[:, 0])[:, None]
 
         self._step = jax.jit(
             step,

@@ -1,0 +1,170 @@
+"""Graph neural nets for CME analytics: GCN encoder + DeepGraphInfomax, in flax.
+
+Replaces the reference's torch_geometric stack (reference:
+wsinsight/insightlib/cme_generation.py:498-643: 2-layer GCNConv encoder with
+PReLU, DGI with bilinear discriminator and row-shuffle corruption, Adam,
+epochs=300, multi-GPU via PyG DataParallel). TPU-native design:
+
+* graphs are padded to static (max_nodes, max_edges) so one jitted train step
+  serves every graph,
+* message passing is `segment_sum` over edge arrays (no sparse formats needed),
+* data parallelism is a 1-D mesh over the *graph batch* axis with gradient
+  psum — the jit-sharding equivalent of the reference's DataParallel.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+
+@dataclass
+class PaddedGraph:
+    """One graph padded to static shapes.
+
+    x: (max_nodes, F); edges: (2, max_edges) int32 (src, dst) with padding
+    edges pointing at node max_nodes-1 padded slot masked out by edge_mask.
+    """
+
+    x: np.ndarray
+    edges: np.ndarray
+    node_mask: np.ndarray  # (max_nodes,) float32 1=real
+    edge_mask: np.ndarray  # (max_edges,) float32 1=real
+
+
+def pad_graph(
+    x: np.ndarray, edge_index: np.ndarray, max_nodes: int, max_edges: int
+) -> PaddedGraph:
+    n, f = x.shape
+    e = edge_index.shape[1]
+    if n > max_nodes or e > max_edges:
+        raise ValueError(f"graph ({n} nodes, {e} edges) exceeds padding ({max_nodes}, {max_edges})")
+    xp = np.zeros((max_nodes, f), np.float32)
+    xp[:n] = x
+    ep = np.zeros((2, max_edges), np.int32)
+    ep[:, :e] = edge_index
+    ep[:, e:] = max_nodes - 1 if n < max_nodes else 0  # park padding on last slot
+    nm = np.zeros(max_nodes, np.float32)
+    nm[:n] = 1.0
+    em = np.zeros(max_edges, np.float32)
+    em[:e] = 1.0
+    return PaddedGraph(x=xp, edges=ep, node_mask=nm, edge_mask=em)
+
+
+def _gcn_propagate(
+    h: jax.Array, edges: jax.Array, edge_mask: jax.Array, node_mask: jax.Array
+) -> jax.Array:
+    """Symmetric-normalized propagation with self loops: D^-1/2 (A+I) D^-1/2 h.
+
+    Matches torch_geometric GCNConv's default normalization.
+    """
+    n = h.shape[0]
+    src, dst = edges[0], edges[1]
+    deg = jnp.zeros(n, jnp.float32).at[dst].add(edge_mask)
+    deg = deg + node_mask  # self loop counts
+    dinv = jnp.where(deg > 0, jax.lax.rsqrt(deg), 0.0)
+    coeff = dinv[src] * dinv[dst] * edge_mask
+    msgs = h[src] * coeff[:, None]
+    agg = jnp.zeros_like(h).at[dst].add(msgs)
+    agg = agg + h * (dinv * dinv * node_mask)[:, None]  # self loops
+    return agg
+
+
+class GCNConv(nn.Module):
+    """torch_geometric-style GCNConv (eval math) on padded edge arrays."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, h, edges, edge_mask, node_mask):
+        h = nn.Dense(self.features, use_bias=True, name="lin")(h)
+        return _gcn_propagate(h, edges, edge_mask, node_mask)
+
+
+class GCNEncoder(nn.Module):
+    """2-layer GCN with PReLU activations (reference: cme_generation.py:498-530)."""
+
+    hidden: int = 64
+    out_dim: int = 32
+
+    @nn.compact
+    def __call__(self, x, edges, edge_mask, node_mask):
+        h = GCNConv(self.hidden, name="conv1")(x, edges, edge_mask, node_mask)
+        a1 = self.param("prelu1", nn.initializers.constant(0.25), (1,))
+        h = jnp.where(h > 0, h, a1 * h)
+        h = GCNConv(self.out_dim, name="conv2")(h, edges, edge_mask, node_mask)
+        a2 = self.param("prelu2", nn.initializers.constant(0.25), (1,))
+        h = jnp.where(h > 0, h, a2 * h)
+        return h
+
+
+class DGI(nn.Module):
+    """DeepGraphInfomax: encoder + bilinear discriminator vs row-shuffle
+    corruption (reference: cme_generation.py:531-552)."""
+
+    hidden: int = 64
+    out_dim: int = 32
+
+    def setup(self):
+        self.encoder = GCNEncoder(self.hidden, self.out_dim)
+        self.weight = self.param(
+            "weight", nn.initializers.uniform(scale=1.0), (self.out_dim, self.out_dim)
+        )
+
+    def embed(self, x, edges, edge_mask, node_mask):
+        return self.encoder(x, edges, edge_mask, node_mask)
+
+    def __call__(self, x, x_corrupt, edges, edge_mask, node_mask):
+        pos = self.encoder(x, edges, edge_mask, node_mask)
+        neg = self.encoder(x_corrupt, edges, edge_mask, node_mask)
+        n_real = jnp.maximum(node_mask.sum(), 1.0)
+        summary = jax.nn.sigmoid((pos * node_mask[:, None]).sum(0) / n_real)
+
+        def scores(h):
+            return jnp.einsum("nd,de,e->n", h, self.weight, summary)
+
+        eps = 1e-8
+        pos_loss = -jnp.log(jax.nn.sigmoid(scores(pos)) + eps)
+        neg_loss = -jnp.log(1.0 - jax.nn.sigmoid(scores(neg)) + eps)
+        loss = ((pos_loss + neg_loss) * node_mask).sum() / n_real
+        return loss
+
+
+def make_dgi_train_step(model: DGI, optimizer, mesh=None):
+    """Jitted DGI step over a *batch* of padded graphs, batch-sharded on mesh.
+
+    Batch dims: x (B, N, F), edges (B, 2, E), masks (B, ...). Gradients are
+    meaned over the batch (psum over the mesh under jit).
+    """
+    import optax  # noqa: F401  (documents the optimizer contract)
+
+    def loss_fn(params, x, x_corrupt, edges, edge_mask, node_mask):
+        losses = jax.vmap(
+            lambda a, b, c, d, e: model.apply({"params": params}, a, b, c, d, e)
+        )(x, x_corrupt, edges, edge_mask, node_mask)
+        return losses.mean()
+
+    def train_step(params, opt_state, x, x_corrupt, edges, edge_mask, node_mask):
+        loss, grads = jax.value_and_grad(loss_fn)(
+            params, x, x_corrupt, edges, edge_mask, node_mask
+        )
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = jax.tree_util.tree_map(lambda p, u: p + u, params, updates)
+        return params, opt_state, loss
+
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        rep = NamedSharding(mesh, P())
+        bsh = NamedSharding(mesh, P("data"))
+        return jax.jit(
+            train_step,
+            in_shardings=(rep, rep, bsh, bsh, bsh, bsh, bsh),
+            out_shardings=(rep, rep, rep),
+        )
+    return jax.jit(train_step)
