@@ -1,0 +1,207 @@
+"""Slide-scale canvas stitcher for single-cell models.
+
+TPU re-design of the reference TileRemapStitcher (reference:
+wsinsight/modellib/tilefuse.py:179-415):
+
+* the per-batch GPU half (softmax, 164->S bilinear resize, HV scaling by
+  model_mpp/slide_mpp, per-pixel TP renormalization) becomes one jitted XLA
+  step; a single host transfer lands in the numpy canvases,
+* the CPU half (tiled watershed instance extraction with 64px context) runs
+  on a thread pool using the native C++ watershed.
+
+Memory note: the canvases are (H, W) f32 + (H, W, 2) f32 + (H, W, K) f32 —
+the reference carries the same ~(12+4K) bytes/px hazard (tilefuse.py:204-206);
+banded accumulation is the planned follow-up for slides where this exceeds
+host RAM.
+"""
+
+from __future__ import annotations
+
+import os
+import queue
+import threading
+from concurrent.futures import ThreadPoolExecutor
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+from ..ops.hv_postproc import extract_instances
+
+
+class TileRemapStitcher:
+    """Accumulate per-patch prediction maps into slide canvases, then extract
+    nucleus instances tile by tile."""
+
+    def __init__(
+        self,
+        n_classes: int,
+        slide_width: int,
+        slide_height: int,
+        slide_patch_size: int,
+        slide_halo_size: int,
+        slide_mpp: float,
+        model_mpp: float,
+        min_object_size: int = 20,
+    ):
+        self.n_classes = n_classes
+        self.slide_width = slide_width
+        self.slide_height = slide_height
+        self.slide_patch_size = slide_patch_size
+        self.slide_halo_size = slide_halo_size
+        self.alpha = model_mpp / slide_mpp
+        self.min_object_size = int(min_object_size)
+        self.np_map = np.zeros((slide_height, slide_width), dtype=np.float32)
+        self.hv_map = np.zeros((slide_height, slide_width, 2), dtype=np.float32)
+        self.tp_map = np.zeros((slide_height, slide_width, n_classes), dtype=np.float32)
+        self._device_step = None
+
+    # ------------------------------------------------------------------
+    def _build_device_step(self):
+        import jax
+        import jax.numpy as jnp
+
+        s = self.slide_patch_size
+        alpha = self.alpha
+
+        def step(np_logits, hv, tp_logits):
+            # np_logits (B,2,h,w); hv (B,2,h,w); tp_logits (B,K,h,w) — the
+            # model's channel-first output contract (tilefuse.py:222).
+            np_prob = jax.nn.softmax(np_logits, axis=1)[:, 1, :, :]  # (B,h,w)
+            tp_prob = jax.nn.softmax(tp_logits, axis=1)
+
+            def resize(x, ch_shape):
+                # bilinear with half-pixel centers == F.interpolate(align_corners=False)
+                return jax.image.resize(x, ch_shape, method="bilinear")
+
+            b = np_prob.shape[0]
+            k = tp_prob.shape[1]
+            np_res = resize(np_prob, (b, s, s))
+            hv_res = resize(hv, (b, 2, s, s)) * alpha
+            tp_res = resize(tp_prob, (b, k, s, s))
+            tp_res = tp_res / (tp_res.sum(axis=1, keepdims=True) + 1e-8)
+            return (
+                np_res,
+                jnp.transpose(hv_res, (0, 2, 3, 1)),
+                jnp.transpose(tp_res, (0, 2, 3, 1)),
+            )
+
+        self._device_step = jax.jit(step)
+
+    def accumulate_batch(self, pred_dict: dict, batch_coords: np.ndarray) -> None:
+        """Device post-process one batch and scatter into the host canvases.
+
+        pred_dict accepts both key conventions (reference: tilefuse.py:225-230):
+        {np, hv, tp} or {nuclei_binary_map, hv_map, nuclei_type_map}; values are
+        (B, C, h, w) arrays (device or host). batch_coords is (B, 4)
+        [minx, miny, w, h] in slide coordinates.
+        """
+        np_logits = pred_dict.get("np", pred_dict.get("nuclei_binary_map"))
+        hv = pred_dict.get("hv", pred_dict.get("hv_map"))
+        tp_logits = pred_dict.get("tp", pred_dict.get("nuclei_type_map"))
+        assert np_logits is not None and hv is not None and tp_logits is not None
+
+        if self._device_step is None:
+            self._build_device_step()
+        np_res, hv_res, tp_res = self._device_step(np_logits, hv, tp_logits)
+        np_res = np.asarray(np_res)
+        hv_res = np.asarray(hv_res)
+        tp_res = np.asarray(tp_res)
+
+        s = self.slide_patch_size
+        coords = np.asarray(batch_coords, dtype=np.int64)[:, :2] + self.slide_halo_size
+        for i in range(np_res.shape[0]):
+            x0, y0 = int(coords[i, 0]), int(coords[i, 1])
+            x1, y1 = x0 + s, y0 + s
+            cx0, cy0 = max(0, x0), max(0, y0)
+            cx1, cy1 = min(self.slide_width, x1), min(self.slide_height, y1)
+            if cx1 <= cx0 or cy1 <= cy0:
+                continue
+            tx0, ty0 = cx0 - x0, cy0 - y0
+            tx1, ty1 = tx0 + (cx1 - cx0), ty0 + (cy1 - cy0)
+            self.np_map[cy0:cy1, cx0:cx1] = np_res[i, ty0:ty1, tx0:tx1]
+            self.hv_map[cy0:cy1, cx0:cx1, :] = hv_res[i, ty0:ty1, tx0:tx1, :]
+            self.tp_map[cy0:cy1, cx0:cx1, :] = tp_res[i, ty0:ty1, tx0:tx1, :]
+
+    # ------------------------------------------------------------------
+    def finalize(
+        self,
+        tile_size: int = 2048,
+        padding_size: int = 64,
+        pbar=None,
+        num_workers: Optional[int] = None,
+    ) -> Tuple[List[np.ndarray], List[np.ndarray], List[np.ndarray]]:
+        """Tile the canvases (with context padding) and extract instances."""
+        h, w = self.slide_height, self.slide_width
+        if h <= 0 or w <= 0:
+            return [], [], []
+
+        jobs: List[tuple] = []
+        for interior_y0 in range(0, h, tile_size):
+            for interior_x0 in range(0, w, tile_size):
+                interior_y1 = min(interior_y0 + tile_size, h)
+                interior_x1 = min(interior_x0 + tile_size, w)
+                pad_y0 = max(0, interior_y0 - padding_size)
+                pad_y1 = min(interior_y1 + padding_size, h)
+                pad_x0 = max(0, interior_x0 - padding_size)
+                pad_x1 = min(interior_x1 + padding_size, w)
+                inner_y0 = interior_y0 - pad_y0
+                inner_x0 = interior_x0 - pad_x0
+                inner_y1 = inner_y0 + (interior_y1 - interior_y0)
+                inner_x1 = inner_x0 + (interior_x1 - interior_x0)
+                jobs.append(
+                    (pad_y0, pad_y1, pad_x0, pad_x1, interior_y0, interior_x0,
+                     inner_y0, inner_y1, inner_x0, inner_x1)
+                )
+        if not jobs:
+            return [], [], []
+
+        if num_workers is None or num_workers <= 0:
+            num_workers = max(1, (os.cpu_count() or 1) - 2)
+
+        inst_all: List[np.ndarray] = []
+        prob_all: List[np.ndarray] = []
+        poly_all: List[np.ndarray] = []
+        merge_lock = threading.Lock()
+        q: queue.Queue = queue.Queue()
+        for j in jobs:
+            q.put(j)
+        for _ in range(num_workers):
+            q.put(None)
+
+        def worker() -> None:
+            local: list[tuple] = []
+            while True:
+                job = q.get()
+                if job is None:
+                    break
+                (pad_y0, pad_y1, pad_x0, pad_x1, interior_y0, interior_x0,
+                 inner_y0, inner_y1, inner_x0, inner_x1) = job
+                np_tile = np.ascontiguousarray(self.np_map[pad_y0:pad_y1, pad_x0:pad_x1])
+                hv_tile = np.ascontiguousarray(self.hv_map[pad_y0:pad_y1, pad_x0:pad_x1, :])
+                tp_tile = np.ascontiguousarray(self.tp_map[pad_y0:pad_y1, pad_x0:pad_x1, :])
+                ins, prb, ply = extract_instances(
+                    np_tile,
+                    hv_tile,
+                    tp_tile,
+                    interior_y0,
+                    interior_x0,
+                    (slice(inner_y0, inner_y1), slice(inner_x0, inner_x1)),
+                    self.min_object_size,
+                )
+                if ins:
+                    local.append((ins, prb, ply))
+                if pbar is not None:
+                    pbar.update(1)
+            if local:
+                with merge_lock:
+                    for ins, prb, ply in local:
+                        inst_all.extend(ins)
+                        prob_all.extend(prb)
+                        poly_all.extend(ply)
+
+        with ThreadPoolExecutor(max_workers=num_workers) as ex:
+            futs = [ex.submit(worker) for _ in range(num_workers)]
+            for f in futs:
+                f.result()
+
+        return inst_all, prob_all, poly_all

@@ -34,6 +34,13 @@ _register(
 )
 _register(vgg16, "vgg16", "vgg16mod", "vgg16_mod")
 
+from .cellvit import cellvit_256, cellvit_sam_b, cellvit_sam_h, cellvit_sam_l  # noqa: E402
+
+_register(cellvit_sam_h, "cellvit_sam_h", "cellvit-sam-h")
+_register(cellvit_sam_l, "cellvit_sam_l", "cellvit-sam-l")
+_register(cellvit_sam_b, "cellvit_sam_b", "cellvit-sam-b")
+_register(cellvit_256, "cellvit_256", "cellvit-256")
+
 
 def available_architectures() -> list[str]:
     return sorted(_REGISTRY)

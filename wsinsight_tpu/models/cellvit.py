@@ -1,0 +1,170 @@
+"""CellViT nucleus instance segmentation in flax (SAM and ViT-256 variants).
+
+Serves the WSInsight-native single-cell models (reference: README.md:213-216;
+executed as opaque TorchScript through the stitcher contract at
+modellib/tilefuse.py:220-278). Architecture follows the public CellViT design:
+ViT encoder with skip features at four depths, three U-Net-style upsampling
+branches (nuclei binary map, HV map, nuclei type map) over transposed-conv
+decoder blocks, and a tissue-type classifier head on the pooled token.
+
+Output contract (what the reference stitcher consumes): a dict with
+``nuclei_binary_map`` (B, 2, O, O), ``hv_map`` (B, 2, O, O),
+``nuclei_type_map`` (B, K, O, O) where O = patch - 2*halo (center crop), plus
+``tissue_types`` logits.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from .layers import EvalBN, TorchConv
+from .vit import SAM_VIT_B, SAM_VIT_H, SAM_VIT_L, VIT_256, ViTConfig, ViTEncoder
+
+Dtype = Any
+
+
+class Conv2DBlock(nn.Module):
+    """conv3x3 + bn + relu (CellViT Conv2DBlock)."""
+
+    features: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        x = TorchConv(self.features, (3, 3), (1, 1), (1, 1), use_bias=True,
+                      dtype=self.dtype, name="conv")(x)
+        x = EvalBN(self.features, name="bn")(x)
+        return nn.relu(x)
+
+
+class Deconv2DBlock(nn.Module):
+    """convtranspose2x2(s2) + conv3x3 + bn + relu (CellViT Deconv2DBlock)."""
+
+    features: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.ConvTranspose(
+            self.features, (2, 2), strides=(2, 2), padding="VALID", dtype=self.dtype,
+            name="deconv",
+        )(x)
+        x = TorchConv(self.features, (3, 3), (1, 1), (1, 1), use_bias=True,
+                      dtype=self.dtype, name="conv")(x)
+        x = EvalBN(self.features, name="bn")(x)
+        return nn.relu(x)
+
+
+class UpsamplingBranch(nn.Module):
+    """One decoder branch: z4..z1 skips + input image -> (B, H, W, out)."""
+
+    out_channels: int
+    embed_dim: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, img, z1, z2, z3, z4):
+        dt = self.dtype
+        # bottleneck: 16 -> 32
+        b4 = nn.ConvTranspose(512, (2, 2), strides=(2, 2), padding="VALID", dtype=dt,
+                              name="bottleneck_upsampler")(z4)
+        # skip 3: 16 -> 32
+        b3 = Deconv2DBlock(512, dtype=dt, name="decoder3.0")(z3)
+        y = jnp.concatenate([b3, b4], axis=-1)
+        y = Conv2DBlock(512, dtype=dt, name="decoder3_upsampler.0")(y)
+        y = Conv2DBlock(512, dtype=dt, name="decoder3_upsampler.1")(y)
+        y = nn.ConvTranspose(256, (2, 2), strides=(2, 2), padding="VALID", dtype=dt,
+                             name="decoder3_upsampler.2")(y)  # 32 -> 64
+        # skip 2: 16 -> 64
+        b2 = Deconv2DBlock(512, dtype=dt, name="decoder2.0")(z2)
+        b2 = Deconv2DBlock(256, dtype=dt, name="decoder2.1")(b2)
+        y = jnp.concatenate([b2, y], axis=-1)
+        y = Conv2DBlock(256, dtype=dt, name="decoder2_upsampler.0")(y)
+        y = nn.ConvTranspose(128, (2, 2), strides=(2, 2), padding="VALID", dtype=dt,
+                             name="decoder2_upsampler.1")(y)  # 64 -> 128
+        # skip 1: 16 -> 128
+        b1 = Deconv2DBlock(512, dtype=dt, name="decoder1.0")(z1)
+        b1 = Deconv2DBlock(256, dtype=dt, name="decoder1.1")(b1)
+        b1 = Deconv2DBlock(128, dtype=dt, name="decoder1.2")(b1)
+        y = jnp.concatenate([b1, y], axis=-1)
+        y = Conv2DBlock(128, dtype=dt, name="decoder1_upsampler.0")(y)
+        y = nn.ConvTranspose(64, (2, 2), strides=(2, 2), padding="VALID", dtype=dt,
+                             name="decoder1_upsampler.1")(y)  # 128 -> 256
+        # image-level features
+        b0 = Conv2DBlock(32, dtype=dt, name="decoder0.0")(img)
+        b0 = Conv2DBlock(64, dtype=dt, name="decoder0.1")(b0)
+        y = jnp.concatenate([b0, y], axis=-1)
+        y = Conv2DBlock(64, dtype=dt, name="decoder0_header.0")(y)
+        y = Conv2DBlock(64, dtype=dt, name="decoder0_header.1")(y)
+        y = TorchConv(self.out_channels, (1, 1), use_bias=True, dtype=dt,
+                      name="decoder0_header.2")(y)
+        return y
+
+
+_VARIANTS: dict[str, ViTConfig] = {
+    "sam-b": SAM_VIT_B,
+    "sam-l": SAM_VIT_L,
+    "sam-h": SAM_VIT_H,
+    "256": VIT_256,
+}
+
+
+class CellViT(nn.Module):
+    """CellViT with NP/HV/TP branches and tissue classifier."""
+
+    variant: str = "sam-h"
+    num_nuclei_classes: int = 6
+    num_tissue_classes: int = 19
+    halo_size: int = 46
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> dict[str, jax.Array]:
+        """x: (B, H, W, 3) float (already normalized). Returns channel-first
+        maps cropped to the halo interior, matching the stitcher contract."""
+        cfg = _VARIANTS[self.variant]
+        _, skips, pooled = ViTEncoder(cfg, dtype=self.dtype, name="encoder")(x)
+        z1, z2, z3, z4 = skips
+
+        np_map = UpsamplingBranch(2, cfg.embed_dim, dtype=self.dtype,
+                                  name="nuclei_binary_map_decoder")(x, z1, z2, z3, z4)
+        hv_map = UpsamplingBranch(2, cfg.embed_dim, dtype=self.dtype,
+                                  name="hv_map_decoder")(x, z1, z2, z3, z4)
+        tp_map = UpsamplingBranch(self.num_nuclei_classes, cfg.embed_dim, dtype=self.dtype,
+                                  name="nuclei_type_maps_decoder")(x, z1, z2, z3, z4)
+        tissue = nn.Dense(self.num_tissue_classes, dtype=self.dtype,
+                          name="classifier_head")(pooled)
+
+        h = self.halo_size
+        if h > 0:
+            np_map = np_map[:, h:-h, h:-h, :]
+            hv_map = hv_map[:, h:-h, h:-h, :]
+            tp_map = tp_map[:, h:-h, h:-h, :]
+
+        to_cf = lambda t: jnp.transpose(t, (0, 3, 1, 2)).astype(jnp.float32)
+        return {
+            "nuclei_binary_map": to_cf(np_map),
+            "hv_map": to_cf(hv_map),
+            "nuclei_type_map": to_cf(tp_map),
+            "tissue_types": tissue.astype(jnp.float32),
+        }
+
+
+def cellvit_sam_h(num_classes: int, halo_size: int = 46, dtype: Dtype = jnp.float32) -> CellViT:
+    return CellViT(variant="sam-h", num_nuclei_classes=num_classes, halo_size=halo_size, dtype=dtype)
+
+
+def cellvit_sam_l(num_classes: int, halo_size: int = 46, dtype: Dtype = jnp.float32) -> CellViT:
+    return CellViT(variant="sam-l", num_nuclei_classes=num_classes, halo_size=halo_size, dtype=dtype)
+
+
+def cellvit_sam_b(num_classes: int, halo_size: int = 46, dtype: Dtype = jnp.float32) -> CellViT:
+    return CellViT(variant="sam-b", num_nuclei_classes=num_classes, halo_size=halo_size, dtype=dtype)
+
+
+def cellvit_256(num_classes: int, halo_size: int = 46, dtype: Dtype = jnp.float32) -> CellViT:
+    return CellViT(variant="256", num_nuclei_classes=num_classes, halo_size=halo_size, dtype=dtype)

@@ -58,7 +58,12 @@ def convert_torch_state_dict(sd: Mapping[str, np.ndarray]) -> dict:
         else:
             w = leaves.get("weight")
             if w is not None:
-                if w.ndim == 4:
+                if w.ndim == 4 and ("deconv" in mod or "upsampler" in mod.rsplit(".", 1)[-1]):
+                    # ConvTranspose2d weight (in, out, kh, kw) -> (kh, kw, in, out).
+                    # NOTE: validated structurally; revisit flip semantics when
+                    # real CellViT checkpoints are converted.
+                    entry["kernel"] = np.transpose(w, (2, 3, 0, 1)).astype(np.float32)
+                elif w.ndim == 4:
                     entry["kernel"] = np.transpose(w, (2, 3, 1, 0)).astype(np.float32)
                 elif w.ndim == 2:
                     entry["kernel"] = np.transpose(w, (1, 0)).astype(np.float32)

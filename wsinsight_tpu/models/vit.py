@@ -1,0 +1,233 @@
+"""ViT encoders for CellViT: SAM-style (windowed attention + decomposed
+relative positions) and standard ViT-256 (HIPT), in flax.
+
+These back the CellViT variants the reference ships as TorchScript
+(reference: README.md:215-216 — CellViT-256-* and CellViT-SAM-H-*). TPU notes:
+attention runs as batched MXU matmuls over (windows*batch, tokens, dim);
+shapes are static for a fixed input size so XLA pipelines the whole encoder.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+Dtype = Any
+
+
+@dataclass(frozen=True)
+class ViTConfig:
+    embed_dim: int
+    depth: int
+    num_heads: int
+    patch_size: int = 16
+    mlp_ratio: float = 4.0
+    window_size: int = 14  # SAM variants; 0 = all-global
+    global_attn_indexes: tuple = ()
+    use_rel_pos: bool = False  # SAM decomposed relative positions
+    use_cls_token: bool = True  # standard ViT; SAM has none
+    extract_layers: tuple = ()
+
+
+SAM_VIT_B = ViTConfig(768, 12, 12, use_rel_pos=True, use_cls_token=False,
+                      global_attn_indexes=(2, 5, 8, 11), extract_layers=(3, 6, 9, 12))
+SAM_VIT_L = ViTConfig(1024, 24, 16, use_rel_pos=True, use_cls_token=False,
+                      global_attn_indexes=(5, 11, 17, 23), extract_layers=(6, 12, 18, 24))
+SAM_VIT_H = ViTConfig(1280, 32, 16, use_rel_pos=True, use_cls_token=False,
+                      global_attn_indexes=(7, 15, 23, 31), extract_layers=(8, 16, 24, 32))
+VIT_256 = ViTConfig(384, 12, 6, use_rel_pos=False, use_cls_token=True,
+                    window_size=0, extract_layers=(3, 6, 9, 12))
+
+
+def _get_rel_pos(q_size: int, k_size: int, rel_pos: jax.Array) -> jax.Array:
+    """Slice/interpolate relative position embeddings (SAM get_rel_pos)."""
+    max_rel_dist = 2 * max(q_size, k_size) - 1
+    if rel_pos.shape[0] != max_rel_dist:
+        rel_pos = jax.image.resize(
+            rel_pos, (max_rel_dist, rel_pos.shape[1]), method="linear"
+        )
+    q_coords = jnp.arange(q_size)[:, None] * max(k_size / q_size, 1.0)
+    k_coords = jnp.arange(k_size)[None, :] * max(q_size / k_size, 1.0)
+    relative = (q_coords - k_coords) + (k_size - 1) * max(q_size / k_size, 1.0)
+    return rel_pos[relative.astype(jnp.int32)]
+
+
+class Attention(nn.Module):
+    """Multi-head attention with optional SAM decomposed rel-pos, on (B,H,W,C)."""
+
+    dim: int
+    num_heads: int
+    use_rel_pos: bool = False
+    input_size: tuple[int, int] | None = None
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        b, h, w, _ = x.shape
+        head_dim = self.dim // self.num_heads
+        scale = head_dim**-0.5
+
+        qkv = nn.Dense(self.dim * 3, dtype=self.dtype, name="qkv")(x.reshape(b, h * w, -1))
+        qkv = qkv.reshape(b, h * w, 3, self.num_heads, head_dim)
+        q, k, v = jnp.moveaxis(qkv, 2, 0)  # each (b, hw, heads, hd)
+        q = jnp.transpose(q, (0, 2, 1, 3)).reshape(b * self.num_heads, h * w, head_dim)
+        k = jnp.transpose(k, (0, 2, 1, 3)).reshape(b * self.num_heads, h * w, head_dim)
+        v = jnp.transpose(v, (0, 2, 1, 3)).reshape(b * self.num_heads, h * w, head_dim)
+
+        attn = jnp.einsum("bqd,bkd->bqk", q * scale, k, preferred_element_type=jnp.float32)
+
+        if self.use_rel_pos:
+            rel_pos_h = self.param(
+                "rel_pos_h", nn.initializers.zeros, (2 * h - 1, head_dim), jnp.float32
+            )
+            rel_pos_w = self.param(
+                "rel_pos_w", nn.initializers.zeros, (2 * w - 1, head_dim), jnp.float32
+            )
+            rh = _get_rel_pos(h, h, rel_pos_h)  # (h, h, hd)
+            rw = _get_rel_pos(w, w, rel_pos_w)  # (w, w, hd)
+            rq = q.reshape(b * self.num_heads, h, w, head_dim)
+            rel_h = jnp.einsum("bhwc,hkc->bhwk", rq, rh)
+            rel_w = jnp.einsum("bhwc,wkc->bhwk", rq, rw)
+            attn = attn.reshape(b * self.num_heads, h, w, h, w)
+            attn = attn + rel_h[:, :, :, :, None] + rel_w[:, :, :, None, :]
+            attn = attn.reshape(b * self.num_heads, h * w, h * w)
+
+        attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(self.dtype)
+        out = jnp.einsum("bqk,bkd->bqd", attn, v, preferred_element_type=jnp.float32)
+        out = out.reshape(b, self.num_heads, h * w, head_dim)
+        out = jnp.transpose(out, (0, 2, 1, 3)).reshape(b, h, w, self.dim)
+        return nn.Dense(self.dim, dtype=self.dtype, name="proj")(out)
+
+
+def window_partition(x: jax.Array, window: int):
+    b, h, w, c = x.shape
+    pad_h = (window - h % window) % window
+    pad_w = (window - w % window) % window
+    if pad_h or pad_w:
+        x = jnp.pad(x, ((0, 0), (0, pad_h), (0, pad_w), (0, 0)))
+    hp, wp = h + pad_h, w + pad_w
+    x = x.reshape(b, hp // window, window, wp // window, window, c)
+    windows = jnp.transpose(x, (0, 1, 3, 2, 4, 5)).reshape(-1, window, window, c)
+    return windows, (hp, wp)
+
+
+def window_unpartition(windows: jax.Array, window: int, pad_hw, hw):
+    hp, wp = pad_hw
+    h, w = hw
+    b = windows.shape[0] // (hp * wp // window // window)
+    x = windows.reshape(b, hp // window, wp // window, window, window, -1)
+    x = jnp.transpose(x, (0, 1, 3, 2, 4, 5)).reshape(b, hp, wp, -1)
+    return x[:, :h, :w, :]
+
+
+class Block(nn.Module):
+    """Transformer block; windowed when window_size > 0 (SAM layout)."""
+
+    dim: int
+    num_heads: int
+    mlp_ratio: float
+    window_size: int
+    use_rel_pos: bool
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        shortcut = x
+        y = nn.LayerNorm(epsilon=1e-6, name="norm1")(x)
+        if self.window_size > 0:
+            h, w = y.shape[1], y.shape[2]
+            y, pad_hw = window_partition(y, self.window_size)
+            y = Attention(
+                self.dim,
+                self.num_heads,
+                use_rel_pos=self.use_rel_pos,
+                dtype=self.dtype,
+                name="attn",
+            )(y)
+            y = window_unpartition(y, self.window_size, pad_hw, (h, w))
+        else:
+            y = Attention(
+                self.dim,
+                self.num_heads,
+                use_rel_pos=self.use_rel_pos,
+                dtype=self.dtype,
+                name="attn",
+            )(y)
+        x = shortcut + y
+        y = nn.LayerNorm(epsilon=1e-6, name="norm2")(x)
+        hidden = int(self.dim * self.mlp_ratio)
+        y = nn.Dense(hidden, dtype=self.dtype, name="mlp.lin1")(y)
+        y = nn.gelu(y, approximate=False)
+        y = nn.Dense(self.dim, dtype=self.dtype, name="mlp.lin2")(y)
+        return x + y
+
+
+class ViTEncoder(nn.Module):
+    """ViT backbone emitting skip features at config.extract_layers.
+
+    Returns (final, [skips...]) where each skip is (B, H/16, W/16, C).
+    """
+
+    config: ViTConfig
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array):
+        cfg = self.config
+        p = cfg.patch_size
+        b, h, w, _ = x.shape
+        gh, gw = h // p, w // p
+        x = nn.Conv(
+            cfg.embed_dim, (p, p), strides=(p, p), padding="VALID", dtype=self.dtype,
+            name="patch_embed.proj",
+        )(x)  # (B, gh, gw, C)
+
+        if cfg.use_cls_token:
+            cls = self.param("cls_token", nn.initializers.zeros, (1, 1, cfg.embed_dim), jnp.float32)
+            pos = self.param(
+                "pos_embed", nn.initializers.normal(0.02),
+                (1, gh * gw + 1, cfg.embed_dim), jnp.float32,
+            )
+            tokens = x.reshape(b, gh * gw, cfg.embed_dim)
+            tokens = jnp.concatenate([jnp.tile(cls, (b, 1, 1)), tokens], axis=1) + pos
+            grid = tokens[:, 1:, :].reshape(b, gh, gw, cfg.embed_dim)
+            cls_tok = tokens[:, :1, :]
+        else:
+            pos = self.param(
+                "pos_embed", nn.initializers.normal(0.02),
+                (1, gh, gw, cfg.embed_dim), jnp.float32,
+            )
+            grid = x + pos
+            cls_tok = None
+
+        skips = []
+        for i in range(cfg.depth):
+            window = 0 if (cfg.window_size == 0 or i in cfg.global_attn_indexes) else cfg.window_size
+            if cfg.use_cls_token:
+                # Standard ViT: run attention over the token sequence (global);
+                # fold cls token back in by flattening grid each block.
+                tokens = jnp.concatenate(
+                    [cls_tok, grid.reshape(b, gh * gw, cfg.embed_dim)], axis=1
+                )
+                tokens = tokens.reshape(b, 1, gh * gw + 1, cfg.embed_dim)
+                tokens = Block(
+                    cfg.embed_dim, cfg.num_heads, cfg.mlp_ratio, 0, False,
+                    dtype=self.dtype, name=f"blocks.{i}",
+                )(tokens)
+                tokens = tokens.reshape(b, gh * gw + 1, cfg.embed_dim)
+                cls_tok = tokens[:, :1, :]
+                grid = tokens[:, 1:, :].reshape(b, gh, gw, cfg.embed_dim)
+            else:
+                grid = Block(
+                    cfg.embed_dim, cfg.num_heads, cfg.mlp_ratio, window, cfg.use_rel_pos,
+                    dtype=self.dtype, name=f"blocks.{i}",
+                )(grid)
+            if (i + 1) in cfg.extract_layers:
+                skips.append(grid)
+
+        return grid, skips, (cls_tok[:, 0, :] if cls_tok is not None else grid.mean(axis=(1, 2)))

@@ -1,0 +1,106 @@
+"""Native (C++) runtime components, loaded via ctypes.
+
+Currently: priority-flood watershed + small-label removal for the cell
+stitcher (the sequential instance-extraction hot loop the reference delegates
+to scikit-image's Cython, reference: wsinsight/modellib/tilefuse.py:102).
+The library is compiled on first use if g++ is available; a pure-Python
+fallback (ops/watershed.py) covers environments without a toolchain.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import logging
+import os
+import subprocess
+import threading
+from pathlib import Path
+
+import numpy as np
+
+logger = logging.getLogger(__name__)
+
+_HERE = Path(__file__).parent
+_LIB_PATH = _HERE / "libwsinsight_native.so"
+_lock = threading.Lock()
+_lib: ctypes.CDLL | None = None
+_tried = False
+
+
+def _build() -> bool:
+    try:
+        out = subprocess.run(
+            ["make", "-C", str(_HERE)], capture_output=True, timeout=120
+        )
+        if out.returncode != 0:
+            logger.debug(f"native build failed: {out.stderr.decode()[:500]}")
+            return False
+        return _LIB_PATH.exists()
+    except Exception as err:
+        logger.debug(f"native build error: {err}")
+        return False
+
+
+def get_lib() -> ctypes.CDLL | None:
+    """Load (building if needed) the native library, or None."""
+    global _lib, _tried
+    with _lock:
+        if _lib is not None or _tried:
+            return _lib
+        _tried = True
+        if not _LIB_PATH.exists() and not _build():
+            return None
+        try:
+            lib = ctypes.CDLL(str(_LIB_PATH))
+            lib.watershed_f32.argtypes = [
+                ctypes.POINTER(ctypes.c_float),
+                ctypes.POINTER(ctypes.c_int32),
+                ctypes.POINTER(ctypes.c_uint8),
+                ctypes.c_int32,
+                ctypes.c_int32,
+                ctypes.POINTER(ctypes.c_int32),
+            ]
+            lib.watershed_f32.restype = None
+            lib.remove_small_labels.argtypes = [
+                ctypes.POINTER(ctypes.c_int32),
+                ctypes.c_int32,
+                ctypes.c_int32,
+                ctypes.c_int32,
+                ctypes.c_int32,
+            ]
+            lib.remove_small_labels.restype = None
+            _lib = lib
+        except Exception as err:
+            logger.debug(f"native load error: {err}")
+            _lib = None
+        return _lib
+
+
+def _ptr(arr: np.ndarray, ctype):
+    return arr.ctypes.data_as(ctypes.POINTER(ctype))
+
+
+def watershed_native(
+    image: np.ndarray, markers: np.ndarray, mask: np.ndarray | None
+) -> np.ndarray | None:
+    """Run the native watershed; returns None if the library is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    h, w = image.shape
+    image = np.ascontiguousarray(image, np.float32)
+    markers = np.ascontiguousarray(markers, np.int32)
+    if mask is None:
+        mask_arr = np.ones((h, w), np.uint8)
+    else:
+        mask_arr = np.ascontiguousarray(mask, np.uint8)
+    out = np.zeros((h, w), np.int32)
+    lib.watershed_f32(
+        _ptr(image, ctypes.c_float),
+        _ptr(markers, ctypes.c_int32),
+        _ptr(mask_arr, ctypes.c_uint8),
+        h,
+        w,
+        _ptr(out, ctypes.c_int32),
+    )
+    return out

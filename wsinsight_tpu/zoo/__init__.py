@@ -260,24 +260,48 @@ def make_random_local_model(
 
     out_dir = Path(out_dir)
     out_dir.mkdir(parents=True, exist_ok=True)
-    cfg = ModelConfiguration(
-        architecture=architecture,
-        num_classes=num_classes,
-        class_names=list(class_names or [f"class{i}" for i in range(num_classes)]),
-        patch_size_pixels=patch_size_pixels,
-        spacing_um_px=spacing_um_px,
-        transform=[
-            TransformConfigurationItem("Resize", {"size": resize_size}),
-            TransformConfigurationItem("ToTensor", None),
-            TransformConfigurationItem(
-                "Normalize",
-                {"mean": [0.485, 0.456, 0.406], "std": [0.229, 0.224, 0.225]},
-            ),
-        ],
-    )
+    is_cell = architecture.lower().replace("-", "_").startswith(("cellvit", "hovernet"))
+    if is_cell:
+        halo = 46
+        cfg = ModelConfiguration(
+            architecture=architecture,
+            num_classes=num_classes,
+            class_names=list(class_names or [f"class{i}" for i in range(num_classes)]),
+            patch_size_pixels=patch_size_pixels,
+            spacing_um_px=spacing_um_px,
+            transform=[
+                TransformConfigurationItem("ToTensor", None),
+                TransformConfigurationItem(
+                    "Normalize", {"mean": [0.5, 0.5, 0.5], "std": [0.5, 0.5, 0.5]}
+                ),
+            ],
+            object_based=True,
+            object_detection=ObjectDetectionConfiguration(name="end2end"),
+            halo_size_pixels=halo,
+        )
+        init_size = patch_size_pixels
+    else:
+        cfg = ModelConfiguration(
+            architecture=architecture,
+            num_classes=num_classes,
+            class_names=list(class_names or [f"class{i}" for i in range(num_classes)]),
+            patch_size_pixels=patch_size_pixels,
+            spacing_um_px=spacing_um_px,
+            transform=[
+                TransformConfigurationItem("Resize", {"size": resize_size}),
+                TransformConfigurationItem("ToTensor", None),
+                TransformConfigurationItem(
+                    "Normalize",
+                    {"mean": [0.485, 0.456, 0.406], "std": [0.229, 0.224, 0.225]},
+                ),
+            ],
+        )
+        init_size = resize_size
     model = create_model(architecture, num_classes)
+    if is_cell and hasattr(model, "halo_size"):
+        model = model.clone(halo_size=cfg.halo_size_pixels)
     params = model.init(
-        jax.random.PRNGKey(seed), jnp.zeros((1, resize_size, resize_size, 3), jnp.float32)
+        jax.random.PRNGKey(seed), jnp.zeros((1, init_size, init_size, 3), jnp.float32)
     )["params"]
     config_path = out_dir / "config.json"
     weights_path = out_dir / "weights.msgpack"
