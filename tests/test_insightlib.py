@@ -1,0 +1,212 @@
+"""Analytics tests: helpers (sparse graph math), H-Plot end-to-end, CME end-to-end."""
+
+import json
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from wsinsight_tpu.insightlib.helpers import (
+    calculate_distance_to_border,
+    compute_cell_center_points,
+    compute_enrichment_index,
+    compute_hmetrics,
+    compute_hplot,
+    delaunay_triangulation,
+    edges_to_csr,
+    identify_border_cells,
+    identify_region_by_cell_function_enrichment,
+    k_hop_neighbors,
+    k_hop_reachability,
+)
+
+
+def _grid_cells(n=20, step=10.0, tumor_radius=55.0):
+    """Regular grid of cells: tumor disk in the center, immune ring outside."""
+    xs, ys = np.meshgrid(np.arange(n) * step, np.arange(n) * step)
+    cx, cy = xs.ravel(), ys.ravel()
+    center = (n - 1) * step / 2
+    d = np.hypot(cx - center, cy - center)
+    is_tumor = d < tumor_radius
+    is_immune = (d >= tumor_radius) & (d < tumor_radius + 40)
+    prob_t = np.where(is_tumor, 0.9, 0.05)
+    prob_i = np.where(is_immune, 0.9, 0.05)
+    prob_o = 1.0 - np.maximum(prob_t, prob_i)
+    df = pd.DataFrame(
+        {
+            "minx": cx - 4,
+            "miny": cy - 4,
+            "width": 8,
+            "height": 8,
+            "prob_tumor": prob_t,
+            "prob_immune": prob_i,
+            "prob_other": prob_o,
+        }
+    )
+    return df
+
+
+def test_k_hop_reachability_matches_bfs():
+    # Path graph 0-1-2-3-4
+    edges = pd.DataFrame({"source": [0, 1, 2, 3], "target": [1, 2, 3, 4]})
+    adj = edges_to_csr(edges, 5)
+    reach = k_hop_reachability(adj, 2)
+    # node 0 reaches {0,1,2} in 2 hops
+    assert sorted(reach[0].indices.tolist()) == [0, 1, 2]
+    assert sorted(reach[2].indices.tolist()) == [0, 1, 2, 3, 4]
+    # list API compat
+    nodes_df = pd.DataFrame(index=range(5))
+    lists = k_hop_neighbors(nodes_df, {0: [1], 1: [0, 2], 2: [1, 3], 3: [2, 4], 4: [3]}, 2)
+    assert lists[0] == [0, 1, 2]
+
+
+def test_enrichment_and_regions_and_border():
+    df = _grid_cells()
+    df = compute_cell_center_points(df)
+    prob_cols = ["prob_tumor", "prob_immune", "prob_other"]
+    arg = df[prob_cols].idxmax(axis=1)
+    df["is_base_type"] = arg == "prob_tumor"
+    df["is_target_type"] = arg == "prob_immune"
+
+    edges = delaunay_triangulation(df[["center_x", "center_y"]].values.astype(float), 15.0)
+    adj = edges_to_csr(edges, len(df))
+    reach = k_hop_reachability(adj, 2)
+
+    df = compute_enrichment_index(df, reach)
+    assert "hplot_enrichment_index" in df
+    assert df["hplot_enrichment_index"].between(0, 1).all()
+
+    df = identify_region_by_cell_function_enrichment(reach, df, N=8, R=0.5)
+    # Deep-tumor cells are base region; far-away cells are not.
+    center_idx = df["is_base_type"].idxmax()
+    assert df.loc[center_idx, "is_base_region"]
+    assert not df.loc[0, "is_base_region"]  # corner cell
+
+    df = identify_border_cells(df, adj)
+    assert df["is_base_border"].any()
+    # Border cells are base-region cells.
+    assert (df[df["is_base_border"]]["is_base_region"]).all()
+
+    df = calculate_distance_to_border(df, adj)
+    assert (df.loc[df["is_base_border"], "distance_to_border"] == 0).all()
+    # Signed: negative inside the base region (non-border).
+    inside = df["is_base_region"] & ~df["is_base_border"]
+    if inside.any():
+        assert (df.loc[inside, "hplot_signed_distance_to_border"] < 0).all()
+
+    hplot_df = compute_hplot(df, edges)
+    assert {"layer", "base_type_prop", "target_type_prop", "distance"} <= set(hplot_df.columns)
+    assert (hplot_df.sort_values("layer")["distance"].diff().dropna() >= 0).all()
+
+    hm = compute_hmetrics(hplot_df, range_min=-2, range_max=3)
+    assert set(hm) == {"valid", "intra", "peri"}
+    # Immune cells sit outside the tumor: peri abundance should beat intra.
+    assert hm["peri"]["abundance_score"] > hm["intra"]["abundance_score"]
+
+
+def test_hplot_generation_end_to_end(purple_slide, tmp_path):
+    from wsinsight_tpu.insightlib import hplot_generation
+    from wsinsight_tpu.uri_path import URIPath
+
+    results = tmp_path / "results"
+    (results / "model-outputs-csv").mkdir(parents=True)
+    df = _grid_cells()
+    df.to_csv(results / "model-outputs-csv" / "purple.csv", index=False)
+
+    failed = hplot_generation(
+        wsi_dir=None,
+        wsi_paths=[URIPath(str(purple_slide))],
+        results_dir=URIPath(str(results)),
+        base_type_list=["tumor"],
+        target_type_list=["immune"],
+        max_neighbor_distance_um=4.0,  # 16 px at 0.25 um/px
+        hplot_k=2,
+        hplot_N=8,
+        hplot_R=0.5,
+        hplot_range_min=-2,
+        hplot_range_max=3,
+        num_workers=1,
+    )
+    assert failed == []
+    assert (results / "hplot-outputs-csv" / "cells" / "purple.csv").exists()
+    assert (results / "hplot-outputs-csv" / "hplots" / "purple.csv").exists()
+    hm = json.loads((results / "hplot-outputs-csv" / "hmetrics" / "purple.json").read_text())
+    assert "intra" in hm and "peri" in hm
+    cohort = pd.read_csv(results / "hplot-outputs.csv")
+    assert set(cohort.columns) == {"id", "layer", "value", "distance"}
+    assert (cohort["id"] == "purple").all()
+    metrics = pd.read_csv(results / "hmetrics-outputs.csv")
+    assert len(metrics) == 1
+    assert metrics.iloc[0]["id"] == "purple"
+    # Resume: re-run reuses per-slide artifacts and upserts (still 1 row).
+    hplot_generation(
+        wsi_dir=None,
+        wsi_paths=[URIPath(str(purple_slide))],
+        results_dir=URIPath(str(results)),
+        base_type_list=["tumor"],
+        target_type_list=["immune"],
+        max_neighbor_distance_um=4.0,
+        hplot_range_min=-2,
+        hplot_range_max=3,
+        num_workers=1,
+    )
+    metrics2 = pd.read_csv(results / "hmetrics-outputs.csv")
+    assert len(metrics2) == 1
+
+
+def test_khop_features_exact_rings():
+    from wsinsight_tpu.insightlib.cme import khop_features
+
+    # Path graph 0-1-2; C=2 with distinct probs.
+    P = np.array([[1.0, 0.0], [0.0, 1.0], [1.0, 0.0]], np.float32)
+    edges = np.array([[0, 1, 1, 2], [1, 0, 2, 1]], np.int64)
+    X = khop_features(P, edges, 3, k=2, alpha=0.0, mode="soft")
+    assert X.shape == (3, 6)
+    np.testing.assert_allclose(X[:, :2], P)
+    # node0 hop1 = {1} -> [0,1]; hop2 = {2} -> [1,0]
+    np.testing.assert_allclose(X[0, 2:4], [0, 1])
+    np.testing.assert_allclose(X[0, 4:6], [1, 0])
+    # node1 hop1 = {0,2} -> [1,0]; hop2 empty -> uniform
+    np.testing.assert_allclose(X[1, 2:4], [1, 0])
+    np.testing.assert_allclose(X[1, 4:6], [0.5, 0.5])
+
+
+@pytest.mark.slow
+def test_cme_generation_end_to_end(purple_slide, tmp_path):
+    from wsinsight_tpu.insightlib import cme_generation
+    from wsinsight_tpu.uri_path import URIPath
+
+    results = tmp_path / "results"
+    (results / "model-outputs-csv").mkdir(parents=True)
+    df = _grid_cells(n=14)
+    df.to_csv(results / "model-outputs-csv" / "purple.csv", index=False)
+
+    cme_generation(
+        wsi_dir=None,
+        wsi_paths=[URIPath(str(purple_slide))],
+        results_dir=URIPath(str(results)),
+        max_edge_len_um=4.0,
+        max_cell_radius_um=3.0,
+        k_hops=2,
+        epochs=5,
+        cme_cellular=True,
+        cme_annotation=True,
+        cme_clustering_k=3,
+    )
+    cells = pd.read_csv(results / "cme-outputs-csv" / "cells" / "purple.csv")
+    assert any(c.startswith("feature_raw_k0_") for c in cells.columns)
+    assert any(c.startswith("feature_normalized_k2_") for c in cells.columns)
+    cme_cols = [c for c in cells.columns if c.startswith("cme_")]
+    assert len(cme_cols) == 3
+    kept = cells[cme_cols].notna().all(axis=1)
+    onehots = cells.loc[kept, cme_cols].to_numpy()
+    np.testing.assert_allclose(onehots.sum(axis=1), 1.0)
+    # Region outputs.
+    regions = pd.read_csv(results / "cme-outputs-csv" / "cmes" / "purple.csv")
+    assert list(regions.columns) == cme_cols + ["polygon_wkt", "area"]
+    assert len(regions) > 0
+    assert regions["polygon_wkt"].str.startswith("POLYGON").all()
+    assert (regions["area"] > 0).all()
+    # Caches exist (resume contract).
+    assert (results / "slide-graphs.joblib").exists()
+    assert (results / "dgi-embeddings.joblib").exists()

@@ -128,9 +128,11 @@ class DGI(nn.Module):
         def scores(h):
             return jnp.einsum("nd,de,e->n", h, self.weight, summary)
 
-        eps = 1e-8
-        pos_loss = -jnp.log(jax.nn.sigmoid(scores(pos)) + eps)
-        neg_loss = -jnp.log(1.0 - jax.nn.sigmoid(scores(neg)) + eps)
+        # Stable BCE-with-logits: -log(sigmoid(s)) = softplus(-s),
+        # -log(1 - sigmoid(s)) = softplus(s). (The naive log(1-sigmoid+eps)
+        # form overflows to inf under XLA fusion for large scores.)
+        pos_loss = jax.nn.softplus(-scores(pos))
+        neg_loss = jax.nn.softplus(scores(neg))
         loss = ((pos_loss + neg_loss) * node_mask).sum() / n_real
         return loss
 
