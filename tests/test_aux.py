@@ -1,0 +1,122 @@
+"""Auxiliary subsystem tests: worker sizing, SBU export, StarDist, HoVer-Net."""
+
+import gzip
+import json
+
+import numpy as np
+import pandas as pd
+import pytest
+
+
+def test_pick_workers_safe_bounds():
+    from wsinsight_tpu.utils.workers import pick_workers_safe
+
+    n = pick_workers_safe(max_workers=4, min_workers=2, sample_interval_sec=0.01)
+    assert 2 <= n <= 4
+    n = pick_workers_safe(
+        max_workers=8, min_workers=1, memory_per_worker_bytes=1 << 20,
+        sample_interval_sec=0.01,
+    )
+    assert 1 <= n <= 8
+
+
+def test_throttle_returns_quickly_when_idle():
+    from wsinsight_tpu.utils.workers import throttle_when_busy
+
+    throttle_when_busy(target_cpu_util=1.01, target_mem_util=1.01, reserve_mem_bytes=0)
+
+
+def test_stardist_ray_polygons_and_nms():
+    from wsinsight_tpu.models.stardist import _nms, _ray_polygons
+
+    prob = np.zeros((64, 64), np.float32)
+    prob[20, 20] = 0.95
+    prob[20, 22] = 0.8  # overlapping duplicate, should be suppressed
+    prob[50, 50] = 0.9
+    dist = np.full((64, 64, 32), 5.0, np.float32)
+    scores, centers, polys = _ray_polygons(prob, dist, 0.5)
+    assert len(scores) == 3
+    kept = _nms(scores, centers, polys, nms_thresh=0.4)
+    assert len(kept) == 2
+    # polygons have 32 vertices around their centers
+    assert polys.shape[1:] == (32, 2)
+
+
+def test_stardist_predict_instances_big_random_weights():
+    import jax
+
+    from wsinsight_tpu.models.stardist import StarDist2D, StarDistUNet, normalize_percentile
+
+    model = StarDistUNet()
+    import jax.numpy as jnp
+
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))["params"]
+    sd = StarDist2D(params=params, prob_thresh=0.99)  # high threshold -> few/no dets
+    img = np.random.default_rng(0).integers(0, 255, (160, 160, 3)).astype(np.float32)
+    polys = sd.predict_instances_big(normalize_percentile(img, 1, 99.8), block_size=128, context=16)
+    assert isinstance(polys, list)
+    for p in polys:
+        assert p.shape == (32, 2)
+
+
+def test_stardist_missing_weights_error():
+    from wsinsight_tpu.models.stardist import StarDist2D
+    from wsinsight_tpu.zoo import WeightsNotFoundError
+
+    with pytest.raises(WeightsNotFoundError):
+        StarDist2D(params=None)
+
+
+def test_tosbu_exports(tmp_path, purple_slide):
+    from click.testing import CliRunner
+
+    from wsinsight_tpu.cli.convert_csv_to_sbubmi import tosbu
+
+    results = tmp_path / "results"
+    (results / "model-outputs-csv").mkdir(parents=True)
+    df = pd.DataFrame(
+        {
+            "minx": [0, 350],
+            "miny": [0, 0],
+            "width": [350, 350],
+            "height": [350, 350],
+            "prob_Other": [0.9, 0.2],
+            "prob_Tumor": [0.1, 0.8],
+        }
+    )
+    df.to_csv(results / "model-outputs-csv" / "purple.csv", index=False)
+    meta = {
+        "timestamp": "2026-01-01T00:00:00",
+        "model_config": {"class_names": ["Other", "Tumor"]},
+        "model_weights": {"weights_file": None, "weights_sha256": None, "weights_url": None},
+        "runtime": {"git": None},
+    }
+    (results / "run_metadata_x.json").rename if False else None
+    (results / "infer_metadata_20260101T000000.json").write_text(json.dumps(meta))
+
+    out = tmp_path / "sbu"
+    runner = CliRunner()
+    res = runner.invoke(
+        tosbu,
+        [
+            str(results), str(out),
+            "--wsi-dir", str(purple_slide.parent),
+            "--execution-id", "exec1",
+            "--study-id", "TCGA-TEST",
+        ],
+        catch_exceptions=False,
+    )
+    assert res.exit_code == 0, res.output
+    # Multi-class layout: per-class dirs.
+    hm = out / "heatmap_json" / "Tumor" / "heatmap_purple.json"
+    assert hm.exists()
+    lines = hm.read_text().splitlines()
+    assert len(lines) == 2
+    feat = json.loads(lines[0])
+    assert feat["type"] == "Feature"
+    assert feat["properties"]["multiheat_param"]["heatname_array"] == ["Tumor"]
+    assert 0 <= feat["x"] <= 1 and 0 <= feat["y"] <= 1
+    pred = out / "heatmap_txt" / "Tumor" / "prediction-purple"
+    body = pred.read_text().splitlines()
+    assert body[0] == "x_loc y_loc Tumor"
+    assert (out / "heatmap_json" / "Tumor" / "meta_purple.json").exists()

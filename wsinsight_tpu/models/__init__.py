@@ -41,6 +41,10 @@ _register(cellvit_sam_l, "cellvit_sam_l", "cellvit-sam-l")
 _register(cellvit_sam_b, "cellvit_sam_b", "cellvit-sam-b")
 _register(cellvit_256, "cellvit_256", "cellvit-256")
 
+from .hovernet import hovernet_fast  # noqa: E402
+
+_register(hovernet_fast, "hovernet_fast", "hovernet-fast", "hovernet_fast_pannuke")
+
 
 def available_architectures() -> list[str]:
     return sorted(_REGISTRY)
