@@ -42,6 +42,8 @@ def cli(backend: str | None = None, log_level: str = "info") -> None:
         set_backend(backend)
 
 
+from .cme import cme  # noqa: E402
+from .hplot import hplot  # noqa: E402
 from .infer import infer  # noqa: E402
 from .patch import patch  # noqa: E402
 from .run import run  # noqa: E402
@@ -49,3 +51,5 @@ from .run import run  # noqa: E402
 cli.add_command(run)
 cli.add_command(patch)
 cli.add_command(infer)
+cli.add_command(hplot)
+cli.add_command(cme)

@@ -59,8 +59,14 @@ class ClassifierEngine:
 
         from ..models import create_model
         from ..ops.preprocess import TransformSpec, make_preprocess_fn
-        from ..parallel.mesh import batch_sharding, get_data_mesh, replicated_sharding
+        from ..parallel.mesh import (
+            batch_sharding,
+            enable_compilation_cache,
+            get_data_mesh,
+            replicated_sharding,
+        )
 
+        enable_compilation_cache()
         self.jax = jax
         cfg = model_info.config
         compute_dtype = jnp.bfloat16 if mixed_precision else jnp.float32
@@ -116,6 +122,11 @@ class ClassifierEngine:
     def run_batch(self, images_u8: np.ndarray, n_valid: int) -> np.ndarray:
         probs = self._step(self.params, images_u8)
         return np.asarray(probs)[:n_valid]
+
+    def dispatch(self, images_u8: np.ndarray):
+        """Async dispatch: returns the device array without blocking, so the
+        next batch's host decode + transfer overlaps this batch's compute."""
+        return self._step(self.params, images_u8)
 
 
 def _one_hot_probs(indexer: np.ndarray, n: int, k: int) -> np.ndarray:
@@ -380,11 +391,25 @@ def run_inference(
 
                 slide_coords: list[np.ndarray] = []
                 slide_probs: list[np.ndarray] = []
+                # Two-deep pipeline: dispatch batch i+1 before fetching batch
+                # i's probabilities, so decode/H2D overlaps device compute.
+                from collections import deque
+
+                pending: deque = deque()
                 with tqdm.tqdm(total=src.num_batches, position=1, leave=False) as qbar:
                     for batch in src:
-                        probs = engine.run_batch(batch.images, batch.n_valid)
-                        slide_coords.append(batch.coords[: batch.n_valid])
-                        slide_probs.append(probs)
+                        pending.append(
+                            (engine.dispatch(batch.images), batch.n_valid, batch.coords)
+                        )
+                        if len(pending) > 2:
+                            out, n_valid, coords = pending.popleft()
+                            slide_probs.append(np.asarray(out)[:n_valid])
+                            slide_coords.append(coords[:n_valid])
+                            qbar.update(1)
+                    while pending:
+                        out, n_valid, coords = pending.popleft()
+                        slide_probs.append(np.asarray(out)[:n_valid])
+                        slide_coords.append(coords[:n_valid])
                         qbar.update(1)
                 src.close()
                 coords_arr = np.concatenate(slide_coords, axis=0)

@@ -69,6 +69,13 @@ def get_lib() -> ctypes.CDLL | None:
                 ctypes.c_int32,
             ]
             lib.remove_small_labels.restype = None
+            lib.lzw_decode.argtypes = [
+                ctypes.POINTER(ctypes.c_uint8),
+                ctypes.c_int64,
+                ctypes.POINTER(ctypes.c_uint8),
+                ctypes.c_int64,
+            ]
+            lib.lzw_decode.restype = ctypes.c_int64
             _lib = lib
         except Exception as err:
             logger.debug(f"native load error: {err}")
@@ -78,6 +85,21 @@ def get_lib() -> ctypes.CDLL | None:
 
 def _ptr(arr: np.ndarray, ctype):
     return arr.ctypes.data_as(ctypes.POINTER(ctype))
+
+
+def lzw_decode_native(data: bytes, expected_size: int) -> bytes | None:
+    """Decode TIFF LZW via the native library; None if unavailable/corrupt."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    src = np.frombuffer(data, np.uint8)
+    out = np.empty(expected_size, np.uint8)
+    n = lib.lzw_decode(
+        _ptr(src, ctypes.c_uint8), len(src), _ptr(out, ctypes.c_uint8), expected_size
+    )
+    if n < 0:
+        return None
+    return out[:n].tobytes()
 
 
 def watershed_native(

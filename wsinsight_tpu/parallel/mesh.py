@@ -22,6 +22,35 @@ def force_cpu_if_requested() -> None:
         jax.config.update("jax_platforms", "cpu")
 
 
+_cache_enabled = False
+
+
+def enable_compilation_cache() -> None:
+    """Persist XLA compilations across processes.
+
+    One-shot CLI runs would otherwise pay the full compile every invocation
+    (minutes for the larger models). Cache dir: $WSINSIGHT_COMPILE_CACHE or
+    ~/.cache/wsinsight_tpu/jax_cache; disable with WSINSIGHT_COMPILE_CACHE=0.
+    """
+    global _cache_enabled
+    if _cache_enabled:
+        return
+    loc = os.getenv("WSINSIGHT_COMPILE_CACHE")
+    if loc == "0":
+        return
+    if not loc:
+        loc = os.path.join(
+            os.path.expanduser("~"), ".cache", "wsinsight_tpu", "jax_cache"
+        )
+    try:
+        os.makedirs(loc, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", loc)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        _cache_enabled = True
+    except Exception:
+        pass
+
+
 def get_data_mesh(max_devices: int | None = None) -> Mesh:
     """1-D mesh over all local devices, axis name 'data'."""
     devices = jax.devices()

@@ -276,6 +276,15 @@ class TiffPage:
         if c in (COMPRESSION_DEFLATE, COMPRESSION_DEFLATE_ADOBE):
             return zlib.decompress(raw)
         if c == COMPRESSION_LZW:
+            # Native fast path (releases the GIL; decode threads scale).
+            try:
+                from ..native import lzw_decode_native
+
+                out = lzw_decode_native(raw, out_size)
+                if out is not None:
+                    return out
+            except Exception:
+                pass
             return lzw_decode(raw, out_size)
         if c == COMPRESSION_PACKBITS:
             return packbits_decode(raw)
