@@ -26,6 +26,10 @@ import numpy as np
 def main() -> None:
     import jax
 
+    from wsinsight_tpu.parallel.mesh import enable_compilation_cache
+
+    enable_compilation_cache()
+
     from __graft_entry__ import _build_forward
 
     forward, params = _build_forward()

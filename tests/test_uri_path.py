@@ -1,0 +1,84 @@
+"""URIPath tests: pathlib surface, local IO, GDC manifest scheme, click type."""
+
+import numpy as np
+import pytest
+
+from wsinsight_tpu.uri_path import URIPath, URIPathType
+
+
+def test_pathlib_surface(tmp_path):
+    p = URIPath(str(tmp_path / "a" / "b.svs"))
+    assert p.name == "b.svs"
+    assert p.stem == "b"
+    assert p.suffix == ".svs"
+    assert p.parent.name == "a"
+    assert (p.parent / "c.tif").name == "c.tif"
+    assert p.with_suffix(".csv").name == "b.csv"
+    assert p.with_name("x.h5").name == "x.h5"
+    assert p.scheme is None
+
+
+def test_remote_scheme_parsing():
+    p = URIPath("s3://bucket/prefix/slide.svs")
+    assert p.scheme == "s3"
+    assert p.stem == "slide"
+    assert str(p.parent) == "s3://bucket/prefix"
+    assert str(p / "x") == "s3://bucket/prefix/slide.svs/x"
+    # ordering/hash by canonical URI
+    assert p == URIPath("s3://bucket/prefix/slide.svs")
+    assert len({p, URIPath("s3://bucket/prefix/slide.svs")}) == 1
+
+
+def test_local_io_and_iterdir(tmp_path):
+    d = URIPath(str(tmp_path))
+    (tmp_path / "x.csv").write_text("a")
+    (tmp_path / "sub").mkdir()
+    (tmp_path / "sub" / "y.csv").write_text("b")
+    files = sorted(str(p.name) for p in d.iterdir(files_only=True))
+    assert files == ["x.csv"]
+    rec = sorted(str(p.name) for p in d.iterdir(recursive=True, files_only=True))
+    assert rec == ["x.csv", "y.csv"]
+    f = d / "new.txt"
+    f.write_text("hello")
+    assert f.read_text() == "hello"
+    assert f.exists() and f.is_file()
+    f.unlink()
+    assert not f.exists()
+
+
+def test_gdc_manifest_scheme(tmp_path):
+    manifest = tmp_path / "manifest.tsv"
+    manifest.write_text(
+        "id\tfilename\tmd5\tsize\tstate\n"
+        "uuid-1\tslideA.svs\tabc\t10\treleased\n"
+        "uuid-2\tslideB.svs\tdef\t20\treleased\n"
+    )
+    root = URIPath(f"gdc-manifest://{manifest}")
+    assert root.scheme == "gdc-manifest"
+    assert root.exists() and root.is_dir()
+    entries = sorted(p.name for p in root.iterdir())
+    assert entries == ["slideA.svs", "slideB.svs"]
+    child = root / "slideA.svs"
+    assert child.exists() and child.is_file()
+    missing = root / "nope.svs"
+    assert not missing.exists()
+
+
+def test_uripath_click_type(tmp_path):
+    t = URIPathType(exists=True)
+    p = t.convert(str(tmp_path), None, None)
+    assert isinstance(p, URIPath)
+    import click
+
+    with pytest.raises(click.exceptions.UsageError):
+        t.convert(str(tmp_path / "missing"), None, None)
+    # Remote outputs are accepted without existence round-trips.
+    r = URIPathType(exists=True).convert("s3://bucket/out", None, None)
+    assert r.scheme == "s3"
+
+
+def test_sync_on_close_local_write(tmp_path):
+    p = URIPath(str(tmp_path / "deep" / "file.bin"))
+    with p.open("wb") as fh:
+        fh.write(b"\x01\x02")
+    assert (tmp_path / "deep" / "file.bin").read_bytes() == b"\x01\x02"

@@ -162,8 +162,20 @@ def infer(
             if use_annotation
             else (qupath_geojson_detection_dir if use_geojson else qupath_detection_dir)
         )
-        if wsi_dir is None:
-            raise click.UsageError("--wsi-dir is required for QuPath pseudo-models.")
+        if wsi_dir is None and slide_paths is None:
+            # Fall back to the patch stage's wsi_list.csv (the convention the
+            # reference reads but never writes, SURVEY.md §2.11).
+            wsi_list = results_dir / "wsi_list.csv"
+            if wsi_list.exists():
+                import pandas as pd
+
+                listing = pd.read_csv(wsi_list.materialize())
+                slide_paths = [URIPath(p) for p in listing["wsi_path"].tolist()]
+            else:
+                raise click.UsageError(
+                    "--wsi-dir (or a prior patch stage's wsi_list.csv) is"
+                    " required for QuPath pseudo-models."
+                )
         model_obj = opt.qupath_pseudo_model(
             slide_paths or opt.list_slides(wsi_dir),
             qdir,

@@ -150,30 +150,33 @@ def patch(
     )
 
     click.secho("\nFinding patch coordinates...\n", fg="green")
-    segment_and_patch_directory_of_slides(
-        wsi_dir=wsi_dir,
-        slide_paths=slide_paths,
-        save_dir=results_dir,
-        qupath_detection_dir=qupath_detection_dir,
-        qupath_geojson_detection_dir=qupath_geojson_detection_dir,
-        qupath_geojson_annotation_dir=qupath_geojson_annotation_dir,
-        patch_size_px=model_obj.config.patch_size_pixels,
-        patch_spacing_um_px=model_obj.config.spacing_um_px,
-        halo_size_px=flags["halo_size_px"],
-        histoqc_dir=histoqc_dir,
-        thumbsize=tuple(seg_thumbsize),
-        median_filter_size=seg_median_filter_size,
-        binary_threshold=seg_binary_threshold,
-        closing_kernel_size=seg_closing_kernel_size,
-        min_object_size_um2=seg_min_object_size_um2,
-        min_hole_size_um2=seg_min_hole_size_um2,
-        overlap=overlap,
-        object_based=flags["object_based"],
-        object_detection=flags["object_detection"],
-        stardist_normalization_pmin=flags["stardist_normalization_pmin"],
-        stardist_normalization_pmax=flags["stardist_normalization_pmax"],
-        cache_image_patches=cache_image_patches,
-    )
+    from ..utils.profiling import stage_timer
+
+    with stage_timer("patching"):
+        segment_and_patch_directory_of_slides(
+            wsi_dir=wsi_dir,
+            slide_paths=slide_paths,
+            save_dir=results_dir,
+            qupath_detection_dir=qupath_detection_dir,
+            qupath_geojson_detection_dir=qupath_geojson_detection_dir,
+            qupath_geojson_annotation_dir=qupath_geojson_annotation_dir,
+            patch_size_px=model_obj.config.patch_size_pixels,
+            patch_spacing_um_px=model_obj.config.spacing_um_px,
+            halo_size_px=flags["halo_size_px"],
+            histoqc_dir=histoqc_dir,
+            thumbsize=tuple(seg_thumbsize),
+            median_filter_size=seg_median_filter_size,
+            binary_threshold=seg_binary_threshold,
+            closing_kernel_size=seg_closing_kernel_size,
+            min_object_size_um2=seg_min_object_size_um2,
+            min_hole_size_um2=seg_min_hole_size_um2,
+            overlap=overlap,
+            object_based=flags["object_based"],
+            object_detection=flags["object_detection"],
+            stardist_normalization_pmin=flags["stardist_normalization_pmin"],
+            stardist_normalization_pmax=flags["stardist_normalization_pmax"],
+            cache_image_patches=cache_image_patches,
+        )
 
     if not (results_dir / "patches").exists():
         raise click.ClickException(

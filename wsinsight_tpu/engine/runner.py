@@ -190,6 +190,13 @@ def run_inference(
         stems = {s.stem for s in slide_paths}
         patch_paths = [p for p in patch_paths if p.stem in stems]
 
+    # Multi-host fan-out: shard slides round-robin across jax processes
+    # (SURVEY.md §5 — per-slide sharding over DCN; no collectives needed).
+    from ..parallel.multihost import maybe_initialize_distributed, shard_slides_for_host
+
+    if maybe_initialize_distributed():
+        patch_paths = shard_slides_for_host(sorted(patch_paths))
+
     model_output_dir = results_dir / "model-outputs-csv"
     model_output_dir.mkdir(exist_ok=True)
 
@@ -205,7 +212,11 @@ def run_inference(
     engine: ClassifierEngine | None = None
     cell_engine = None
 
-    with tqdm.tqdm(total=len(patch_paths), desc="Images", position=0) as pbar:
+    from ..utils.profiling import maybe_trace
+
+    with maybe_trace("inference"), tqdm.tqdm(
+        total=len(patch_paths), desc="Images", position=0
+    ) as pbar:
         for patch_path in patch_paths:
             local_h5 = patch_path.materialize() if isinstance(patch_path, URIPath) else patch_path
             with h5py.File(local_h5, "r") as f:

@@ -1,0 +1,54 @@
+"""Multi-host (pod-scale) execution helpers.
+
+The reference is single-node only (SURVEY.md §2.8); the TPU-native scale-out
+design is: ICI data-parallelism within a host via the 1-D mesh
+(parallel/mesh.py), and DCN across hosts by sharding *slides* — inference is
+embarrassingly parallel over patches and slides, per-shard CSVs are exact
+because patch order is deterministic from the grid, so host-level fan-out
+needs no collectives at all (SURVEY.md §5 "Distributed communication
+backend").
+
+Usage on a multi-host slice: call `maybe_initialize_distributed()` early
+(reads the standard JAX coordinator env vars), then filter work with
+`shard_slides_for_host(...)`. Every host runs the same CLI command against a
+shared results directory; the per-slide resume contract makes retries and
+stragglers idempotent.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Sequence, TypeVar
+
+T = TypeVar("T")
+
+
+def maybe_initialize_distributed() -> bool:
+    """Initialize jax.distributed when a coordinator is configured.
+
+    Controlled by the standard env vars (JAX_COORDINATOR_ADDRESS /
+    JAX_NUM_PROCESSES / JAX_PROCESS_ID) or auto-detection on Cloud TPU pods.
+    Returns True when running multi-process.
+    """
+    import jax
+
+    if os.getenv("JAX_COORDINATOR_ADDRESS"):
+        try:
+            jax.distributed.initialize()
+        except RuntimeError:
+            pass  # already initialized
+    return jax.process_count() > 1
+
+
+def process_info() -> tuple[int, int]:
+    import jax
+
+    return jax.process_index(), jax.process_count()
+
+
+def shard_slides_for_host(items: Sequence[T]) -> list[T]:
+    """Deterministic round-robin shard of the slide list for this host."""
+    idx, count = process_info()
+    if count <= 1:
+        return list(items)
+    return [item for i, item in enumerate(items) if i % count == idx]

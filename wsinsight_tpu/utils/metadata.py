@@ -94,7 +94,14 @@ def get_info_for_save(model_obj: Any) -> dict[str, Any]:
         "timestamp": datetime.now().astimezone().isoformat(),
         "argv": sys.argv,
         "runtime": get_runtime_info(),
+        "stage_timings_sec": _get_stage_timings(),
     }
+
+
+def _get_stage_timings() -> dict:
+    from .profiling import stage_timings
+
+    return stage_timings()
 
 
 def write_run_metadata(results_dir, prefix: str, model_obj: Any) -> str:
