@@ -57,22 +57,44 @@ def test_grid_counts(patch_size_px, spacing, expected):
     np.testing.assert_array_equal(coords, coords[order])
 
 
-def test_grid_coords_match_reference_csv():
-    """Coordinates for the breast model (350 px) equal the reference golden CSV."""
+# Model geometry: (golden dir, patch_size_px, spacing_um_px); slide mpp = 0.25.
+GOLDEN_MODELS = [
+    ("breast-tumor-resnet34.tcga-brca", 350, 0.25),
+    ("breast-tumor-inception_v4.tcga-brca", 350, 0.25),
+    ("breast-tumor-vgg16mod.tcga-brca", 350, 0.25),
+    ("lung-tumor-resnet34.tcga-luad", 350, 0.5),
+    ("pancancer-lymphocytes-inceptionv4.tcga", 100, 0.5),
+    ("pancreas-tumor-preactresnet34.tcga-paad", 350, 1.5),
+    ("prostate-tumor-resnet34.tcga-prad", 175, 0.5),
+]
+
+
+@pytest.mark.parametrize("model_dir,patch_px,spacing", GOLDEN_MODELS)
+def test_grid_coords_match_reference_csv(model_dir, patch_px, spacing):
+    """Patch coordinates for every zoo geometry equal the reference goldens
+    (reference: tests/reference/*/purple.csv)."""
     import csv
     from pathlib import Path
 
-    golden = Path("tests/reference/breast-tumor-resnet34.tcga-brca/purple.csv")
+    golden = Path(f"tests/reference/{model_dir}/purple.csv")
     if not golden.exists():
         pytest.skip("golden csv not present")
     with open(golden) as fh:
         rows = list(csv.DictReader(fh))
-    ref = np.array([[int(float(r["minx"])), int(float(r["miny"]))] for r in rows])
+    ref = np.array(
+        sorted((int(float(r["minx"])), int(float(r["miny"]))) for r in rows)
+    )
 
+    mpp = 0.25
+    patch_size = int(round(patch_px * spacing / mpp))
+    half = round(patch_size / 2)
     ring = np.array([[0, 0], [4094, 0], [4094, 4094], [0, 4094]], dtype=np.float64)
     poly = MultiPolygon([ring])
-    coords = get_patch_coordinates_within_polygon(4096, 4096, 350, 175, poly, 0.0)
-    np.testing.assert_array_equal(coords, ref)
+    coords = get_patch_coordinates_within_polygon(4096, 4096, patch_size, half, poly, 0.0)
+    got = np.array(sorted(map(tuple, coords)))
+    np.testing.assert_array_equal(got, ref)
+    # Width column in the golden equals our derived slide-scale patch size.
+    assert int(float(rows[0]["width"])) == patch_size
 
 
 def test_segment_tissue_solid_color():
