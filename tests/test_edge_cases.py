@@ -1,0 +1,118 @@
+"""Edge-case tests mirroring the reference's legacy suite
+(reference: tests/test_all.py:646-791): bad slides don't abort the batch,
+symlinked slides work, metadata written per run, git-less environments."""
+
+import json
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from wsinsight_tpu.patchlib import segment_and_patch_directory_of_slides
+from wsinsight_tpu.uri_path import URIPath
+
+
+def test_bad_slide_does_not_abort_batch(purple_slide, tmp_path):
+    slides = tmp_path / "slides"
+    slides.mkdir()
+    os.symlink(purple_slide, slides / "good.tif")
+    (slides / "broken.tif").write_bytes(b"this is definitely not a TIFF")
+
+    results = tmp_path / "results"
+    segment_and_patch_directory_of_slides(
+        wsi_dir=URIPath(str(slides)),
+        slide_paths=[URIPath(str(slides / "broken.tif")), URIPath(str(slides / "good.tif"))],
+        save_dir=URIPath(str(results)),
+        qupath_detection_dir=None,
+        qupath_geojson_detection_dir=None,
+        qupath_geojson_annotation_dir=None,
+        patch_size_px=350,
+        patch_spacing_um_px=0.25,
+    )
+    # The good (symlinked) slide succeeded; the broken one was logged + skipped.
+    assert (results / "patches" / "good.h5").exists()
+    assert not (results / "patches" / "broken.h5").exists()
+
+
+def test_duplicate_stems_rejected(purple_slide, tmp_path):
+    from wsinsight_tpu.errors import DuplicateFilePrefixesFound
+    from wsinsight_tpu.wsi import _validate_wsi_directory
+
+    slides = tmp_path / "slides"
+    slides.mkdir()
+    os.symlink(purple_slide, slides / "a.tif")
+    os.symlink(purple_slide, slides / "a.svs")
+    with pytest.raises(DuplicateFilePrefixesFound):
+        _validate_wsi_directory(str(slides))
+
+
+def test_metadata_contents(tmp_path):
+    from wsinsight_tpu.utils.metadata import get_info_for_save
+    from wsinsight_tpu.zoo import get_registered_model
+
+    model = get_registered_model("breast-tumor-resnet34.tcga-brca")
+    info = get_info_for_save(model)
+    assert info["model_name"] == "breast-tumor-resnet34.tcga-brca"
+    assert info["model_config"]["architecture"] == "resnet34"
+    assert info["model_config"]["class_names"] == ["Other", "Tumor"]
+    assert "argv" in info and "timestamp" in info
+    rt = info["runtime"]
+    assert "versions" in rt and rt["versions"]["jax"]
+    assert "devices" in rt and len(rt["devices"]) >= 1
+    assert "in_container" in rt
+    # JSON-serializable end to end.
+    json.dumps(info)
+
+
+def test_metadata_gitless(tmp_path, monkeypatch):
+    """Metadata capture works outside any git repository
+    (reference: tests/test_all.py:646-665)."""
+    from wsinsight_tpu.utils.metadata import _get_git_info
+
+    monkeypatch.chdir(tmp_path)
+    assert _get_git_info() is None
+
+
+def test_model_alias_api():
+    """Reference type names resolve (wsinfer_zoo surface compat)."""
+    from wsinsight_tpu.zoo import (
+        HFModelTorchScript,
+        LocalModelTorchScript,
+        Model,
+        ModelConfiguration,
+        load_registry,
+    )
+
+    reg = load_registry()
+    assert "breast-tumor-resnet34.tcga-brca" in reg.models
+    h = reg.get_model_by_name("breast-tumor-resnet34.tcga-brca")
+    assert isinstance(h, HFModelTorchScript)
+    assert isinstance(h.config, ModelConfiguration)
+    assert Model is LocalModelTorchScript
+
+
+def test_registry_env_override(tmp_path, monkeypatch):
+    reg_file = tmp_path / "registry.json"
+    reg_file.write_text(
+        json.dumps(
+            {
+                "models": {
+                    "custom-model": {
+                        "config": {
+                            "architecture": "resnet34",
+                            "num_classes": 2,
+                            "class_names": ["a", "b"],
+                            "patch_size_pixels": 128,
+                            "spacing_um_px": 1.0,
+                        }
+                    }
+                }
+            }
+        )
+    )
+    monkeypatch.setenv("WSINFER_ZOO_REGISTRY_PATH", str(reg_file))
+    from wsinsight_tpu.zoo import get_registered_model
+
+    m = get_registered_model("custom-model")
+    assert m.config.patch_size_pixels == 128

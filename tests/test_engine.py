@@ -103,6 +103,35 @@ def test_shard_invariance(patched_results, local_model, purple_slide, tmp_path):
     np.testing.assert_allclose(probs[1], probs[8], atol=1e-6)
 
 
+def test_stain_normalization_end_to_end(tmp_path, patched_results, purple_slide):
+    """Macenko estimation from a shuffled sample batch + on-device
+    normalization inside the jitted step (reference: run_inference.py:232-266)."""
+    import shutil
+
+    cfg, weights = make_random_local_model(
+        "resnet34", 2, tmp_path / "m", class_names=["Other", "Tumor"], resize_size=64
+    )
+    model = load_local_model(cfg, weights)
+    results = tmp_path / "results"
+    results.mkdir()
+    shutil.copytree(patched_results / "patches", results / "patches")
+    failed_patching, failed_inference = run_inference(
+        wsi_dir=None,
+        slide_paths=None,
+        results_dir=URIPath(str(results)),
+        model_info=model,
+        batch_size=64,
+        num_workers=2,
+        stain_normalization=True,
+    )
+    assert failed_inference == []
+    df = pd.read_csv(results / "model-outputs-csv" / "purple.csv")
+    assert len(df) == 144
+    probs = df[["prob_Other", "prob_Tumor"]].to_numpy()
+    assert np.isfinite(probs).all()
+    np.testing.assert_allclose(probs.sum(axis=1), 1.0, atol=1e-5)
+
+
 def test_sigmoid_single_logit(tmp_path, patched_results, purple_slide):
     """num_classes=1 exercises the sigmoid branch (paad-style model)."""
     cfg, weights = make_random_local_model(

@@ -184,9 +184,10 @@ class ModelHandle:
         raise WeightsNotFoundError(f"no weights source for model '{self.name}'")
 
 
-# Back-compat aliases matching the reference's type names.
+# Back-compat aliases matching the reference's type names (wsinfer_zoo surface).
 HFModelTorchScript = ModelHandle
 LocalModelTorchScript = ModelHandle
+Model = ModelHandle
 
 
 class Registry:
