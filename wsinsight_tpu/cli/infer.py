@@ -61,6 +61,11 @@ def default_stitch_workers() -> int:
     "--stitch-workers", type=click.IntRange(min=0), default=default_stitch_workers(),
     show_default=True, help="Workers for cell-instance stitching.",
 )
+@click.option(
+    "--speedup/--no-speedup", default=False, show_default=True,
+    help="Run the forward pass in bfloat16 (the reference's disabled --speedup,"
+    " functional here; relaxes the 1e-3 logit-parity guarantee).",
+)
 @click.option("--geojson", is_flag=True, default=False, show_default=True,
               help="Write GeoJSON outputs.")
 @click.option("--omecsv", is_flag=True, default=False, show_default=True,
@@ -107,6 +112,7 @@ def infer(
     num_workers,
     export_workers,
     stitch_workers,
+    speedup,
     geojson,
     omecsv,
     patch_overlap_ratio,
@@ -229,7 +235,7 @@ def infer(
         stain_normalization=flags["stain_normalization"],
         object_based=flags["object_based"],
         object_detection=flags["object_detection"],
-        mixed_precision=flags["mixed_precision"],
+        mixed_precision=flags["mixed_precision"] or speedup,
         stitch_workers=stitch_workers,
     )
 

@@ -62,6 +62,7 @@ _INFER_PARAM_NAMES = [
     "num_workers",
     "export_workers",
     "stitch_workers",
+    "speedup",
     "geojson",
     "omecsv",
     "patch_overlap_ratio",
