@@ -145,6 +145,7 @@ def run_cell_inference(
 
     with tqdm.tqdm(desc="Stitching", position=1, leave=False) as qbar:
         inst, probs, polys = stitcher.finalize(pbar=qbar, num_workers=stitch_workers)
+    stitcher.close()
 
     if not inst:
         return np.zeros((0, 4), np.int32), np.zeros((0, cfg.num_classes), np.float32), []

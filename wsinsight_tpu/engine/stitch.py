@@ -42,6 +42,7 @@ class TileRemapStitcher:
         slide_mpp: float,
         model_mpp: float,
         min_object_size: int = 20,
+        memmap_above_bytes: int | None = None,
     ):
         self.n_classes = n_classes
         self.slide_width = slide_width
@@ -50,10 +51,44 @@ class TileRemapStitcher:
         self.slide_halo_size = slide_halo_size
         self.alpha = model_mpp / slide_mpp
         self.min_object_size = int(min_object_size)
-        self.np_map = np.zeros((slide_height, slide_width), dtype=np.float32)
-        self.hv_map = np.zeros((slide_height, slide_width, 2), dtype=np.float32)
-        self.tp_map = np.zeros((slide_height, slide_width, n_classes), dtype=np.float32)
+        # Canvas memory: (12 + 4K) bytes/px. The reference would OOM on slides
+        # where this exceeds host RAM (tilefuse.py:204-206); above the
+        # threshold we back the canvases with disk memmaps so the OS pages
+        # bands in and out (tile-local access keeps the working set small).
+        if memmap_above_bytes is None:
+            memmap_above_bytes = int(
+                os.getenv("WSINSIGHT_CANVAS_MEMMAP_BYTES", 32 * (1 << 30))
+            )
+        total_bytes = slide_height * slide_width * (12 + 4 * n_classes)
+        self._tmpdir = None
+        if total_bytes > memmap_above_bytes:
+            import tempfile
+
+            self._tmpdir = tempfile.mkdtemp(prefix="wsinsight_canvas_")
+
+            def alloc(name, shape):
+                return np.memmap(
+                    os.path.join(self._tmpdir, name), dtype=np.float32, mode="w+",
+                    shape=shape,
+                )
+
+            self.np_map = alloc("np.dat", (slide_height, slide_width))
+            self.hv_map = alloc("hv.dat", (slide_height, slide_width, 2))
+            self.tp_map = alloc("tp.dat", (slide_height, slide_width, n_classes))
+        else:
+            self.np_map = np.zeros((slide_height, slide_width), dtype=np.float32)
+            self.hv_map = np.zeros((slide_height, slide_width, 2), dtype=np.float32)
+            self.tp_map = np.zeros((slide_height, slide_width, n_classes), dtype=np.float32)
         self._device_step = None
+
+    def close(self) -> None:
+        """Release memmap backing files, if any."""
+        if self._tmpdir is not None:
+            import shutil
+
+            self.np_map = self.hv_map = self.tp_map = None  # type: ignore[assignment]
+            shutil.rmtree(self._tmpdir, ignore_errors=True)
+            self._tmpdir = None
 
     # ------------------------------------------------------------------
     def _build_device_step(self):
