@@ -103,6 +103,34 @@ def test_shard_invariance(patched_results, local_model, purple_slide, tmp_path):
     np.testing.assert_allclose(probs[1], probs[8], atol=1e-6)
 
 
+def test_patch_source_hdf5_images(tmp_path):
+    """PatchBatchSource serves /images caches without touching the slide
+    (reference: modellib/data.py:198-236)."""
+    from wsinsight_tpu.engine.data import PatchBatchSource
+    from wsinsight_tpu.patchlib.io import save_hdf5
+
+    rng = np.random.default_rng(0)
+    imgs = rng.integers(0, 255, size=(5, 32, 32, 3), dtype=np.uint8)
+    coords = np.array([[0, 0], [32, 0], [64, 0], [0, 32], [32, 32]], np.int32)
+    h5 = tmp_path / "s.h5"
+    save_hdf5(
+        path=h5, coords=coords, polygons=None, tile_dim=None, patch_size=32,
+        patch_spacing_um_px=0.25, images=imgs, slide_path="/nonexistent.tif",
+        slide_mpp=0.25, slide_width=96, slide_height=64,
+    )
+    src = PatchBatchSource(
+        wsi_path=None, patch_path=URIPath(str(h5)), use_hdf5_images=True,
+        batch_size=2, num_threads=2,
+    )
+    batches = list(src)
+    src.close()
+    assert [b.n_valid for b in batches] == [2, 2, 1]
+    got = np.concatenate([b.images[: b.n_valid] for b in batches])
+    np.testing.assert_array_equal(got, imgs)
+    got_coords = np.concatenate([b.coords[: b.n_valid] for b in batches])
+    np.testing.assert_array_equal(got_coords[:, :2], coords)
+
+
 def test_stain_normalization_end_to_end(tmp_path, patched_results, purple_slide):
     """Macenko estimation from a shuffled sample batch + on-device
     normalization inside the jitted step (reference: run_inference.py:232-266)."""

@@ -40,8 +40,14 @@ class CellEngine:
 
         from ..models import create_model
         from ..ops.preprocess import TransformSpec, make_preprocess_fn
-        from ..parallel.mesh import batch_sharding, get_data_mesh, replicated_sharding
+        from ..parallel.mesh import (
+            batch_sharding,
+            enable_compilation_cache,
+            get_data_mesh,
+            replicated_sharding,
+        )
 
+        enable_compilation_cache()
         cfg = model_info.config
         compute_dtype = jnp.bfloat16 if mixed_precision else jnp.float32
         self.config = cfg

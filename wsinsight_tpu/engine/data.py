@@ -98,6 +98,7 @@ class PatchBatchSource:
         self._images = None
         self._slide = None
         self._h5_lock = threading.Lock()
+        self._stop = threading.Event()
         self._open_sources()
 
     def _open_sources(self) -> None:
@@ -161,7 +162,18 @@ class PatchBatchSource:
             try:
                 with ThreadPoolExecutor(max_workers=self.num_threads) as pool:
                     for indices in splits:
-                        q.put(self._make_batch(pool, indices))
+                        batch = self._make_batch(pool, indices)
+                        # Bounded put that honors close(): an abandoned
+                        # iterator (e.g. the one-batch stain sample) must not
+                        # leave this thread blocked forever.
+                        while not self._stop.is_set():
+                            try:
+                                q.put(batch, timeout=0.1)
+                                break
+                            except queue.Full:
+                                continue
+                        if self._stop.is_set():
+                            return
                 q.put(None)
             except BaseException as err:  # propagate to consumer
                 q.put(err)
@@ -178,6 +190,7 @@ class PatchBatchSource:
         t.join()
 
     def close(self) -> None:
+        self._stop.set()
         if self._h5 is not None:
             try:
                 self._h5.close()
