@@ -166,6 +166,36 @@ def test_patch_stage_end_to_end(purple_slide, tmp_path):
     assert h5path.stat().st_mtime_ns == mtime
 
 
+def test_histoqc_mask_ingestion(purple_slide, tmp_path):
+    """--histoqc-dir replaces segmentation with the provided mask
+    (reference: pipeline.py:122-144)."""
+    from PIL import Image
+
+    hq = tmp_path / "histoqc" / "purple.tif"
+    hq.mkdir(parents=True)
+    # Mask covering only the left half of the slide.
+    mask = np.zeros((512, 512), np.uint8)
+    mask[:, :256] = 255
+    Image.fromarray(mask).save(hq / "purple.tif_mask_use.png")
+
+    results = tmp_path / "results"
+    segment_and_patch_one_slide(
+        slide_path=URIPath(str(purple_slide)),
+        save_dir=URIPath(str(results)),
+        qupath_detection_dir=None,
+        qupath_geojson_detection_dir=None,
+        qupath_geojson_annotation_dir=None,
+        patch_size_px=350,
+        patch_spacing_um_px=0.25,
+        histoqc_dir=URIPath(str(tmp_path / "histoqc")),
+    )
+    with h5py.File(results / "patches" / "purple.h5") as f:
+        coords = f["/coords"][()]
+    # Only patches whose centroids fall in the left half survive.
+    assert len(coords) > 0
+    assert (coords[:, 0] + 175 < 4096 // 2).all()
+
+
 def test_patch_stage_cached_images(purple_slide, tmp_path):
     results = tmp_path / "results"
     segment_and_patch_one_slide(

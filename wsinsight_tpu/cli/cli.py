@@ -53,3 +53,7 @@ cli.add_command(patch)
 cli.add_command(infer)
 cli.add_command(hplot)
 cli.add_command(cme)
+
+from .models_cmd import models_cmd  # noqa: E402
+
+cli.add_command(models_cmd)

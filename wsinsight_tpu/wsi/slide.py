@@ -171,7 +171,37 @@ class TpuSlide:
         downsample = max(w0 / size[0], h0 / size[1])
         level = self.get_best_level_for_downsample(downsample)
         page = self._levels[level]
-        arr = page.asarray()[:, :, :3]
+        # Memory guard: a pyramid-less gigapixel slide would otherwise decode
+        # fully into RAM here. Above ~256 Mpx, stream tiles and reduce each
+        # directly into the thumbnail-scale buffer instead.
+        if page.width * page.height > 256_000_000 and page.is_tiled:
+            arr = self._streamed_thumbnail(page, size)
+        else:
+            arr = page.asarray()[:, :, :3]
         img = Image.fromarray(arr, "RGB")
         img.thumbnail(size, Image.Resampling.LANCZOS)
         return img
+
+    def _streamed_thumbnail(self, page, size: tuple[int, int]) -> np.ndarray:
+        import cv2
+
+        scale = max(page.width / size[0], page.height / size[1])
+        # Render at 2x the target for a decent final LANCZOS pass.
+        out_w = max(1, int(page.width / scale * 2))
+        out_h = max(1, int(page.height / scale * 2))
+        out = np.zeros((out_h, out_w, 3), np.uint8)
+        tw, th = page.tile_width, page.tile_height
+        ta = page.tiles_across
+        for ty in range(page.tiles_down):
+            for tx in range(ta):
+                seg = self._get_segment(self._levels.index(page), ty * ta + tx)
+                x0 = int(tx * tw / page.width * out_w)
+                y0 = int(ty * th / page.height * out_h)
+                x1 = min(out_w, int((tx + 1) * tw / page.width * out_w))
+                y1 = min(out_h, int((ty + 1) * th / page.height * out_h))
+                if x1 <= x0 or y1 <= y0:
+                    continue
+                out[y0:y1, x0:x1] = cv2.resize(
+                    seg[:, :, :3], (x1 - x0, y1 - y0), interpolation=cv2.INTER_AREA
+                )
+        return out
