@@ -41,6 +41,24 @@ def test_resize_matches_pil(in_size, out_size):
     np.testing.assert_array_equal(exact, expected)
 
 
+def test_pallas_fused_preprocess_matches_xla():
+    from wsinsight_tpu.ops.pallas_preprocess import make_fused_preprocess_fn
+
+    rng = np.random.default_rng(0)
+    batch = rng.integers(0, 256, size=(3, 96, 96, 3), dtype=np.uint8)
+    spec = TransformSpec(
+        size=(64, 64), mean=(0.7, 0.6, 0.5), std=(0.1, 0.2, 0.3),
+        to_tensor=True, exact_resize=False,
+    )
+    ref = np.asarray(make_preprocess_fn(spec)(jnp.asarray(batch)))
+    fn = make_fused_preprocess_fn(spec)
+    got = np.asarray(fn(jnp.asarray(batch)))
+    np.testing.assert_allclose(got, ref, atol=1e-5)
+    # Unsupported configs (Scale / no resize) fall back to None.
+    assert make_fused_preprocess_fn(TransformSpec(size=None)) is None
+    assert make_fused_preprocess_fn(TransformSpec(size=(8, 8), scale=(0, 1))) is None
+
+
 def test_preprocess_fn_normalize():
     spec = TransformSpec(size=(4, 4), mean=(0.5, 0.5, 0.5), std=(0.25, 0.25, 0.25), to_tensor=True)
     fn = make_preprocess_fn(spec)
