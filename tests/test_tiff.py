@@ -97,6 +97,39 @@ def test_read_region_and_oob_padding(tmp_path):
     np.testing.assert_array_equal(region[10:, 10:], img[:10, :10])
 
 
+@pytest.mark.parametrize("compression", ["none", "deflate", "lzw"])
+def test_stripped_roundtrip(tmp_path, compression):
+    from wsinsight_tpu.wsi.tiff import TiffWriter
+
+    img = _rand_img(200, 300, seed=7)
+    path = tmp_path / f"strips_{compression}.tif"
+    with TiffWriter(str(path)) as tw:
+        tw.write(img, tile=None, rows_per_strip=48, compression=compression)
+    with TiffFile(str(path)) as tf:
+        page = tf.pages[0]
+        assert not page.is_tiled
+        np.testing.assert_array_equal(page.asarray(), img)
+    # Region reads across strip boundaries.
+    slide = TpuSlide(str(path))
+    region = slide.read_region_array((10, 40), 0, (60, 60))
+    np.testing.assert_array_equal(region, img[40:100, 10:70])
+
+
+def test_grayscale_page_reads_as_rgb(tmp_path):
+    from wsinsight_tpu.wsi.tiff import TiffWriter
+
+    gray = np.random.default_rng(0).integers(0, 255, size=(64, 64), dtype=np.uint8)
+    path = tmp_path / "gray.tif"
+    with TiffWriter(str(path)) as tw:
+        # ndim-2 input is expanded to 3 channels by the writer; craft true
+        # single-sample pages via the raw writer path instead:
+        tw.write(gray[:, :, None].repeat(1, axis=2), tile=(64, 64), compression="none")
+    slide = TpuSlide(str(path))
+    region = slide.read_region_array((0, 0), 0, (64, 64))
+    assert region.shape == (64, 64, 3)
+    np.testing.assert_array_equal(region[:, :, 0], region[:, :, 1])
+
+
 def test_thumbnail(purple_slide):
     slide = TpuSlide(str(purple_slide))
     thumb = slide.get_thumbnail((2048, 2048))

@@ -103,6 +103,8 @@ class TpuSlide:
         arr = page.decode_segment(index)
         if arr.shape[2] > 3:
             arr = arr[:, :, :3]
+        elif arr.shape[2] == 1:  # grayscale pages -> RGB
+            arr = np.repeat(arr, 3, axis=2)
         with self._lock:
             if key not in self._cache:
                 self._cache[key] = arr

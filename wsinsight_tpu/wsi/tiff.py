@@ -605,28 +605,40 @@ class TiffWriter:
         self,
         image: np.ndarray,
         *,
-        tile: tuple[int, int] = (256, 256),
+        tile: tuple[int, int] | None = (256, 256),
+        rows_per_strip: int = 64,
         compression: str = "deflate",
         jpeg_quality: int = 85,
         resolution: tuple[float, float] | None = None,  # pixels per resolution unit
         resolution_unit: int = RESUNIT_CENTIMETER,
         description: str | None = None,
     ) -> None:
+        """Append a page. tile=None writes a stripped page instead of tiles."""
         image = np.ascontiguousarray(image, dtype=np.uint8)
         if image.ndim == 2:
             image = image[:, :, None].repeat(3, axis=2)
         h, w, c = image.shape
-        th, tw = tile
         fh = self._fh
 
         offsets: list[int] = []
         bytecounts: list[int] = []
-        for y0 in range(0, h, th):
-            for x0 in range(0, w, tw):
-                block = np.zeros((th, tw, c), np.uint8)
-                sub = image[y0 : y0 + th, x0 : x0 + tw]
-                block[: sub.shape[0], : sub.shape[1]] = sub
-                enc = _encode_tile(block, compression, jpeg_quality)
+        if tile is not None:
+            th, tw = tile
+            for y0 in range(0, h, th):
+                for x0 in range(0, w, tw):
+                    block = np.zeros((th, tw, c), np.uint8)
+                    sub = image[y0 : y0 + th, x0 : x0 + tw]
+                    block[: sub.shape[0], : sub.shape[1]] = sub
+                    enc = _encode_tile(block, compression, jpeg_quality)
+                    offsets.append(fh.tell())
+                    bytecounts.append(len(enc))
+                    fh.write(enc)
+                    if len(enc) % 2:
+                        fh.write(b"\x00")
+        else:
+            for y0 in range(0, h, rows_per_strip):
+                strip = image[y0 : y0 + rows_per_strip]
+                enc = _encode_tile(strip, compression, jpeg_quality)
                 offsets.append(fh.tell())
                 bytecounts.append(len(enc))
                 fh.write(enc)
@@ -649,11 +661,21 @@ class TiffWriter:
             (TAG_PHOTOMETRIC, 3, 1, 2),
             (TAG_SAMPLES_PER_PIXEL, 3, 1, c),
             (TAG_PLANAR_CONFIG, 3, 1, 1),
-            (TAG_TILE_WIDTH, 3, 1, tw),
-            (TAG_TILE_LENGTH, 3, 1, th),
-            (TAG_TILE_OFFSETS, 16 if self.bigtiff else 4, len(offsets), offsets),
-            (TAG_TILE_BYTE_COUNTS, 4, len(bytecounts), bytecounts),
         ]
+        if tile is not None:
+            th, tw = tile
+            entries += [
+                (TAG_TILE_WIDTH, 3, 1, tw),
+                (TAG_TILE_LENGTH, 3, 1, th),
+                (TAG_TILE_OFFSETS, 16 if self.bigtiff else 4, len(offsets), offsets),
+                (TAG_TILE_BYTE_COUNTS, 4, len(bytecounts), bytecounts),
+            ]
+        else:
+            entries += [
+                (TAG_ROWS_PER_STRIP, 3, 1, rows_per_strip),
+                (TAG_STRIP_OFFSETS, 16 if self.bigtiff else 4, len(offsets), offsets),
+                (TAG_STRIP_BYTE_COUNTS, 4, len(bytecounts), bytecounts),
+            ]
         if description is not None:
             entries.append((TAG_IMAGE_DESCRIPTION, 2, len(description) + 1, description))
         if resolution is not None:
