@@ -71,6 +71,62 @@ def test_cli_run_end_to_end(purple_slide, model_files, tmp_path):
     assert meta["runtime"]["versions"]["jax"]
 
 
+def test_cli_patch_registered_model_no_weights(tmp_path, purple_slide):
+    """The patch stage only needs the model CONFIG; registered models work
+    offline without any weights on disk."""
+    runner = CliRunner()
+    res = runner.invoke(
+        cli,
+        [
+            "patch",
+            "-i", str(purple_slide.parent),
+            "-o", str(tmp_path / "results"),
+            "-m", "breast-tumor-resnet34.tcga-brca",
+        ],
+        catch_exceptions=False,
+    )
+    assert res.exit_code == 0, res.output
+    import h5py
+
+    with h5py.File(tmp_path / "results" / "patches" / "purple.h5") as f:
+        assert f["/coords"].shape == (144, 2)
+
+
+def test_cli_multi_slide_cohort(tmp_path, model_files, purple_slide):
+    """Two slides through `run`: per-slide CSVs, masks, and resume."""
+    import os
+
+    cfg, weights = model_files
+    slides = tmp_path / "slides"
+    slides.mkdir()
+    os.symlink(purple_slide, slides / "s1.tif")
+    os.symlink(purple_slide, slides / "s2.tif")
+    results = tmp_path / "results"
+    runner = CliRunner()
+    res = runner.invoke(
+        cli,
+        [
+            "run",
+            "-i", str(slides),
+            "-o", str(results),
+            "--config", str(cfg),
+            "--model-path", str(weights),
+            "-b", "64",
+        ],
+        catch_exceptions=False,
+    )
+    assert res.exit_code == 0, res.output
+    for stem in ("s1", "s2"):
+        df = pd.read_csv(results / "model-outputs-csv" / f"{stem}.csv")
+        assert len(df) == 144
+        assert (results / "masks" / f"{stem}.jpg").exists()
+    # Stage timings captured into the metadata.
+    metas = sorted(results.glob("infer_metadata_*.json"))
+    meta = json.loads(metas[-1].read_text())
+    assert "inference" in meta["stage_timings_sec"]
+    assert meta["stage_timings_sec"]["inference"] > 0
+
+
 def test_cli_patch_requires_model(tmp_path, purple_slide):
     runner = CliRunner()
     res = runner.invoke(
