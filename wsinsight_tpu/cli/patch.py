@@ -10,7 +10,6 @@ from __future__ import annotations
 import click
 
 from ..patchlib import segment_and_patch_directory_of_slides
-from ..uri_path import URIPath
 from ..utils.metadata import print_system_info, write_run_metadata
 from ..wsi import _validate_wsi_directory
 from . import _options as opt

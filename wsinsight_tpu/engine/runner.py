@@ -24,7 +24,6 @@ import dataclasses
 import json
 import logging
 import os
-from functools import partial
 from typing import List
 
 import h5py
@@ -95,8 +94,13 @@ class ClassifierEngine:
         self._replicated = replicated_sharding(self.mesh)
         self.params = jax.device_put(self.params, self._replicated)
 
-        w_est_arr = None if w_est is None else jnp.asarray(w_est, jnp.float32)
-        w_def_arr = None if w_def is None else jnp.asarray(w_def, jnp.float32)
+        self._use_stain = w_est is not None and w_def is not None
+        # Stain matrices are runtime ARGUMENTS, not closure constants: they
+        # differ per slide (Macenko is estimated per slide), and baking them
+        # into the graph would force a recompile for every slide.
+        self._w_est = jnp.asarray(w_est, jnp.float32) if self._use_stain else jnp.eye(3)
+        self._w_def = jnp.asarray(w_def, jnp.float32) if self._use_stain else jnp.eye(3)
+        use_stain = self._use_stain
 
         # Matmul/conv precision: full float32 passes for parity with the torch
         # reference (TPU "default" runs bf16 multiplies — measured ~3.3x faster
@@ -107,10 +111,10 @@ class ClassifierEngine:
             "WSINSIGHT_PRECISION", "default" if mixed_precision else "float32"
         )
 
-        def step(params, batch_u8):
+        def step(params, batch_u8, w_est_arr, w_def_arr):
             with jax.default_matmul_precision(precision):
                 x = batch_u8.astype(jnp.float32)
-                if w_est_arr is not None and w_def_arr is not None:
+                if use_stain:
                     from ..ops.stain import deconvolution_based_normalization
 
                     x = deconvolution_based_normalization(x + EPSILON, w_est_arr, w_def_arr)
@@ -124,9 +128,17 @@ class ClassifierEngine:
 
         self._step = jax.jit(
             step,
-            in_shardings=(self._replicated, self._batch_sharding),
+            in_shardings=(self._replicated, self._batch_sharding, self._replicated, self._replicated),
             out_shardings=self._replicated,
         )
+
+    def set_stains(self, w_est: np.ndarray, w_def: np.ndarray) -> None:
+        """Swap the per-slide Macenko matrices without retracing."""
+        import jax.numpy as jnp
+
+        assert self._use_stain, "engine was built without stain normalization"
+        self._w_est = jnp.asarray(w_est, jnp.float32)
+        self._w_def = jnp.asarray(w_def, jnp.float32)
 
     def pad_batch(self, n: int) -> int:
         """Global batch size: requested size rounded up to the device count."""
@@ -134,13 +146,13 @@ class ClassifierEngine:
         return -(-n // d) * d
 
     def run_batch(self, images_u8: np.ndarray, n_valid: int) -> np.ndarray:
-        probs = self._step(self.params, images_u8)
+        probs = self._step(self.params, images_u8, self._w_est, self._w_def)
         return np.asarray(probs)[:n_valid]
 
     def dispatch(self, images_u8: np.ndarray):
         """Async dispatch: returns the device array without blocking, so the
         next batch's host decode + transfer overlaps this batch's compute."""
-        return self._step(self.params, images_u8)
+        return self._step(self.params, images_u8, self._w_est, self._w_def)
 
 
 def _one_hot_probs(indexer: np.ndarray, n: int, k: int) -> np.ndarray:
@@ -393,13 +405,17 @@ def run_inference(
                         pbar.update(1)
                         continue
 
-                if engine is None or stain_normalization:
+                if engine is None:
                     engine = ClassifierEngine(
                         model_info,
                         mixed_precision=mixed_precision,
                         w_est=w_est,
                         w_def=w_def,
                     )
+                elif stain_normalization:
+                    # Same compiled step across slides; only the Macenko
+                    # matrices (runtime args) change per slide.
+                    engine.set_stains(w_est, w_def)
                 try:
                     src = PatchBatchSource(
                         wsi_path=wsi_path,

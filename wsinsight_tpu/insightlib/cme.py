@@ -209,7 +209,6 @@ def train_dgi_multi(
 ):
     """Train one shared DGI encoder over all slide graphs; return (params, Z_list)."""
     import jax
-    import jax.numpy as jnp
     import optax
 
     from ..parallel.mesh import get_data_mesh

@@ -15,7 +15,6 @@ epochs=300, multi-GPU via PyG DataParallel). TPU-native design:
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Any, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -143,8 +142,6 @@ def make_dgi_train_step(model: DGI, optimizer, mesh=None):
     Batch dims: x (B, N, F), edges (B, 2, E), masks (B, ...). Gradients are
     meaned over the batch (psum over the mesh under jit).
     """
-    import optax  # noqa: F401  (documents the optimizer contract)
-
     def loss_fn(params, x, x_corrupt, edges, edge_mask, node_mask):
         losses = jax.vmap(
             lambda a, b, c, d, e: model.apply({"params": params}, a, b, c, d, e)

@@ -9,8 +9,8 @@ shapes are static for a fixed input size so XLA pipelines the whole encoder.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
-from typing import Any, Sequence
+from dataclasses import dataclass
+from typing import Any
 
 import jax
 import jax.numpy as jnp

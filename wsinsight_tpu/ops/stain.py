@@ -16,8 +16,6 @@ Default target stains match the reference's stain_color_map selection
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -9,7 +9,6 @@ XLA inserts any needed collectives over ICI (SURVEY.md §2.8).
 from __future__ import annotations
 
 import os
-from typing import Any
 
 import jax
 import numpy as np

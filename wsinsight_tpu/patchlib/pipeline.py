@@ -18,7 +18,6 @@ but nothing in the reference produces (SURVEY.md §2.11).
 
 from __future__ import annotations
 
-import itertools
 import json
 import logging
 from typing import List
