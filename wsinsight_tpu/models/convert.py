@@ -38,9 +38,19 @@ def state_dict_to_arrays(state_dict: Mapping[str, Any]) -> dict[str, np.ndarray]
     return out
 
 
+def _strip_wrapper_prefixes(sd: Mapping[str, np.ndarray]) -> dict[str, np.ndarray]:
+    """Drop DataParallel/Lightning-style wrappers ('module.', 'model.')
+    when every key carries the same prefix."""
+    keys = list(sd.keys())
+    for prefix in ("module.", "model.", "_orig_mod."):
+        if keys and all(k.startswith(prefix) for k in keys):
+            return _strip_wrapper_prefixes({k[len(prefix):]: v for k, v in sd.items()})
+    return dict(sd)
+
+
 def convert_torch_state_dict(sd: Mapping[str, np.ndarray]) -> dict:
     """Build the flax `params` tree from torch-named numpy arrays."""
-    sd = {k: np.asarray(v) for k, v in sd.items()}
+    sd = _strip_wrapper_prefixes({k: np.asarray(v) for k, v in sd.items()})
     modules: dict[str, dict[str, np.ndarray]] = {}
     for key, val in sd.items():
         if key.endswith("num_batches_tracked"):
