@@ -206,35 +206,57 @@ def train_dgi_multi(
     epochs: int = 300,
     lr: float = 1e-3,
     seed: int = 0,
+    max_nodes_cap: int = 16384,
+    max_edges_cap: int = 131072,
 ):
-    """Train one shared DGI encoder over all slide graphs; return (params, Z_list)."""
+    """Train one shared DGI encoder over all slide graphs; return (params, Z_list).
+
+    Graphs larger than `max_nodes_cap` are trained on node-induced random
+    subgraphs (Cluster-GCN style) so device memory stays bounded for
+    million-cell slides; final embeddings are computed EXACTLY on the full
+    graph with host sparse algebra (gnn.embed_full_graph).
+    """
     import jax
     import optax
 
     from ..parallel.mesh import get_data_mesh
-    from .gnn import DGI, make_dgi_train_step, pad_graph
+    from .gnn import DGI, embed_full_graph, make_dgi_train_step, pad_graph, sample_subgraph
 
-    feat_dim = slides[0]["X_normalized"].shape[1]
     mesh = get_data_mesh()
     n_dev = mesh.devices.size
 
     def _round_up(v, m):
         return -(-v // m) * m
 
-    max_nodes = _round_up(max(s["X_normalized"].shape[0] for s in slides) + 1, 8)
-    max_edges = _round_up(max(max(s["edge_index"].shape[1], 1) for s in slides), 8)
+    max_nodes = _round_up(
+        min(max(s["X_normalized"].shape[0] for s in slides) + 1, max_nodes_cap), 8
+    )
+    max_edges = _round_up(
+        min(max(max(s["edge_index"].shape[1], 1) for s in slides), max_edges_cap), 8
+    )
 
-    padded = [
-        pad_graph(s["X_normalized"], s["edge_index"], max_nodes, max_edges) for s in slides
-    ]
-    x = np.stack([g.x for g in padded])
-    edges = np.stack([g.edges for g in padded])
-    em = np.stack([g.edge_mask for g in padded])
-    nm = np.stack([g.node_mask for g in padded])
+    rng = np.random.default_rng(seed)
 
+    def graph_batch():
+        padded = []
+        for s in slides:
+            if s["X_normalized"].shape[0] + 1 <= max_nodes:
+                padded.append(
+                    pad_graph(s["X_normalized"], s["edge_index"], max_nodes, max_edges)
+                )
+            else:
+                padded.append(
+                    sample_subgraph(
+                        s["X_normalized"], s["edge_index"], max_nodes, max_edges, rng
+                    )
+                )
+        return padded
+
+    first = graph_batch()
     model = DGI(hidden=hidden, out_dim=out_dim)
     params = model.init(
-        jax.random.PRNGKey(seed), x[0], x[0], edges[0], em[0], nm[0]
+        jax.random.PRNGKey(seed),
+        first[0].x, first[0].x, first[0].edges, first[0].edge_mask, first[0].node_mask,
     )["params"]
     opt = optax.adam(lr)
     opt_state = opt.init(params)
@@ -242,8 +264,15 @@ def train_dgi_multi(
 
     n_graphs = len(slides)
     batch = _round_up(n_graphs, n_dev) if n_dev > 1 else n_graphs
-    rng = np.random.default_rng(seed)
+    any_sampled = any(s["X_normalized"].shape[0] + 1 > max_nodes for s in slides)
+    padded = first
     for _epoch in range(epochs):
+        if any_sampled and _epoch > 0:
+            padded = graph_batch()  # fresh subgraphs each epoch
+        x = np.stack([g.x for g in padded])
+        edges = np.stack([g.edges for g in padded])
+        em = np.stack([g.edge_mask for g in padded])
+        nm = np.stack([g.node_mask for g in padded])
         # Corruption: per-graph node-feature row shuffle (DGI convention).
         perm = np.stack([rng.permutation(max_nodes) for _ in range(n_graphs)])
         xc = np.take_along_axis(x, perm[:, :, None], axis=1)
@@ -255,13 +284,10 @@ def train_dgi_multi(
         else:
             params, opt_state, _loss = train_step(params, opt_state, x, xc, edges, em, nm)
 
-    embed = jax.jit(
-        lambda p, a, b, c, d: model.apply({"params": p}, a, b, c, d, method=DGI.embed)
-    )
-    z_list = []
-    for i, s in enumerate(slides):
-        z = np.asarray(embed(params, x[i], edges[i], em[i], nm[i]))
-        z_list.append(z[: s["X_normalized"].shape[0]].astype(np.float32))
+    host_params = jax.tree_util.tree_map(np.asarray, params)
+    z_list = [
+        embed_full_graph(host_params, s["X_normalized"], s["edge_index"]) for s in slides
+    ]
     return params, z_list
 
 

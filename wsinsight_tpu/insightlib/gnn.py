@@ -136,6 +136,70 @@ class DGI(nn.Module):
         return loss
 
 
+def sample_subgraph(
+    x: np.ndarray,
+    edge_index: np.ndarray,
+    max_nodes: int,
+    max_edges: int,
+    rng: np.random.Generator,
+) -> PaddedGraph:
+    """Node-induced random subgraph padded to static shapes (Cluster-GCN style).
+
+    Keeps DGI training memory bounded for million-cell slide graphs: each step
+    sees a random chunk of nodes plus the edges among them.
+    """
+    n = x.shape[0]
+    take = min(max_nodes - 1, n)
+    nodes = rng.choice(n, size=take, replace=False)
+    remap = -np.ones(n, np.int64)
+    remap[nodes] = np.arange(take)
+    src, dst = edge_index
+    keep = (remap[src] >= 0) & (remap[dst] >= 0)
+    sub_edges = np.stack([remap[src[keep]], remap[dst[keep]]])
+    if sub_edges.shape[1] > max_edges:
+        sel = rng.choice(sub_edges.shape[1], size=max_edges, replace=False)
+        sub_edges = sub_edges[:, sel]
+    return pad_graph(x[nodes], sub_edges, max_nodes, max_edges)
+
+
+def embed_full_graph(params: dict, x: np.ndarray, edge_index: np.ndarray) -> np.ndarray:
+    """Exact full-graph GCN embedding on host sparse algebra (any graph size).
+
+    Mirrors GCNEncoder's math: two GCNConv layers (symmetric-normalized
+    propagation with self loops) with PReLU, using the trained params. Used
+    after subgraph-sampled training so embeddings stay exact.
+    """
+    from scipy import sparse
+
+    n = x.shape[0]
+    src, dst = edge_index
+    data = np.ones(len(src), np.float32)
+    a = sparse.coo_matrix((data, (dst, src)), shape=(n, n)).tocsr()
+    a.data[:] = 1.0
+    deg = np.asarray(a.sum(axis=1)).ravel() + 1.0  # self loops
+    dinv = 1.0 / np.sqrt(deg)
+
+    def propagate(h: np.ndarray) -> np.ndarray:
+        scaled = h * dinv[:, None]
+        agg = a @ scaled
+        agg = (agg + scaled) * dinv[:, None]
+        return agg
+
+    enc = params["encoder"]
+
+    def gcn(h, conv_params):
+        lin = conv_params["lin"]
+        h = h @ np.asarray(lin["kernel"]) + np.asarray(lin["bias"])
+        return propagate(h)
+
+    h = gcn(x.astype(np.float32), enc["conv1"])
+    a1 = float(np.asarray(enc["prelu1"])[0])
+    h = np.where(h > 0, h, a1 * h)
+    h = gcn(h, enc["conv2"])
+    a2 = float(np.asarray(enc["prelu2"])[0])
+    return np.where(h > 0, h, a2 * h).astype(np.float32)
+
+
 def make_dgi_train_step(model: DGI, optimizer, mesh=None):
     """Jitted DGI step over a *batch* of padded graphs, batch-sharded on mesh.
 
