@@ -51,6 +51,7 @@ class CellEngine:
         cfg = model_info.config
         compute_dtype = jnp.bfloat16 if mixed_precision else jnp.float32
         self.config = cfg
+        self.mixed_precision = mixed_precision
         self.model = create_model(cfg.architecture, cfg.num_classes, dtype=compute_dtype)
         # CellViT halo: the model crops its maps to the halo interior.
         if hasattr(self.model, "halo_size"):
@@ -129,6 +130,7 @@ def run_cell_inference(
         slide_mpp=mpp,
         model_mpp=cfg.spacing_um_px,
         min_object_size=min_object_size,
+        transfer_dtype="bfloat16" if getattr(engine, "mixed_precision", False) else "float32",
     )
 
     src = PatchBatchSource(
@@ -141,11 +143,11 @@ def run_cell_inference(
     with tqdm.tqdm(total=src.num_batches, desc="Inference", position=1, leave=False) as qbar:
         for batch in src:
             pred = engine.run_batch(batch.images)
+            # Keep maps on device: the stitcher's jitted half (softmax, resize,
+            # HV scaling) consumes them there; only the resized maps cross to
+            # host, once.
             pred = {k: v for k, v in pred.items() if k != "tissue_types"}
-            stitcher.accumulate_batch(
-                {k: np.asarray(v)[: batch.n_valid] for k, v in pred.items()},
-                batch.coords[: batch.n_valid],
-            )
+            stitcher.accumulate_batch(pred, batch.coords, n_valid=batch.n_valid)
             qbar.update(1)
     src.close()
 

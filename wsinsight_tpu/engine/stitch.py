@@ -43,7 +43,11 @@ class TileRemapStitcher:
         model_mpp: float,
         min_object_size: int = 20,
         memmap_above_bytes: int | None = None,
+        transfer_dtype: str = "float32",
     ):
+        # bf16 map transfer halves device->host bytes (the cell path's biggest
+        # per-batch transfer); used by the mixed-precision fast path.
+        self.transfer_dtype = transfer_dtype
         self.n_classes = n_classes
         self.slide_width = slide_width
         self.slide_height = slide_height
@@ -114,15 +118,18 @@ class TileRemapStitcher:
             hv_res = resize(hv, (b, 2, s, s)) * alpha
             tp_res = resize(tp_prob, (b, k, s, s))
             tp_res = tp_res / (tp_res.sum(axis=1, keepdims=True) + 1e-8)
+            out_dt = jnp.bfloat16 if self.transfer_dtype == "bfloat16" else jnp.float32
             return (
-                np_res,
-                jnp.transpose(hv_res, (0, 2, 3, 1)),
-                jnp.transpose(tp_res, (0, 2, 3, 1)),
+                np_res.astype(out_dt),
+                jnp.transpose(hv_res, (0, 2, 3, 1)).astype(out_dt),
+                jnp.transpose(tp_res, (0, 2, 3, 1)).astype(out_dt),
             )
 
         self._device_step = jax.jit(step)
 
-    def accumulate_batch(self, pred_dict: dict, batch_coords: np.ndarray) -> None:
+    def accumulate_batch(
+        self, pred_dict: dict, batch_coords: np.ndarray, n_valid: int | None = None
+    ) -> None:
         """Device post-process one batch and scatter into the host canvases.
 
         pred_dict accepts both key conventions (reference: tilefuse.py:225-230):
@@ -138,13 +145,14 @@ class TileRemapStitcher:
         if self._device_step is None:
             self._build_device_step()
         np_res, hv_res, tp_res = self._device_step(np_logits, hv, tp_logits)
-        np_res = np.asarray(np_res)
-        hv_res = np.asarray(hv_res)
-        tp_res = np.asarray(tp_res)
+        np_res = np.asarray(np_res).astype(np.float32)
+        hv_res = np.asarray(hv_res).astype(np.float32)
+        tp_res = np.asarray(tp_res).astype(np.float32)
 
         s = self.slide_patch_size
         coords = np.asarray(batch_coords, dtype=np.int64)[:, :2] + self.slide_halo_size
-        for i in range(np_res.shape[0]):
+        n = np_res.shape[0] if n_valid is None else min(n_valid, np_res.shape[0])
+        for i in range(n):
             x0, y0 = int(coords[i, 0]), int(coords[i, 1])
             x1, y1 = x0 + s, y0 + s
             cx0, cy0 = max(0, x0), max(0, y0)
