@@ -10,9 +10,9 @@ wsinsight/modellib/tilefuse.py:179-415):
   on a thread pool using the native C++ watershed.
 
 Memory note: the canvases are (H, W) f32 + (H, W, 2) f32 + (H, W, K) f32 —
-the reference carries the same ~(12+4K) bytes/px hazard (tilefuse.py:204-206);
-banded accumulation is the planned follow-up for slides where this exceeds
-host RAM.
+the reference OOMs when this ~(12+4K) bytes/px exceeds host RAM
+(tilefuse.py:204-206); above WSINSIGHT_CANVAS_MEMMAP_BYTES they are backed by
+disk memmaps so tiled finalize pages bands in and out.
 """
 
 from __future__ import annotations
