@@ -155,6 +155,38 @@ def test_cli_mutually_exclusive_model_args(tmp_path, purple_slide, model_files):
     assert "mutually exclusive" in res.output
 
 
+def test_compute_overlap_math():
+    """Step options -> overlap (reference: cli/patch.py:824-851)."""
+    import click
+
+    from wsinsight_tpu.cli._options import compute_overlap
+    from wsinsight_tpu.zoo import ModelConfiguration
+
+    cfg = ModelConfiguration(
+        architecture="resnet34", num_classes=2, class_names=["a", "b"],
+        patch_size_pixels=350, spacing_um_px=0.25,
+    )
+    assert compute_overlap(cfg, 0.0, 0.0, 0) == 0.0
+    assert compute_overlap(cfg, 0.25, 0.0, 0) == 0.25
+    # patch-size-um: full patch is 87.5 um; step of 43.75 um = 50% overlap.
+    assert compute_overlap(cfg, 0.0, 43.75, 0) == pytest.approx(0.5)
+    # patch-size-px: step of 175 px of 350 = 50% overlap.
+    assert compute_overlap(cfg, 0.0, 0.0, 175) == pytest.approx(0.5)
+    with pytest.raises(click.ClickException):
+        compute_overlap(cfg, 0.1, 10.0, 0)  # two options at once
+    with pytest.raises(click.ClickException):
+        compute_overlap(cfg, 0.0, 100.0, 0)  # um larger than the patch
+
+
+def test_upsert_by_key():
+    from wsinsight_tpu.insightlib.hplot import upsert_by_key
+
+    old = pd.DataFrame({"id": ["a", "b"], "v": [1, 2]})
+    new = pd.DataFrame({"id": ["b", "c"], "v": [20, 30]})
+    out = upsert_by_key(old, new, key="id")
+    assert out.set_index("id")["v"].to_dict() == {"a": 1, "b": 20, "c": 30}
+
+
 def test_cli_unknown_registered_model(tmp_path, purple_slide):
     runner = CliRunner()
     res = runner.invoke(
