@@ -40,7 +40,7 @@ def main() -> None:
 
     step = jax.jit(step)
 
-    batch_size = 256
+    batch_size = 512
     rng = np.random.default_rng(0)
     pool = [
         jax.device_put(rng.integers(0, 256, size=(batch_size, 350, 350, 3), dtype=np.uint8))
@@ -52,7 +52,7 @@ def main() -> None:
     _ = np.asarray(step(params, pool[0]))
     _ = np.asarray(step(params, pool[1]))
 
-    n_iters = 30
+    n_iters = 20
     t0 = time.perf_counter()
     out = None
     for i in range(n_iters):

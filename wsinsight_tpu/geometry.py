@@ -171,18 +171,17 @@ class MultiPolygon:
         x1, y1 = s.x1[cand], s.y1[cand]
         xlo = np.minimum(x0, x1) - eps
         xhi = np.maximum(x0, x1) + eps
-        # cross = (p - a) x (b - a) == 0 -> collinear
-        for j, x in enumerate(xs):
-            inbox = (xlo <= x) & (x <= xhi)
-            if not inbox.any():
-                continue
-            cross = (x - x0[inbox]) * (y1[inbox] - y0[inbox]) - (y - y0[inbox]) * (
-                x1[inbox] - x0[inbox]
-            )
-            # Scale tolerance by segment length to stay robust under contour scaling.
-            seglen = np.hypot(x1[inbox] - x0[inbox], y1[inbox] - y0[inbox])
-            out[j] = bool(np.any(np.abs(cross) <= eps * np.maximum(seglen, 1.0)))
-        return out
+        dx = x1 - x0
+        dy = y1 - y0
+        # Tolerance scaled by segment length for robustness under scaling.
+        tol = eps * np.maximum(np.hypot(dx, dy), 1.0)
+        # Vectorized over (points x candidate segments):
+        # cross = (p - a) x (b - a) == 0 -> collinear, plus bbox containment.
+        px = xs[:, None]
+        inbox = (xlo[None, :] <= px) & (px <= xhi[None, :])
+        cross = (px - x0[None, :]) * dy[None, :] - (y - y0[None, :]) * dx[None, :]
+        hit = inbox & (np.abs(cross) <= tol[None, :])
+        return hit.any(axis=1)
 
     # ------------------------------------------------------------------
     def contains_grid(
