@@ -215,18 +215,67 @@ class MultiPolygon:
         return out
 
     def contains_points(self, pts: npt.NDArray[np.floating]) -> npt.NDArray[np.bool_]:
-        """Containment for arbitrary points (N, 2), grouped by distinct y rows."""
+        """Containment for arbitrary points (N, 2).
+
+        Segments are bucketed by y so each point only tests the edges whose
+        y-span covers its row — O(N * avg-edges-per-bucket) instead of
+        O(N * edges), which keeps million-cell object modes fast.
+        """
         pts = np.asarray(pts, dtype=np.float64)
         out = np.zeros(len(pts), dtype=bool)
         if self.is_empty or len(pts) == 0:
             return out
-        order = np.argsort(pts[:, 1], kind="stable")
-        ys = pts[order, 1]
-        boundaries = np.flatnonzero(np.diff(ys) != 0) + 1
-        groups = np.split(order, boundaries)
-        for grp in groups:
-            y = pts[grp[0], 1]
-            xs = pts[grp, 0]
-            row = self.contains_grid(xs, np.array([y]))[0]
-            out[grp] = row
+        s = self._segs
+        ylo = np.minimum(s.y0, s.y1)
+        yhi = np.maximum(s.y0, s.y1)
+        ymin, ymax = float(ylo.min()), float(yhi.max())
+        if ymax <= ymin:
+            return out
+        n_buckets = max(1, min(4096, int(np.sqrt(len(s)) * 4)))
+        bh = (ymax - ymin) / n_buckets
+
+        def bucket_of(y):
+            return np.clip(((y - ymin) / bh).astype(np.int64), 0, n_buckets - 1)
+
+        # Per-bucket candidate segment lists (a segment spans its y-range).
+        b0 = bucket_of(ylo)
+        b1 = bucket_of(yhi)
+        bucket_segs: list[list[int]] = [[] for _ in range(n_buckets)]
+        for i in range(len(s)):
+            for b in range(b0[i], b1[i] + 1):
+                bucket_segs[b].append(i)
+
+        pb = bucket_of(pts[:, 1])
+        inside_range = (pts[:, 1] >= ymin) & (pts[:, 1] <= ymax)
+        for b in np.unique(pb[inside_range]):
+            idx = np.flatnonzero((pb == b) & inside_range)
+            cand = np.asarray(bucket_segs[b], dtype=np.int64)
+            if len(cand) == 0:
+                continue
+            px = pts[idx, 0][:, None]
+            py = pts[idx, 1][:, None]
+            x0, y0 = s.x0[cand][None, :], s.y0[cand][None, :]
+            x1, y1 = s.x1[cand][None, :], s.y1[cand][None, :]
+            clo = np.minimum(y0, y1)
+            chi = np.maximum(y0, y1)
+            # Half-open crossing rule [ylo, yhi) with the ray toward +x.
+            straddles = (clo <= py) & (py < chi)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                t = (py - y0) / (y1 - y0)
+                cx = x0 + t * (x1 - x0)
+            crossings = (straddles & (cx > px)).sum(axis=1)
+            inside = (crossings % 2) == 1
+            # Exclude points exactly on an edge (shapely-strict).
+            dx = x1 - x0
+            dy = y1 - y0
+            tol = 1e-9 * np.maximum(np.hypot(dx, dy), 1.0)
+            inbox = (
+                (np.minimum(x0, x1) - 1e-9 <= px)
+                & (px <= np.maximum(x0, x1) + 1e-9)
+                & (clo - 1e-9 <= py)
+                & (py <= chi + 1e-9)
+            )
+            cross = (px - x0) * dy - (py - y0) * dx
+            on_edge = (inbox & (np.abs(cross) <= tol)).any(axis=1)
+            out[idx] = inside & ~on_edge
         return out
