@@ -103,6 +103,28 @@ def test_shard_invariance(patched_results, local_model, purple_slide, tmp_path):
     np.testing.assert_allclose(probs[1], probs[8], atol=1e-6)
 
 
+def test_speedup_equivalence(tmp_path, patched_results, purple_slide, local_model):
+    """bf16 fast path stays close to the f32-parity path (the analog of the
+    reference's +/-speedup equivalence test, reference: tests/test_all.py:615-643)."""
+    from wsinsight_tpu.engine.data import PatchBatchSource
+    from wsinsight_tpu.engine.runner import ClassifierEngine
+
+    h5 = URIPath(str(patched_results / "patches" / "purple.h5"))
+    probs = {}
+    for mixed in (False, True):
+        engine = ClassifierEngine(local_model, mixed_precision=mixed, max_devices=1)
+        src = PatchBatchSource(
+            wsi_path=URIPath(str(purple_slide)), patch_path=h5,
+            use_hdf5_images=False, batch_size=16, num_threads=2,
+        )
+        batch = next(iter(src))
+        src.close()
+        probs[mixed] = engine.run_batch(batch.images, batch.n_valid)
+    # Same argmax everywhere; probabilities within the bf16 budget.
+    assert (probs[False].argmax(1) == probs[True].argmax(1)).all()
+    np.testing.assert_allclose(probs[True], probs[False], atol=0.05)
+
+
 def test_patch_source_hdf5_images(tmp_path):
     """PatchBatchSource serves /images caches without touching the slide
     (reference: modellib/data.py:198-236)."""
