@@ -199,7 +199,13 @@ class TileRemapStitcher:
             return [], [], []
 
         if num_workers is None or num_workers <= 0:
-            num_workers = max(1, (os.cpu_count() or 1) - 2)
+            # Adaptive sizing from CPU/RAM headroom (utils/workers.py), capped
+            # at cpu-2 like the reference (tilefuse.py:346-347).
+            from ..utils.workers import pick_workers_safe
+
+            num_workers = pick_workers_safe(
+                max_workers=max(1, (os.cpu_count() or 1) - 2), min_workers=1
+            )
 
         inst_all: List[np.ndarray] = []
         prob_all: List[np.ndarray] = []
