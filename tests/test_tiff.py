@@ -63,6 +63,60 @@ def test_packbits():
     assert out == bytes([0xAA] * 3 + [0x80, 0x00, 0x2A] + [0xAA] * 4 + [0x80, 0x00, 0x2A, 0x22] + [0xAA] * 10)
 
 
+def _split_jpeg_tables(full: bytes):
+    """Split a JPEG stream into (tables stream, abbreviated stream) the way
+    SVS files ship tiles: DQT/DHT in the JPEGTables tag, the rest per tile."""
+    assert full[:2] == b"\xff\xd8"
+    pos = 2
+    tables = b""
+    body = b""
+    while pos < len(full):
+        assert full[pos] == 0xFF
+        marker = full[pos + 1]
+        if marker == 0xD9:  # EOI
+            body += full[pos : pos + 2]
+            break
+        if 0xD0 <= marker <= 0xD7 or marker == 0x01:  # standalone markers
+            body += full[pos : pos + 2]
+            pos += 2
+            continue
+        seglen = int.from_bytes(full[pos + 2 : pos + 4], "big")
+        segment = full[pos : pos + 2 + seglen]
+        if marker in (0xDB, 0xC4):  # DQT / DHT -> tables
+            tables += segment
+        else:
+            body += segment
+        pos += 2 + seglen
+        if marker == 0xDA:  # SOS: entropy data until EOI
+            end = full.rfind(b"\xff\xd9")
+            body += full[pos:end]
+            body += b"\xff\xd9"
+            break
+    return b"\xff\xd8" + tables + b"\xff\xd9", b"\xff\xd8" + body
+
+
+def test_jpegtables_abbreviated_stream_decode():
+    """JPEGTables splicing (reference slides ship abbreviated per-tile JPEG
+    streams with shared tables in tag 347)."""
+    import cv2
+
+    from wsinsight_tpu.wsi.tiff import TiffPage
+
+    img = _rand_img(128, 128, seed=9)
+    ok, enc = cv2.imencode(".jpg", img[:, :, ::-1], [cv2.IMWRITE_JPEG_QUALITY, 95])
+    assert ok
+    full = enc.tobytes()
+    tables, body = _split_jpeg_tables(full)
+    # Sanity: the abbreviated body alone lacks tables.
+    assert b"\xdb" != body[3:4]
+
+    page = TiffPage.__new__(TiffPage)
+    page.jpeg_tables = tables
+    decoded = page._jpeg_decode(body)
+    reference = cv2.imdecode(np.frombuffer(full, np.uint8), cv2.IMREAD_COLOR)[:, :, ::-1]
+    np.testing.assert_array_equal(decoded, reference)
+
+
 def test_pyramid_levels(tmp_path):
     img = _rand_img(512, 768, seed=2)
     path = tmp_path / "pyr.tif"
