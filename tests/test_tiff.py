@@ -184,6 +184,78 @@ def test_grayscale_page_reads_as_rgb(tmp_path):
     np.testing.assert_array_equal(region[:, :, 0], region[:, :, 1])
 
 
+def test_big_endian_tiff(tmp_path):
+    """Hand-built MM (big-endian) classic TIFF, single uncompressed strip."""
+    import struct
+
+    img = _rand_img(4, 6, seed=11)
+    data = img.tobytes()
+    path = tmp_path / "be.tif"
+
+    def entry(tag, dtype, count, value):
+        return struct.pack(">HHI4s", tag, dtype, count, value)
+
+    data_off = 8
+    ifd_off = data_off + len(data)
+    entries = [
+        entry(256, 3, 1, struct.pack(">HH", 6, 0)),   # width
+        entry(257, 3, 1, struct.pack(">HH", 4, 0)),   # height
+        entry(258, 3, 3, struct.pack(">I", ifd_off + 2 + 10 * 12 + 4)),  # bits offset
+        entry(259, 3, 1, struct.pack(">HH", 1, 0)),   # compression none
+        entry(262, 3, 1, struct.pack(">HH", 2, 0)),   # RGB
+        entry(273, 4, 1, struct.pack(">I", data_off)),  # strip offset
+        entry(277, 3, 1, struct.pack(">HH", 3, 0)),   # samples
+        entry(278, 3, 1, struct.pack(">HH", 4, 0)),   # rows per strip
+        entry(279, 4, 1, struct.pack(">I", len(data))),  # strip bytes
+        entry(284, 3, 1, struct.pack(">HH", 1, 0)),   # planar contiguous
+    ]
+    with open(path, "wb") as fh:
+        fh.write(b"MM" + struct.pack(">HI", 42, ifd_off))
+        fh.write(data)
+        fh.write(struct.pack(">H", len(entries)))
+        for e in entries:
+            fh.write(e)
+        fh.write(struct.pack(">I", 0))  # next IFD
+        fh.write(struct.pack(">HHH", 8, 8, 8))  # out-of-line BitsPerSample
+
+    with TiffFile(str(path)) as tf:
+        assert tf.byteorder == ">"
+        np.testing.assert_array_equal(tf.pages[0].asarray(), img)
+
+
+def test_predictor2_decode():
+    """Horizontal-differencing predictor undo on a synthetic segment."""
+    import zlib
+
+    from wsinsight_tpu.wsi.tiff import COMPRESSION_DEFLATE_ADOBE, TiffPage
+
+    img = _rand_img(8, 16, seed=12)
+    diffed = img.astype(np.int16).copy()
+    diffed[:, 1:, :] -= img[:, :-1, :].astype(np.int16)
+    raw = zlib.compress(diffed.astype(np.uint8).tobytes())
+
+    page = TiffPage.__new__(TiffPage)
+    page.compression = COMPRESSION_DEFLATE_ADOBE
+    page.predictor = 2
+    page.samples = 3
+    page.is_tiled = True
+    page.tile_width = 16
+    page.tile_height = 8
+
+    class FakeFH:
+        def __init__(self, blob):
+            self.blob = blob
+        def seek(self, off):
+            self.off = off
+        def read(self, n):
+            return self.blob[self.off : self.off + n]
+
+    page.fh = FakeFH(raw)
+    page.offsets = np.array([0])
+    page.bytecounts = np.array([len(raw)])
+    np.testing.assert_array_equal(page.decode_segment(0), img)
+
+
 def test_thumbnail(purple_slide):
     slide = TpuSlide(str(purple_slide))
     thumb = slide.get_thumbnail((2048, 2048))
