@@ -104,6 +104,71 @@ def test_enrichment_and_regions_and_border():
     assert hm["peri"]["abundance_score"] > hm["intra"]["abundance_score"]
 
 
+def test_sparse_analytics_match_naive_bfs():
+    """The sparse-matrix rewrite must agree with a naive per-cell BFS oracle
+    (the reference's algorithm, insight_helpers.py:180-233,321-408)."""
+    from collections import deque
+
+    rng = np.random.default_rng(3)
+    n = 120
+    pts = rng.uniform(0, 300, size=(n, 2))
+    edges = delaunay_triangulation(pts, 40.0)
+    adj_dict: dict[int, list[int]] = {}
+    for _, r in edges.iterrows():
+        adj_dict.setdefault(int(r.source), []).append(int(r.target))
+        adj_dict.setdefault(int(r.target), []).append(int(r.source))
+
+    def bfs_reach(start, k):
+        seen = {start}
+        q = deque([(start, 0)])
+        while q:
+            u, d = q.popleft()
+            if d == k:
+                continue
+            for v in adj_dict.get(u, []):
+                if v not in seen:
+                    seen.add(v)
+                    q.append((v, d + 1))
+        return seen
+
+    adj = edges_to_csr(edges, n)
+    reach = k_hop_reachability(adj, 2)
+    for i in range(n):
+        got = set(reach[i].indices.tolist())
+        assert got == bfs_reach(i, 2), f"node {i}"
+
+    df = pd.DataFrame(
+        {
+            "is_base_type": rng.random(n) < 0.4,
+            "is_target_type": rng.random(n) < 0.3,
+        }
+    )
+    df = compute_enrichment_index(df.copy(), reach)
+    eps = 1e-6
+    for i in rng.choice(n, 20, replace=False):
+        ids = sorted(bfs_reach(int(i), 2))
+        t = df["is_target_type"].iloc[ids].sum() / len(ids)
+        b = df["is_base_type"].iloc[ids].sum() / len(ids)
+        expected = t * t / (t + b + eps)
+        assert df["hplot_enrichment_index"].iloc[int(i)] == pytest.approx(expected)
+
+
+def test_concurrent_region_reads(purple_slide):
+    """Thread-parallel read_region equals sequential (shared-handle lock)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from wsinsight_tpu.wsi.slide import TpuSlide
+
+    slide = TpuSlide(str(purple_slide), tile_cache_mb=1)  # tiny cache -> real reads
+    rng = np.random.default_rng(0)
+    locs = [(int(x), int(y)) for x, y in rng.integers(0, 3800, size=(64, 2))]
+    seq = [slide.read_region_array(loc, 0, (96, 96)).copy() for loc in locs]
+    with ThreadPoolExecutor(max_workers=8) as ex:
+        par = list(ex.map(lambda L: slide.read_region_array(L, 0, (96, 96)), locs))
+    for a, b in zip(seq, par):
+        np.testing.assert_array_equal(a, b)
+
+
 def test_hplot_generation_end_to_end(purple_slide, tmp_path):
     from wsinsight_tpu.insightlib import hplot_generation
     from wsinsight_tpu.uri_path import URIPath
