@@ -40,7 +40,11 @@ def main() -> None:
 
     step = jax.jit(step)
 
-    batch_size = 512
+    import os
+
+    # WSINSIGHT_BENCH_FAST shrinks shapes for CI smoke runs (CPU).
+    fast = os.getenv("WSINSIGHT_BENCH_FAST", "0") not in ("0", "")
+    batch_size = 16 if fast else 512
     rng = np.random.default_rng(0)
     pool = [
         jax.device_put(rng.integers(0, 256, size=(batch_size, 350, 350, 3), dtype=np.uint8))
@@ -52,7 +56,7 @@ def main() -> None:
     _ = np.asarray(step(params, pool[0]))
     _ = np.asarray(step(params, pool[1]))
 
-    n_iters = 20
+    n_iters = 3 if fast else 20
     t0 = time.perf_counter()
     out = None
     for i in range(n_iters):

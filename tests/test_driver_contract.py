@@ -1,0 +1,53 @@
+"""Guards for the external driver contract: bench JSON line and graft entry."""
+
+import json
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+
+def test_graft_entry_single_chip():
+    """entry() returns a jittable fn + example args (driver compile check)."""
+    import jax
+
+    sys.path.insert(0, ".")
+    from __graft_entry__ import entry
+
+    fn, args = entry()
+    out = np.asarray(jax.jit(fn)(*args))
+    assert out.shape == (args[1].shape[0], 2)
+    np.testing.assert_allclose(out.sum(axis=1), 1.0, atol=1e-4)
+
+
+@pytest.mark.slow
+def test_graft_entry_multichip_dryrun():
+    """dryrun_multichip executes the sharded inference + DGI train step."""
+    sys.path.insert(0, ".")
+    from __graft_entry__ import dryrun_multichip
+
+    import jax
+
+    dryrun_multichip(min(8, len(jax.devices())))
+
+
+@pytest.mark.slow
+def test_bench_emits_single_json_line():
+    """bench.py prints exactly one JSON object with the required keys."""
+    env = dict(
+        PATH="/usr/bin:/bin:/usr/local/bin",
+        HOME="/root",
+        JAX_PLATFORMS="cpu",
+        PALLAS_AXON_POOL_IPS="",
+        WSINSIGHT_BENCH_FAST="1",
+    )
+    res = subprocess.run(
+        [sys.executable, "bench.py"], capture_output=True, text=True, timeout=1200, env=env
+    )
+    assert res.returncode == 0, res.stderr[-2000:]
+    lines = [ln for ln in res.stdout.strip().splitlines() if ln.startswith("{")]
+    assert len(lines) == 1
+    payload = json.loads(lines[0])
+    assert set(payload) == {"metric", "value", "unit", "vs_baseline"}
+    assert payload["value"] > 0
