@@ -23,13 +23,11 @@ def test_graft_entry_single_chip():
 
 @pytest.mark.slow
 def test_graft_entry_multichip_dryrun():
-    """dryrun_multichip executes the sharded inference + DGI train step."""
+    """dryrun_multichip(8) — EXACTLY the driver's call, no env adaptation."""
     sys.path.insert(0, ".")
     from __graft_entry__ import dryrun_multichip
 
-    import jax
-
-    dryrun_multichip(min(8, len(jax.devices())))
+    dryrun_multichip(8)
 
 
 @pytest.mark.slow
