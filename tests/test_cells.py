@@ -62,6 +62,27 @@ def test_proc_np_hv_empty():
     assert inst.sum() == 0
 
 
+def test_extract_instances_lists_stay_aligned():
+    """bbox/prob/polygon lists are the same length even with 1-px instances.
+
+    A single-pixel instance has a degenerate (<3 vertex) contour; the
+    reference kept its bbox+prob but dropped its polygon, desynchronising
+    the /polygons group from the CSV rows. We drop it from all three.
+    """
+    from wsinsight_tpu.ops.hv_postproc import extract_instances
+
+    np_map, hv_map, tp_map = _synthetic_nuclei()
+    np_map[3, 3] = 1.0  # isolated single pixel -> degenerate contour
+    inst, prob, poly = extract_instances(
+        np_map, hv_map, tp_map, 0, 0, (slice(0, 256), slice(0, 256)),
+        min_object_size=0,
+    )
+    assert len(inst) == len(prob) == len(poly)
+    assert len(inst) >= 3  # the three real nuclei survive
+    # and no returned bbox is the 1-px degenerate
+    assert all(int(b[0, 2]) * int(b[0, 3]) > 1 for b in inst)
+
+
 def test_stitcher_end_to_end():
     from wsinsight_tpu.engine.stitch import TileRemapStitcher
 

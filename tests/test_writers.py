@@ -211,6 +211,44 @@ def test_omecsv_header_and_content(tmp_path):
     assert len(lines) == 3
 
 
+def test_omecsv_vectorized_rows_match_scalar_oracle():
+    """The column-wise string assembly is byte-identical to naive f-strings."""
+    from wsinsight_tpu.writers.omecsv import _dataframe_to_omecsv
+
+    rng = np.random.default_rng(7)
+    n = 40
+    probs = rng.random((n, 3))
+    probs[:, 2] = np.round(probs[:, 2], 1)  # mix of long and short float reprs
+    df = pd.DataFrame({f"prob_{c}": probs[:, i] for i, c in enumerate("abc")})
+    minx2 = rng.integers(0, 99999, n)
+    miny2 = rng.integers(0, 99999, n)
+    maxx2, maxy2 = minx2 + 224, miny2 + 224
+
+    got = _dataframe_to_omecsv(df, list(df.columns), minx2, miny2, maxx2, maxy2)
+
+    arr = df.to_numpy()
+    names = np.array(list("abc"))
+    expect = [
+        "object,secondary_object,polygon,objectType,classification,"
+        "prob_a,prob_b,prob_c"
+    ]
+    for i in range(n):
+        ring = ",".join(
+            [
+                f"{maxx2[i]} {miny2[i]}",
+                f"{maxx2[i]} {maxy2[i]}",
+                f"{minx2[i]} {maxy2[i]}",
+                f"{minx2[i]} {miny2[i]}",
+                f"{maxx2[i]} {miny2[i]}",
+            ]
+        )
+        expect.append(
+            f'{i},{i},"POLYGON (({ring}))",tile,'
+            f"{names[arr[i].argmax()]},{','.join(map(str, arr[i]))}"
+        )
+    assert got == "\n".join(expect)
+
+
 def test_write_omecsvs_batch_and_resume(tmp_path):
     csv_dir = tmp_path / "csvs"
     csv_dir.mkdir()

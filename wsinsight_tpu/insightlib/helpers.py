@@ -290,16 +290,62 @@ def compute_hplot(df_with_distances: pd.DataFrame, filtered_edges_df: pd.DataFra
 
 
 # ----------------------------------------------------------------------------
-# H-metrics (faithful port of reference: insight_helpers.py:815-1020)
+# H-metrics — border-layer summary scores
+#
+# Same metric definitions as the reference (insight_helpers.py:815-1020) —
+# the numbers are a parity contract — computed here from numpy per-layer
+# aggregates with one shared scorer for the intra/peri sides.
 # ----------------------------------------------------------------------------
 
+_HMETRIC_COLUMNS = ("layer", "target_type_prop", "base_type_prop", "distance")
+_EPS = 1e-6
 
-def _reindex_nearest(series: pd.Series, target_levels: Iterable[int]) -> pd.Series:
-    target_levels = list(target_levels)
-    if series.empty:
-        return pd.Series([np.nan] * len(target_levels), index=target_levels, dtype=float)
-    s = series.sort_index()
-    return s.reindex(target_levels, method="nearest").astype(float)
+
+def _slides_covering_range(
+    df: pd.DataFrame, range_min: int | None, range_max: int | None
+) -> pd.DataFrame:
+    """Keep only slides whose observed layers span [range_min, range_max]."""
+    layers = pd.to_numeric(df["layer"], errors="coerce")
+    ok = df["id"].notna() & layers.notna()
+    if not ok.any():
+        return df.iloc[0:0].copy()
+    extent = layers[ok].astype(int).groupby(df["id"][ok]).agg(["min", "max"])
+    covering = extent.index[(extent["min"] <= range_min) & (extent["max"] >= range_max)]
+    return df[df["id"].isin(covering)].copy()
+
+
+def _clean_rows(df: pd.DataFrame) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Coerce the four metric columns to floats and drop incomplete rows."""
+    layer = pd.to_numeric(df["layer"], errors="coerce").to_numpy(dtype=float)
+    target = pd.to_numeric(df["target_type_prop"], errors="coerce").to_numpy(dtype=float)
+    tumor = pd.to_numeric(df["base_type_prop"], errors="coerce").to_numpy(dtype=float)
+    dist = pd.to_numeric(df["distance"], errors="coerce").to_numpy(dtype=float)
+    keep = (
+        np.isfinite(layer) & np.isfinite(target) & np.isfinite(tumor) & np.isfinite(dist)
+    )
+    return (
+        layer[keep].astype(int),
+        np.clip(target[keep], 0.0, 1.0),
+        np.clip(tumor[keep], 0.0, 1.0),
+        dist[keep],
+    )
+
+
+def _per_layer_mean(layer: np.ndarray, values: np.ndarray) -> pd.Series:
+    """Mean of `values` per unique layer, as a layer-indexed Series."""
+    levels, inverse = np.unique(layer, return_inverse=True)
+    sums = np.bincount(inverse, weights=values)
+    counts = np.bincount(inverse)
+    return pd.Series(sums / counts, index=levels.astype(int), dtype=float)
+
+
+def _fill_levels(by_layer: pd.Series, side: str, levels: list[int]) -> pd.Series:
+    """Restrict a per-layer series to one side of the border and fill the
+    requested level grid from the nearest observed layer."""
+    subset = by_layer[by_layer.index <= 0] if side == "inside" else by_layer[by_layer.index >= 1]
+    if subset.empty:
+        return pd.Series(np.nan, index=levels, dtype=float)
+    return subset.sort_index().reindex(levels, method="nearest").astype(float)
 
 
 def _depth_weights(levels, mode, s, range_min, range_max, side) -> pd.Series:
@@ -320,29 +366,116 @@ def _depth_weights(levels, mode, s, range_min, range_max, side) -> pd.Series:
     return pd.Series(w, index=levels, dtype=float)
 
 
-def _center_of_mass(values: pd.Series, coords: pd.Series) -> float:
-    v = np.asarray(values.values, dtype=float)
+def _mass_center(mass: pd.Series, coords: pd.Series) -> float:
+    """Coordinate of the center of mass; NaN when there is no positive mass."""
+    m = np.asarray(mass.values, dtype=float)
     x = np.asarray(coords.values, dtype=float)
-    m = np.isfinite(v) & np.isfinite(x) & (v > 0)
-    if not np.any(m):
+    use = np.isfinite(m) & np.isfinite(x) & (m > 0)
+    if not use.any():
         return np.nan
-    v, x = v[m], x[m]
-    return float(np.sum(v * x) / np.sum(v))
+    return float(np.sum(m[use] * x[use]) / np.sum(m[use]))
 
 
-def _safe_mean(series: pd.Series) -> float:
-    if series is None or len(series) == 0:
-        return 0.0
-    return float(np.nanmean(series.values))
+def _common_scores(
+    target: pd.Series, tumor: pd.Series, depth_w: pd.Series
+) -> Dict[str, float]:
+    """Scores shared by both sides: abundance + the two enrichment indices."""
+    abundance = 0.0 if target.empty else float(np.nanmean(target.values))
 
-
-def _weighted_mean(numer: pd.Series, denom: pd.Series) -> float:
+    # Layerwise: enrichment ratio per layer, averaged with target-mass x
+    # depth weights, only over layers where any cells were observed.
+    ratio = (target / (target + tumor + _EPS)).clip(0.0, 1.0)
+    observed = (target + tumor) > 0
+    weight = (target * depth_w).where(observed, np.nan)
+    numer = (ratio * weight).where(observed, np.nan)
     nv = np.asarray(numer.values, dtype=float)
-    dv = np.asarray(denom.values, dtype=float)
-    m = np.isfinite(nv) & np.isfinite(dv) & (dv > 0)
-    if not np.any(m):
-        return 0.0
-    return float(np.sum(nv[m]) / np.sum(dv[m]))
+    wv = np.asarray(weight.values, dtype=float)
+    use = np.isfinite(nv) & np.isfinite(wv) & (wv > 0)
+    layerwise = float(np.sum(nv[use]) / np.sum(wv[use])) if use.any() else 0.0
+
+    t_mean = 0.0 if target.empty else float(np.nanmean(target.values))
+    b_mean = 0.0 if tumor.empty else float(np.nanmean(tumor.values))
+    global_ei = float(t_mean / (t_mean + b_mean + _EPS))
+    return {
+        "abundance_score": abundance,
+        "layerwise_enrichment_index": layerwise,
+        "global_enrichment_index": global_ei,
+    }
+
+
+def _intra_scores(
+    target: pd.Series, tumor: pd.Series, dist: pd.Series, depth_w: pd.Series,
+    range_min: int,
+) -> Dict[str, float]:
+    out = _common_scores(target, tumor, depth_w)
+
+    # Convergence: signed center of mass of the target distribution over the
+    # strictly-inside layers, using |distance| as the coordinate.
+    inside = target[target.index < 0]
+    depth_mag = (-dist).clip(lower=0.0).reindex(inside.index)
+    if len(inside) and float(np.nansum(inside.values)) > 0.0:
+        out["convergence_distance"] = -float(_mass_center(inside, depth_mag))
+    else:
+        out["convergence_distance"] = 0.0
+
+    # Penetration: mean layer depth of the target mass over the full inside
+    # grid, normalized by the requested range.
+    if len(target) and float(np.nansum(target.values)) > 0.0:
+        level_depth = pd.Series(
+            np.abs(np.asarray(target.index, dtype=float)), index=target.index
+        )
+        mean_depth = float(
+            np.nansum((level_depth * target).values) / np.nansum(target.values)
+        )
+        out["penetration_score"] = float(
+            np.clip(mean_depth / max(abs(int(range_min)), 1), 0.0, 1.0)
+        )
+    else:
+        out["penetration_score"] = 0.0
+
+    out["weighted_global_enrichment_index"] = (
+        out["penetration_score"] * out["global_enrichment_index"]
+    )
+    return out
+
+
+def _peri_scores(
+    target: pd.Series, tumor: pd.Series, dist: pd.Series, depth_w: pd.Series
+) -> Dict[str, float]:
+    out = _common_scores(target, tumor, depth_w)
+
+    # Proximity: how close the outside target mass sits to the border —
+    # 1 at the border, 0 at the farthest observed layer.
+    if float(np.nansum(target.values)) > 0 and len(dist) > 0:
+        com = _mass_center(target, dist)
+        farthest = float(np.nanmax(dist.values)) or 0.0
+        out["proximity_score"] = (
+            float(np.clip(1.0 - (com / farthest), 0.0, 1.0)) if farthest > 0 else 1.0
+        )
+        out["convergence_distance"] = float(com)
+    else:
+        out["proximity_score"] = 0.0
+        out["convergence_distance"] = float(np.nanmax(dist.values)) if len(dist) else 0.0
+
+    out["weighted_global_enrichment_index"] = (
+        out["proximity_score"] * out["global_enrichment_index"]
+    )
+    return out
+
+
+def _empty_hmetrics() -> Dict[str, Any]:
+    base = {
+        "convergence_distance": 0.0,
+        "abundance_score": 0.0,
+        "layerwise_enrichment_index": 0.0,
+        "global_enrichment_index": np.nan,
+        "weighted_global_enrichment_index": 0.0,
+    }
+    return {
+        "valid": False,
+        "intra": {**base, "penetration_score": 0.0},
+        "peri": {**base, "proximity_score": 0.0},
+    }
 
 
 def compute_hmetrics(
@@ -355,139 +488,37 @@ def compute_hmetrics(
 ) -> Dict[str, Any]:
     """Intra/peri convergence, abundance, penetration/proximity, and
     enrichment indices across border layers."""
-    df_work = hplot_df
+    df = hplot_df
     if hplot_samples_with_valid_range_only and ("id" in hplot_df.columns):
-        layer_clean = pd.to_numeric(hplot_df["layer"], errors="coerce")
-        img_layer = pd.concat(
-            [hplot_df["id"], layer_clean.rename("layer")], axis=1
-        ).dropna(subset=["id", "layer"])
-        img_layer["layer"] = img_layer["layer"].astype(int)
-        if not img_layer.empty:
-            per_img = img_layer.groupby("id")["layer"].agg(["min", "max"]).astype(int)
-            valid_mask = (per_img["min"] <= range_min) & (per_img["max"] >= range_max)
-            df_work = hplot_df[hplot_df["id"].isin(per_img.index[valid_mask])].copy()
-        else:
-            df_work = hplot_df.iloc[0:0].copy()
+        df = _slides_covering_range(hplot_df, range_min, range_max)
 
-    for col in ("layer", "target_type_prop", "base_type_prop", "distance"):
-        if col not in df_work.columns:
+    for col in _HMETRIC_COLUMNS:
+        if col not in df.columns:
             raise KeyError(f"missing required column '{col}'")
 
-    layer = pd.to_numeric(df_work["layer"], errors="coerce").astype("Int64")
-    target_prop = pd.to_numeric(df_work["target_type_prop"], errors="coerce").clip(0.0, 1.0)
-    tumor_prop = pd.to_numeric(df_work["base_type_prop"], errors="coerce").clip(0.0, 1.0)
-    distance = pd.to_numeric(df_work["distance"], errors="coerce")
-
-    m = layer.notna() & target_prop.notna() & tumor_prop.notna() & distance.notna()
-    layer, target_prop, tumor_prop, distance = (
-        layer[m].astype(int), target_prop[m], tumor_prop[m], distance[m],
-    )
-
-    if len(layer) == 0 or range_max is None or range_min is None:
-        empty_side = {
-            "convergence_distance": 0.0,
-            "abundance_score": 0.0,
-            "layerwise_enrichment_index": 0.0,
-            "global_enrichment_index": np.nan,
-            "weighted_global_enrichment_index": 0.0,
-        }
-        return {
-            "valid": False,
-            "intra": {**empty_side, "penetration_score": 0.0},
-            "peri": {**empty_side, "proximity_score": 0.0},
-        }
-
-    obs_min, obs_max = int(layer.min()), int(layer.max())
-    valid = (range_min >= obs_min) and (range_max <= obs_max)
-
-    target_by_layer = target_prop.groupby(layer).mean()
-    tumor_by_layer = tumor_prop.groupby(layer).mean()
-    dist_by_layer = distance.groupby(layer).mean()
+    layer, target, tumor, dist = _clean_rows(df)
+    if layer.size == 0 or range_max is None or range_min is None:
+        return _empty_hmetrics()
 
     inside_levels = list(range(0, range_min - 1, -1))
     outside_levels = list(range(1, range_max + 1))
 
-    target_intra = _reindex_nearest(target_by_layer[target_by_layer.index <= 0], inside_levels).clip(0.0, 1.0)
-    target_peri = _reindex_nearest(target_by_layer[target_by_layer.index >= 1], outside_levels).clip(0.0, 1.0)
-    tumor_intra = _reindex_nearest(tumor_by_layer[tumor_by_layer.index <= 0], inside_levels).clip(0.0, 1.0)
-    tumor_peri = _reindex_nearest(tumor_by_layer[tumor_by_layer.index >= 1], outside_levels).clip(0.0, 1.0)
-    dist_intra = _reindex_nearest(dist_by_layer[dist_by_layer.index <= 0], inside_levels)
-    dist_peri = _reindex_nearest(dist_by_layer[dist_by_layer.index >= 1], outside_levels)
+    target_by = _per_layer_mean(layer, target)
+    tumor_by = _per_layer_mean(layer, tumor)
+    dist_by = _per_layer_mean(layer, dist)
 
-    p_intra, p_peri = target_intra, target_peri
-    abundance_intra = _safe_mean(p_intra)
-    abundance_peri = _safe_mean(p_peri)
-
-    total_p_out = float(np.nansum(p_peri.values))
-    if total_p_out > 0 and len(dist_peri) > 0:
-        com_out = _center_of_mass(p_peri, dist_peri)
-        d_out_max = float(np.nanmax(dist_peri.values)) or 0.0
-        proximity_peri = (
-            float(np.clip(1.0 - (com_out / d_out_max), 0.0, 1.0)) if d_out_max > 0 else 1.0
+    def side(which: str, levels: list[int]):
+        return (
+            _fill_levels(target_by, which, levels).clip(0.0, 1.0),
+            _fill_levels(tumor_by, which, levels).clip(0.0, 1.0),
+            _fill_levels(dist_by, which, levels),
+            _depth_weights(levels, depth_weight_mode, s, range_min, range_max, which),
         )
-        convergence_distance_out = float(com_out)
-    else:
-        proximity_peri = 0.0
-        convergence_distance_out = float(np.nanmax(dist_peri.values)) if len(dist_peri) else 0.0
 
-    depth_intra_mag = (-dist_intra).clip(lower=0.0)
-    p_intra_neg = p_intra[p_intra.index < 0]
-    depth_intra_neg = depth_intra_mag.reindex(p_intra_neg.index)
-    if len(p_intra_neg) and float(np.nansum(p_intra_neg.values)) > 0.0:
-        com_in_mag = _center_of_mass(p_intra_neg, depth_intra_neg)
-        convergence_distance_intra = -float(com_in_mag)
-    else:
-        convergence_distance_intra = 0.0
-
-    max_depth = max(abs(int(range_min)), 1)
-    if len(p_intra) and float(np.nansum(p_intra.values)) > 0.0:
-        all_depths = pd.Series([abs(lv) for lv in inside_levels], index=inside_levels, dtype=float)
-        mean_depth = float(np.nansum((all_depths * p_intra).values) / np.nansum(p_intra.values))
-        penetration_intra = float(np.clip(mean_depth / max_depth, 0.0, 1.0))
-    else:
-        penetration_intra = 0.0
-
-    eps = 1e-6
-    r_intra = (target_intra / (target_intra + tumor_intra + eps)).clip(0.0, 1.0)
-    r_peri = (target_peri / (target_peri + tumor_peri + eps)).clip(0.0, 1.0)
-    valid_intra = (target_intra + tumor_intra) > 0
-    valid_peri = (target_peri + tumor_peri) > 0
-
-    w_depth_intra = _depth_weights(inside_levels, depth_weight_mode, s, range_min, range_max, "inside")
-    w_depth_peri = _depth_weights(outside_levels, depth_weight_mode, s, range_min, range_max, "outside")
-
-    w_intra = (p_intra * w_depth_intra).where(valid_intra, np.nan)
-    w_peri = (p_peri * w_depth_peri).where(valid_peri, np.nan)
-    num_intra = (r_intra * w_intra).where(valid_intra, np.nan)
-    num_peri = (r_peri * w_peri).where(valid_peri, np.nan)
-
-    layerwise_enrichment_intra = _weighted_mean(num_intra, w_intra)
-    layerwise_enrichment_peri = _weighted_mean(num_peri, w_peri)
-
-    target_intra_mean = _safe_mean(target_intra)
-    tumor_intra_mean = _safe_mean(tumor_intra)
-    target_peri_mean = _safe_mean(target_peri)
-    tumor_peri_mean = _safe_mean(tumor_peri)
-
-    global_enrichment_intra = float(target_intra_mean / (target_intra_mean + tumor_intra_mean + eps))
-    global_enrichment_peri = float(target_peri_mean / (target_peri_mean + tumor_peri_mean + eps))
-
+    intra = _intra_scores(*side("inside", inside_levels), range_min=range_min)
+    peri = _peri_scores(*side("outside", outside_levels))
     return {
-        "valid": valid,
-        "intra": {
-            "convergence_distance": convergence_distance_intra,
-            "abundance_score": abundance_intra,
-            "penetration_score": penetration_intra,
-            "layerwise_enrichment_index": layerwise_enrichment_intra,
-            "global_enrichment_index": global_enrichment_intra,
-            "weighted_global_enrichment_index": penetration_intra * global_enrichment_intra,
-        },
-        "peri": {
-            "convergence_distance": convergence_distance_out,
-            "abundance_score": abundance_peri,
-            "proximity_score": proximity_peri,
-            "layerwise_enrichment_index": layerwise_enrichment_peri,
-            "global_enrichment_index": global_enrichment_peri,
-            "weighted_global_enrichment_index": proximity_peri * global_enrichment_peri,
-        },
+        "valid": (range_min >= int(layer.min())) and (range_max <= int(layer.max())),
+        "intra": intra,
+        "peri": peri,
     }

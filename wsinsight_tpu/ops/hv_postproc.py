@@ -1,17 +1,34 @@
 """HoVer-Net-style nucleus instance extraction from NP/HV maps (host CPU).
 
-Behavioral re-creation of the reference post-processing (reference:
-wsinsight/modellib/tilefuse.py:39-174): threshold np>=0.5, small-object
-removal, Sobel(ksize=21) ridge map on min-max-normalized HV, distance =
--GaussianBlur(1-ridge), markers = fill_holes + morphological open + label,
-marker watershed, then per-instance bbox / per-class mean prob / external
-contour polygon. scikit-image calls are replaced by scipy/cv2 plus the
-in-house (native C++) watershed.
+Splits a nucleus-probability map into individual instances using the
+horizontal/vertical offset maps, then measures each instance. The numeric
+recipe (thresholds, kernel sizes) matches the reference post-processing
+(reference: wsinsight/modellib/tilefuse.py:39-174) because downstream
+parity depends on it, but the pipeline here is organised as four explicit
+stages with vectorised measurement:
+
+  1. foreground     — np >= 0.5, connected components, size filter
+  2. boundary energy — where the HV field changes fastest, nuclei touch;
+                       large-kernel Sobel on min-max-normalised H and V
+  3. seeds          — foreground minus strong-boundary pixels, cleaned
+                       (hole fill, elliptic opening) and size-filtered
+  4. flood          — marker watershed on the smoothed basin depth
+
+Measurement computes all bounding boxes and per-class mean probabilities in
+single vectorised passes over the label image (sorted-pixel grouping +
+per-class bincount) rather than per-instance region loops.
+
+Alignment guarantee: the returned bbox / prob / polygon lists are always the
+same length — an instance whose contour is degenerate (< 3 vertices) is
+dropped from all three. The reference keeps such instances in its bbox and
+prob lists while skipping the polygon (tilefuse.py:160-173), which silently
+desynchronises the ragged /polygons HDF5 group from the CSV rows; that is a
+defect we deliberately do not reproduce (SURVEY.md §2.11 spirit).
 """
 
 from __future__ import annotations
 
-from typing import List
+from typing import List, Tuple
 
 import cv2
 import numpy as np
@@ -24,61 +41,148 @@ try:
 except Exception:
     pass
 
+# Numeric contract shared with the reference (tilefuse.py:39-103):
+_FG_THRESHOLD = 0.5       # nucleus-probability cutoff
+_BOUNDARY_THRESHOLD = 0.4  # separation-energy cutoff for seed carving
+_SOBEL_KSIZE = 21          # large-support gradient of the HV field
+_SEED_OPEN_KSIZE = 5       # elliptic opening applied to seed blobs
 
-def proc_np_hv(np_map: np.ndarray, hv_map: np.ndarray, min_object_size: int) -> np.ndarray:
+
+def _unit_range(x: np.ndarray) -> np.ndarray:
+    """Min-max rescale to [0, 1] as float32 (flat input maps to all-zero)."""
+    x = x.astype(np.float32, copy=False)
+    lo = float(x.min())
+    span = float(x.max()) - lo
+    if span <= 0.0:
+        return np.zeros_like(x, dtype=np.float32)
+    return (x - lo) * (1.0 / span)
+
+
+def _foreground(np_map: np.ndarray, min_size: int) -> np.ndarray:
+    """Boolean nucleus foreground: threshold then drop small components."""
+    raw = np_map >= _FG_THRESHOLD
+    if not raw.any():
+        return raw
+    comp, n = ndi.label(raw)
+    if n > 1:
+        comp = remove_small_labels(comp.astype(np.int32), int(min_size))
+    return comp > 0
+
+
+def _separation_energy(hv_map: np.ndarray, fg: np.ndarray) -> np.ndarray:
+    """Energy in [0,1], high where adjacent nuclei should be cut apart.
+
+    The HV field points from boundary to centre inside each nucleus, so its
+    spatial gradient spikes along the contact line between touching nuclei.
+    A wide Sobel (ksize=21) picks that line up; each direction is inverted
+    and the two are fused with a max, background is forced to zero.
+    """
+    grad_h = cv2.Sobel(_unit_range(hv_map[:, :, 0]), cv2.CV_64F, 1, 0, ksize=_SOBEL_KSIZE)
+    grad_v = cv2.Sobel(_unit_range(hv_map[:, :, 1]), cv2.CV_64F, 0, 1, ksize=_SOBEL_KSIZE)
+    energy = np.maximum(1.0 - _unit_range(grad_h), 1.0 - _unit_range(grad_v))
+    energy -= ~fg  # push background strictly negative ...
+    np.clip(energy, 0.0, None, out=energy)  # ... then floor it at zero
+    return energy.astype(np.float32, copy=False)
+
+
+def _seeds(fg: np.ndarray, boundary: np.ndarray, min_size: int) -> np.ndarray:
+    """Int32 marker image: one positive label per nucleus interior."""
+    interior = fg & ~boundary
+    if not interior.any():
+        # Degenerate tile: everything is boundary; fall back to one seed per
+        # foreground component so the flood still assigns every fg pixel.
+        comp, _ = ndi.label(fg)
+        return comp.astype(np.int32)
+    cleaned = ndi.binary_fill_holes(interior).astype(np.uint8)
+    ellipse = cv2.getStructuringElement(
+        cv2.MORPH_ELLIPSE, (_SEED_OPEN_KSIZE, _SEED_OPEN_KSIZE)
+    )
+    cleaned = cv2.morphologyEx(cleaned, cv2.MORPH_OPEN, ellipse)
+    comp, n = ndi.label(cleaned)
+    comp = comp.astype(np.int32)
+    if n > 1:
+        comp = remove_small_labels(comp, int(min_size))
+    return comp
+
+
+def segment_instances(
+    np_map: np.ndarray, hv_map: np.ndarray, min_object_size: int
+) -> np.ndarray:
     """Instance map (H, W) int32 from an NP prob map and HV offset maps."""
-    h, w = np_map.shape[:2]
+    fg = _foreground(np_map, min_object_size)
+    if not fg.any():
+        return np.zeros(np_map.shape[:2], dtype=np.int32)
 
-    blb_bin = (np_map >= 0.5).astype(np.uint8)
-    if blb_bin.sum() == 0:
-        return np.zeros((h, w), dtype=np.int32)
+    energy = _separation_energy(hv_map, fg)
+    basin = (1.0 - energy) * fg  # deep inside nuclei, shallow at contacts
+    basin = -cv2.GaussianBlur(basin.astype(np.float32), (3, 3), 0)
+    markers = _seeds(fg, energy >= _BOUNDARY_THRESHOLD, min_object_size)
+    return watershed(basin, markers, mask=fg).astype(np.int32)
 
-    labeled, num = ndi.label(blb_bin)
-    if num > 1:
-        labeled = remove_small_labels(labeled.astype(np.int32), int(min_object_size))
-    blb = (labeled > 0).astype(np.uint8)
-    if blb.sum() == 0:
-        return np.zeros((h, w), dtype=np.int32)
 
-    h_dir = cv2.normalize(
-        hv_map[:, :, 0], None, alpha=0, beta=1, norm_type=cv2.NORM_MINMAX, dtype=cv2.CV_32F
-    )
-    v_dir = cv2.normalize(
-        hv_map[:, :, 1], None, alpha=0, beta=1, norm_type=cv2.NORM_MINMAX, dtype=cv2.CV_32F
-    )
+# Back-compat alias (earlier revisions exported the stage under this name).
+proc_np_hv = segment_instances
 
-    sobelh = cv2.Sobel(h_dir, cv2.CV_64F, 1, 0, ksize=21)
-    sobelv = cv2.Sobel(v_dir, cv2.CV_64F, 0, 1, ksize=21)
-    sobelh = 1.0 - cv2.normalize(
-        sobelh, None, alpha=0, beta=1, norm_type=cv2.NORM_MINMAX, dtype=cv2.CV_32F
-    )
-    sobelv = 1.0 - cv2.normalize(
-        sobelv, None, alpha=0, beta=1, norm_type=cv2.NORM_MINMAX, dtype=cv2.CV_32F
-    )
 
-    overall = np.maximum(sobelh, sobelv)
-    overall = overall - (1.0 - blb)
-    overall[overall < 0] = 0
+def _grouped_bboxes(labels: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    """(ids, boxes) for every positive label, fully vectorised.
 
-    dist = (1.0 - overall) * blb
-    dist = -cv2.GaussianBlur(dist, (3, 3), 0)
+    boxes[i] = [cmin, rmin, w, h] for ids[i], computed by sorting the
+    foreground pixel indices by label and slicing group extrema — no
+    per-instance image scans.
+    """
+    flat = labels.ravel()
+    fg_idx = np.flatnonzero(flat)
+    if fg_idx.size == 0:
+        return np.empty(0, np.int32), np.empty((0, 4), np.int32)
+    labs = flat[fg_idx]
+    order = np.argsort(labs, kind="stable")
+    labs_sorted = labs[order]
+    idx_sorted = fg_idx[order]
+    # group boundaries in the sorted pixel stream
+    starts = np.flatnonzero(np.r_[True, labs_sorted[1:] != labs_sorted[:-1]])
+    ends = np.r_[starts[1:], labs_sorted.size]
+    ids = labs_sorted[starts].astype(np.int32)
 
-    ridge = (overall >= 0.4).astype(np.uint8)
-    marker = blb.astype(np.int16) - ridge.astype(np.int16)
-    marker = np.clip(marker, 0, 1).astype(np.uint8)
-    if marker.any():
-        marker = ndi.binary_fill_holes(marker).astype("uint8")
-        kernel = cv2.getStructuringElement(cv2.MORPH_ELLIPSE, (5, 5))
-        marker = cv2.morphologyEx(marker, cv2.MORPH_OPEN, kernel)
-        marker, mnum = ndi.label(marker)
-        marker = marker.astype(np.int32)
-        if mnum > 1:
-            marker = remove_small_labels(marker, int(min_object_size))
-    else:
-        marker, _ = ndi.label(blb)
-        marker = marker.astype(np.int32)
+    w = labels.shape[1]
+    rows = (idx_sorted // w).astype(np.int64)
+    cols = (idx_sorted % w).astype(np.int64)
+    rmin = np.minimum.reduceat(rows, starts)
+    rmax = np.maximum.reduceat(rows, starts)
+    cmin = np.minimum.reduceat(cols, starts)
+    cmax = np.maximum.reduceat(cols, starts)
+    # reduceat needs contiguous groups, which the sort guarantees; `ends` is
+    # implicit (next start).
+    del ends
+    boxes = np.stack(
+        [cmin, rmin, cmax - cmin + 1, rmax - rmin + 1], axis=1
+    ).astype(np.int32)
+    return ids, boxes
 
-    return watershed(dist.astype(np.float32), marker, mask=blb.astype(bool)).astype(np.int32)
+
+def _class_means(labels: np.ndarray, tp: np.ndarray, ids: np.ndarray) -> np.ndarray:
+    """(len(ids), K) mean type-probability per instance via per-class bincount."""
+    flat = labels.ravel()
+    n_lab = int(ids.max()) + 1
+    counts = np.bincount(flat, minlength=n_lab).astype(np.float64)
+    counts[counts == 0] = 1.0
+    k = tp.shape[2]
+    tp_flat = tp.reshape(-1, k)
+    sums = np.empty((n_lab, k), dtype=np.float64)
+    for c in range(k):
+        sums[:, c] = np.bincount(flat, weights=tp_flat[:, c], minlength=n_lab)
+    return (sums[ids] / counts[ids, None]).astype(np.float32)
+
+
+def _instance_polygon(patch: np.ndarray) -> np.ndarray | None:
+    """Largest external contour of a binary instance patch, or None."""
+    contours, _ = cv2.findContours(patch, cv2.RETR_EXTERNAL, cv2.CHAIN_APPROX_SIMPLE)
+    if not contours:
+        return None
+    ring = max(contours, key=cv2.contourArea).squeeze(1).astype(np.int32)
+    if ring.ndim != 2 or ring.shape[0] < 3:
+        return None
+    return ring
 
 
 def extract_instances(
@@ -90,70 +194,34 @@ def extract_instances(
     interior_slice: tuple[slice, slice],
     min_object_size: int,
 ) -> tuple[List[np.ndarray], List[np.ndarray], List[np.ndarray]]:
-    """Per-tile instance measurement (reference: tilefuse.py:109-174).
+    """Segment one padded tile and measure the instances in its interior.
 
-    Returns lists of (1,4) bbox rows [x,y,w,h], (1,K) class-prob rows, and
-    (M,2) contour polygons — all in global slide coordinates.
+    Returns aligned lists of (1,4) bbox rows [x,y,w,h], (1,K) class-prob
+    rows, and (M,2) contour polygons — all in global slide coordinates.
+    len(bboxes) == len(probs) == len(polygons) always holds (see module
+    docstring).
     """
-    pred_inst_padded = proc_np_hv(np_tile, hv_tile, min_object_size)
     ys, xs = interior_slice
-    pred_inst = pred_inst_padded[ys, xs]
-
-    max_id = int(pred_inst.max())
-    if max_id <= 0:
+    labels = segment_instances(np_tile, hv_tile, min_object_size)[ys, xs]
+    ids, boxes = _grouped_bboxes(labels)
+    if ids.size == 0:
         return [], [], []
-
-    labels = pred_inst
-    lbl = labels.ravel()
-    counts = np.bincount(lbl, minlength=max_id + 1).astype(np.int32)
-    counts[0] = 0
-    valid_ids = np.nonzero(counts)[0]
-    if valid_ids.size == 0:
-        return [], [], []
-
-    slices = ndi.find_objects(labels, max_label=max_id)
-
-    n_classes = int(tp_tile.shape[2])
-    tp_interior = tp_tile[ys, xs, :]
-    tp_flat = tp_interior.reshape(-1, n_classes).astype(np.float64)
-
-    cls_sums = np.zeros((max_id + 1, n_classes), dtype=np.float64)
-    np.add.at(cls_sums, lbl, tp_flat)
-    cls_sums[0, :] = 0
-    denom = counts.astype(np.float64)
-    denom[denom == 0] = 1.0
-    cls_means = (cls_sums.T / denom).T.astype(np.float32)
+    probs = _class_means(labels, tp_tile[ys, xs, :].astype(np.float64), ids)
 
     inst_list: List[np.ndarray] = []
     prob_list: List[np.ndarray] = []
     poly_list: List[np.ndarray] = []
-
-    for inst_id in valid_ids.tolist():
-        sl = slices[inst_id - 1]
-        if sl is None:
-            continue
-        r_sl, c_sl = sl
-        rmin, rmax = r_sl.start, r_sl.stop
-        cmin, cmax = c_sl.start, c_sl.stop
-
-        x = cmin + interior_x0
-        y = rmin + interior_y0
-        w = cmax - cmin
-        h = rmax - rmin
-
-        inst_list.append(np.array([x, y, w, h], dtype=np.int32).reshape(1, -1))
-        prob_list.append(cls_means[inst_id].copy().reshape(1, -1))
-
-        local = (labels[rmin:rmax, cmin:cmax] == inst_id).astype(np.uint8)
-        cnts, _ = cv2.findContours(local, cv2.RETR_EXTERNAL, cv2.CHAIN_APPROX_SIMPLE)
-        if not cnts:
-            continue
-        cnt = max(cnts, key=cv2.contourArea)
-        poly = cnt.squeeze(1).astype(np.int32)
-        if poly.ndim != 2 or poly.shape[0] < 3:
-            continue
-        poly[:, 0] += x
-        poly[:, 1] += y
-        poly_list.append(poly)
-
+    for i in range(ids.size):
+        x, y, w, h = (int(v) for v in boxes[i])
+        patch = (labels[y : y + h, x : x + w] == ids[i]).astype(np.uint8)
+        ring = _instance_polygon(patch)
+        if ring is None:
+            continue  # keep the three lists aligned (see module docstring)
+        ring[:, 0] += x + interior_x0
+        ring[:, 1] += y + interior_y0
+        inst_list.append(
+            np.array([x + interior_x0, y + interior_y0, w, h], np.int32).reshape(1, -1)
+        )
+        prob_list.append(probs[i].reshape(1, -1))
+        poly_list.append(ring)
     return inst_list, prob_list, poly_list

@@ -1,64 +1,77 @@
-"""Adaptive worker sizing and host-pressure throttling.
+"""Host-pressure-aware pool sizing and throttling.
 
-Re-creation of the reference's pool governor (reference:
-wsinsight/num_worker_optimizer.py:74-165): EWMA-smoothed CPU/RAM headroom
-sizing with optional per-worker memory probing, and exponential-backoff
-sleeping while the host is hot. The NVML GPU-utilization backoff becomes an
-accelerator-agnostic hook (TPU work is dispatched async by the engine, so the
-host-side pools are the contended resource).
+Every stage of the pipeline fans out onto host CPU pools (patch decode,
+exporters, stitch tiles, analytics workers) while the TPU engine runs
+asynchronously; the host is therefore the contended resource, and pools
+sized statically oversubscribe it. This module serves the same purpose as
+the reference's governor (reference: wsinsight/num_worker_optimizer.py),
+designed here around a small ``HostLoadMonitor`` that other code can also
+query directly.
+
+Sizing model: a pool gets the minimum of
+  * a CPU budget  — cores currently idle, scaled so the whole host settles
+    at ``cpu_target`` utilisation and one core stays reserved for the
+    engine's dispatch thread, and
+  * a RAM budget  — bytes available above a safety floor divided by the
+    per-worker footprint (measured, caller-supplied, or a conservative
+    fraction fallback),
+clamped to [min_workers, max_workers]. Repeated calls smooth the samples
+exponentially so a momentary spike doesn't collapse the pool.
 """
 
 from __future__ import annotations
 
-import math
 import os
 import time
+from dataclasses import dataclass, field
 from typing import Callable, Optional
 
 import psutil
 
-_cpu_ewma: Optional[float] = None
-_mem_ewma: Optional[float] = None
+
+def _core_count() -> int:
+    physical = psutil.cpu_count(logical=False)
+    return physical if physical else (os.cpu_count() or 1)
 
 
-def _cpu_count_physical_or_logical() -> int:
-    phys = psutil.cpu_count(logical=False)
-    return phys if phys and phys > 0 else (os.cpu_count() or 1)
+@dataclass
+class HostLoadMonitor:
+    """Samples CPU/RAM utilisation with exponential smoothing."""
+
+    smoothing: float = 0.5
+    _cpu: Optional[float] = field(default=None, repr=False)
+    _mem: Optional[float] = field(default=None, repr=False)
+
+    def _blend(self, old: Optional[float], new: float) -> float:
+        if old is None:
+            return new
+        return self.smoothing * new + (1.0 - self.smoothing) * old
+
+    def sample(self, interval: float = 0.3) -> tuple[float, float, int]:
+        """(smoothed cpu frac, smoothed mem frac, available bytes)."""
+        cpu = psutil.cpu_percent(interval=interval) / 100.0
+        vm = psutil.virtual_memory()
+        self._cpu = self._blend(self._cpu, cpu)
+        self._mem = self._blend(self._mem, vm.percent / 100.0)
+        return self._cpu, self._mem, vm.available
+
+    def footprint_of(self, work: Callable[[], None], settle: float = 0.1) -> Optional[int]:
+        """RSS growth from one representative unit of work, padded 1.5x."""
+        me = psutil.Process(os.getpid())
+        rss0 = me.memory_info().rss
+        start = time.time()
+        try:
+            work()
+        except Exception:
+            pass
+        remaining = settle - (time.time() - start)
+        if remaining > 0:
+            time.sleep(remaining)
+        grown = me.memory_info().rss - rss0
+        return int(grown * 1.5) if grown > 0 else None
 
 
-def _ewma(prev: Optional[float], new: float, alpha: float = 0.5) -> float:
-    return new if prev is None else (alpha * new + (1 - alpha) * prev)
-
-
-def _cpu_util_sample(sample_interval: float = 0.30) -> float:
-    return psutil.cpu_percent(interval=sample_interval) / 100.0
-
-
-def _mem_util_sample() -> tuple[float, int, int]:
-    vm = psutil.virtual_memory()
-    return vm.percent / 100.0, vm.available, vm.total
-
-
-def _probe_memory_per_worker_bytes(
-    probe_fn: Optional[Callable[[], None]] = None, warmup_seconds: float = 0.1
-) -> Optional[int]:
-    """Estimate per-worker RSS by running one representative unit of work."""
-    if probe_fn is None:
-        return None
-    proc = psutil.Process(os.getpid())
-    before = proc.memory_info().rss
-    t0 = time.time()
-    try:
-        probe_fn()
-    except Exception:
-        pass
-    finally:
-        dt = time.time() - t0
-        if dt < warmup_seconds:
-            time.sleep(warmup_seconds - dt)
-    after = proc.memory_info().rss
-    delta = max(0, after - before)
-    return int(delta * 1.5) if delta > 0 else None
+_MONITOR = HostLoadMonitor()
 
 
 def pick_workers_safe(
@@ -74,38 +87,34 @@ def pick_workers_safe(
     ewma_alpha: float = 0.5,
     dynamic_probe_fn: Optional[Callable[[], None]] = None,
 ) -> int:
-    """Choose a worker count from CPU and RAM headroom (EWMA-smoothed)."""
-    global _cpu_ewma, _mem_ewma
-
+    """Worker count from current CPU idle capacity and RAM headroom."""
     max_workers = max(1, int(max_workers))
-    cores_total = _cpu_count_physical_or_logical()
-    cores_usable = max(1, cores_total - cpu_core_reserve)
+    _MONITOR.smoothing = ewma_alpha
+    cpu_frac, mem_frac, avail_bytes = _MONITOR.sample(sample_interval_sec)
 
-    cpu_now = _cpu_util_sample(sample_interval=sample_interval_sec)
-    mem_now, mem_avail, _ = _mem_util_sample()
-    _cpu_ewma = _ewma(_cpu_ewma, cpu_now, ewma_alpha)
-    _mem_ewma = _ewma(_mem_ewma, mem_now, ewma_alpha)
+    usable_cores = max(1, _core_count() - cpu_core_reserve)
+    cpu_budget = int(usable_cores * max(0.0, target_cpu_util - cpu_frac))
 
-    cpu_headroom = max(0.0, target_cpu_util - _cpu_ewma)
-    cpu_guess = int(cpu_headroom * cores_usable)
-
-    mpw = memory_per_worker_bytes
-    if mpw is None:
-        mpw = _probe_memory_per_worker_bytes(dynamic_probe_fn)
-    if mpw:
-        avail_for_us = max(0, mem_avail - reserve_mem_bytes)
-        mem_guess = int(avail_for_us // mpw)
+    footprint = memory_per_worker_bytes
+    if footprint is None and dynamic_probe_fn is not None:
+        footprint = _MONITOR.footprint_of(dynamic_probe_fn)
+    spendable = max(0, avail_bytes - reserve_mem_bytes)
+    if footprint:
+        ram_budget = spendable // footprint
     else:
-        mem_headroom = max(0.0, target_mem_util - _mem_ewma)
-        mem_guess = min(cores_usable, int(math.floor(mem_headroom * max_workers)))
+        # No footprint estimate: treat the distance to the memory target as
+        # the fraction of the pool we may still open.
+        ram_budget = min(usable_cores, int(max(0.0, target_mem_util - mem_frac) * max_workers))
 
-    guess = min(cpu_guess, mem_guess, cores_usable, max_workers)
-    if guess <= 0:
-        if mpw:
-            hard_cap = int(max(0, (mem_avail - reserve_mem_bytes)) // mpw)
-            return max(0, min(hard_cap, min_workers))
+    budget = min(cpu_budget, ram_budget, usable_cores, max_workers)
+    if budget <= 0:
+        # Host is saturated. With a known footprint, still honour the hard
+        # RAM cap so min_workers can't overcommit memory; otherwise trust
+        # min_workers (the caller's liveness floor).
+        if footprint:
+            return int(max(0, min(spendable // footprint, min_workers)))
         return min_workers
-    return max(min_workers, guess)
+    return max(min_workers, int(budget))
 
 
 def throttle_when_busy(
@@ -117,14 +126,21 @@ def throttle_when_busy(
     max_sleep: float = 2.0,
     backoff_multiplier: float = 1.5,
 ) -> None:
-    """Sleep with exponential backoff while the host is hot."""
-    sleep_dur = min_sleep
+    """Block (with capped exponential backoff) until the host cools down.
+
+    "Cool" means CPU at or under ``target_cpu_util`` AND memory both under
+    ``target_mem_util`` and with at least ``reserve_mem_bytes`` free.
+    """
+    pause = min_sleep
     while True:
-        cpu_now = _cpu_util_sample(sample_interval=0.20)
-        mem_now, mem_avail, _ = _mem_util_sample()
-        cpu_ok = cpu_now <= target_cpu_util
-        mem_ok = (mem_now <= target_mem_util) and (mem_avail >= reserve_mem_bytes)
-        if cpu_ok and mem_ok:
+        cpu = psutil.cpu_percent(interval=0.20) / 100.0
+        vm = psutil.virtual_memory()
+        hot = (
+            cpu > target_cpu_util
+            or vm.percent / 100.0 > target_mem_util
+            or vm.available < reserve_mem_bytes
+        )
+        if not hot:
             return
-        time.sleep(sleep_dur)
-        sleep_dur = min(max_sleep, sleep_dur * backoff_multiplier)
+        time.sleep(pause)
+        pause = min(max_sleep, pause * backoff_multiplier)

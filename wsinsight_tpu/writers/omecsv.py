@@ -25,6 +25,14 @@ from ..uri_path import URIPath
 PathLike = Union[Path, URIPath]
 
 
+def _concat_columns(parts: List[np.ndarray], sep: str) -> np.ndarray:
+    """Element-wise join of equal-length string arrays with a separator."""
+    joined = parts[0]
+    for part in parts[1:]:
+        joined = np.char.add(np.char.add(joined, sep), part)
+    return joined
+
+
 def _dataframe_to_omecsv(
     df: pd.DataFrame,
     prob_cols: List[str],
@@ -34,38 +42,43 @@ def _dataframe_to_omecsv(
     maxy2: np.ndarray,
     class_prefix: str = "prob_",
 ) -> str:
-    """Build the full OME-CSV content string (reference: write_omecsv.py:52-94)."""
-    num_rows = df.shape[0]
-    assert (
-        len(minx2) == len(miny2) == len(maxx2) == len(maxy2) == num_rows
-    ), "Coordinate arrays must match DataFrame length"
+    """Render the OME-CSV payload (byte layout: reference write_omecsv.py).
 
-    head_str = ",".join(
+    Columns are ``object,secondary_object,polygon,objectType,classification,
+    <prob cols>`` with one quoted WKT box ring per row. The whole table is
+    assembled column-wise with vectorised string concatenation — no per-row
+    Python loop.
+    """
+    n = df.shape[0]
+    if not (len(minx2) == len(miny2) == len(maxx2) == len(maxy2) == n):
+        raise ValueError("coordinate arrays and dataframe disagree on row count")
+
+    header = ",".join(
         ["object", "secondary_object", "polygon", "objectType", "classification", *prob_cols]
     )
+    if n == 0:
+        return header
 
-    prob_arr = df[prob_cols].to_numpy(copy=False)
-    class_names = np.array([c[len(class_prefix):] for c in prob_cols])
-    best_idx = prob_arr.argmax(axis=1)
-    cls_arr = class_names[best_idx]
+    # Ring runs top-right -> bottom-right -> bottom-left -> top-left -> close.
+    left = np.asarray(minx2, dtype=np.int64).astype(str)
+    top = np.asarray(miny2, dtype=np.int64).astype(str)
+    right = np.asarray(maxx2, dtype=np.int64).astype(str)
+    bottom = np.asarray(maxy2, dtype=np.int64).astype(str)
+    tr = _concat_columns([right, top], " ")
+    br = _concat_columns([right, bottom], " ")
+    bl = _concat_columns([left, bottom], " ")
+    tl = _concat_columns([left, top], " ")
+    ring = _concat_columns([tr, br, bl, tl, tr], ",")
+    wkt = np.char.add(np.char.add('"POLYGON ((', ring), '))"')
 
-    lines = [head_str]
-    for i in range(num_rows):
-        x1, y1 = int(maxx2[i]), int(miny2[i])
-        x2, y2 = int(maxx2[i]), int(maxy2[i])
-        x3, y3 = int(minx2[i]), int(maxy2[i])
-        x4, y4 = int(minx2[i]), int(miny2[i])
-        coords = [
-            f"{x1} {y1}",
-            f"{x2} {y2}",
-            f"{x3} {y3}",
-            f"{x4} {y4}",
-            f"{x1} {y1}",
-        ]
-        poly_str = '"POLYGON ((' + ",".join(coords) + '))"'
-        mvals = ",".join(map(str, prob_arr[i]))
-        lines.append(f"{i},{i},{poly_str},tile,{cls_arr[i]},{mvals}")
-    return "\n".join(lines)
+    probs = df[prob_cols].to_numpy(copy=False)
+    winner = np.asarray([c[len(class_prefix):] for c in prob_cols])[probs.argmax(axis=1)]
+    measurements = _concat_columns([probs[:, k].astype(str) for k in range(probs.shape[1])], ",")
+
+    row_id = np.arange(n).astype(str)
+    kind = np.full(n, "tile")
+    rows = _concat_columns([row_id, row_id, wkt, kind, winner, measurements], ",")
+    return "\n".join([header, *rows.tolist()])
 
 
 def make_omecsv(
