@@ -29,6 +29,64 @@ def test_remote_scheme_parsing():
     assert len({p, URIPath("s3://bucket/prefix/slide.svs")}) == 1
 
 
+def test_gdc_token_validated_eagerly(monkeypatch, tmp_path):
+    """A set GDC_TOKEN is HEAD-checked at construction; bad tokens fail fast."""
+    import wsinsight_tpu.uri_path as up
+
+    manifest = tmp_path / "manifest.tsv"
+    manifest.write_text("id\tfilename\tmd5\tsize\n")
+
+    class _Resp:
+        status_code = 403
+
+    calls = []
+
+    def fake_head(url, headers=None, timeout=None):
+        calls.append((url, headers))
+        return _Resp()
+
+    monkeypatch.setenv("GDC_TOKEN", "bad-token")
+    monkeypatch.setattr(up, "_CREDENTIALS_OK", set())
+
+    import requests
+
+    monkeypatch.setattr(requests, "head", fake_head)
+    with pytest.raises(RuntimeError, match="credential"):
+        URIPath(f"gdc-manifest://{manifest}")
+    assert calls and calls[0][1]["X-Auth-Token"] == "bad-token"
+
+    # Good token: validated once, memoised across joins.
+    _Resp.status_code = 200
+    p = URIPath(f"gdc-manifest://{manifest}")
+    n_after_first = len(calls)
+    _ = p / "some-file.svs"
+    assert len(calls) == n_after_first  # no re-check on join
+
+
+def test_remote_fs_init_errors_surface_eagerly(monkeypatch):
+    """A remote fs whose construction raises (bad creds) fails at ctor time."""
+    import wsinsight_tpu.uri_path as up
+
+    monkeypatch.setattr(up, "_CREDENTIALS_OK", set())
+
+    import fsspec
+
+    def bad_filesystem(scheme, **opts):
+        raise PermissionError("bad key")
+
+    monkeypatch.setattr(fsspec, "filesystem", bad_filesystem)
+    with pytest.raises(RuntimeError, match="filesystem init failed"):
+        URIPath("s3://bucket/x", storage_options={"key": "nope"})
+
+    # Missing backend package is NOT a credential failure: stays lazy.
+    def missing_backend(scheme, **opts):
+        raise ImportError("s3fs not installed")
+
+    monkeypatch.setattr(fsspec, "filesystem", missing_backend)
+    p = URIPath("s3://bucket/y")
+    assert p.scheme == "s3"
+
+
 def test_local_io_and_iterdir(tmp_path):
     d = URIPath(str(tmp_path))
     (tmp_path / "x.csv").write_text("a")

@@ -55,6 +55,60 @@ def _default_cache_dir() -> Path:
     return Path.home() / ".cache" / "wsinsight_tpu" / "remote"
 
 
+# Credential sets already proven good this process (see _check_credentials).
+_CREDENTIALS_OK: set = set()
+
+
+def _check_credentials(scheme: str, storage_options: dict, uri: str) -> None:
+    """Fail fast on bad remote credentials, once per credential set.
+
+    Matches the reference's eager constructor validation (reference:
+    wsinsight/uri_path.py:424-464): a GDC token gets a tiny authenticated
+    HEAD against the API, fsspec remotes get their filesystem initialised —
+    so a bad token or key dies at CLI-parse time instead of hours into a
+    cohort run. Unlike the reference this is memoised per
+    (scheme, options, token) so path joins don't re-issue network calls,
+    and a missing optional backend package (e.g. no s3fs installed) defers
+    to the lazy error at first access rather than failing eagerly.
+    """
+    if scheme == GDC_SCHEME:
+        token = os.getenv("GDC_TOKEN")
+        if not token:
+            return
+        key = (GDC_SCHEME, token)
+        if key in _CREDENTIALS_OK:
+            return
+        import requests
+
+        try:
+            resp = requests.head(
+                GDC_API,
+                headers={"X-Auth-Token": token, "Accept": "application/octet-stream"},
+                timeout=8,
+            )
+            if resp.status_code >= 400:
+                raise RuntimeError(f"GDC token rejected (status {resp.status_code})")
+        except Exception as e:
+            raise RuntimeError(f"GDC credential check failed: {e!r}") from e
+        _CREDENTIALS_OK.add(key)
+        return
+
+    key = (scheme, tuple(sorted((str(k), str(v)) for k, v in storage_options.items())))
+    if key in _CREDENTIALS_OK:
+        return
+    try:
+        import fsspec
+
+        fsspec.filesystem(scheme, **storage_options)
+    except ImportError:
+        # Backend package not installed — not a credential problem; the
+        # first real access raises the descriptive fsspec error.
+        return
+    except Exception as e:
+        raise RuntimeError(f"remote filesystem init failed for {uri!r}: {e!r}") from e
+    _CREDENTIALS_OK.add(key)
+
+
 def _split_scheme(uri: str) -> tuple[str | None, str]:
     if "://" in uri:
         scheme, rest = uri.split("://", 1)
@@ -137,6 +191,8 @@ class URIPath:
             self.scheme = None  # local
             self._path = str(Path(uri).expanduser())
             self._uri = self._path
+        if self.scheme is not None:
+            _check_credentials(self.scheme, self.storage_options, self._uri)
 
     # -- identity ---------------------------------------------------------------
     def __str__(self) -> str:
