@@ -1,34 +1,61 @@
-"""Headline benchmark: ResNet34@224 patch-classification throughput per chip.
+"""Benchmarks for the driver and the perf log.
 
-Measures the production inference step — uint8 350px patches -> fused
-on-device PIL-exact resize to 224 -> ResNet34 forward (float32-precision
-passes, the engine's parity default) -> softmax — at steady state over
-device-resident batches (a prefetching input pipeline keeps transfer
-overlapped with compute in production; this harness reaches the chip through
-a loopback relay whose host->device path would otherwise dominate and measure
-the tunnel, not the engine).
+stdout contract (driver): exactly ONE JSON line
+``{"metric", "value", "unit", "vs_baseline"}`` — the headline ResNet34@224
+patch-classification throughput per chip over device-resident batches
+(a prefetching input pipeline keeps transfer overlapped with compute in
+production; this harness reaches the chip through a loopback relay whose
+host->device path would otherwise dominate and measure the tunnel, not the
+engine).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Two auxiliary benches cover what the headline deliberately excludes
+(BASELINE.md targets "cells/sec (CellViT)" and an input-inclusive number):
+
+* ``e2e`` — end-to-end patches/s INCLUDING host JPEG decode of a real
+  pyramidal TIFF and the host->device transfer (the production-shaped path:
+  PatchBatchSource -> jit step).
+* ``cellvit`` — CellViT-256 cells/s through the full object path: jitted
+  forward + stitcher accumulate on every covering patch, then watershed
+  finalize. Random weights make the raw NP map content arbitrary, so after
+  the (fully timed) accumulate the canvases are overwritten with
+  realistically dense synthetic nuclei (~1 per 3600 px^2) before the (fully
+  timed) finalize — the cost of both halves is real, the instance count is
+  controlled.
+
+Aux results go to stderr (lines prefixed ``aux ``) and to
+``BENCH_DETAIL.json`` next to this file, so a driver that records only the
+single stdout line still leaves an inspectable artifact. Aux failures never
+break the headline. Env:
+
+* ``WSINSIGHT_BENCH_FAST=1``  — tiny shapes for CI smoke runs (CPU).
+* ``WSINSIGHT_BENCH_AUX=0``   — headline only.
 
 The reference publishes no throughput numbers (BASELINE.md: "published": {});
-vs_baseline anchors on a nominal 1000 patches/sec/chip initial target
-(value / 1000). The driver records the raw value.
+``vs_baseline`` anchors on a nominal 1000 patches/sec/chip target.
 """
 
 from __future__ import annotations
 
 import json
+import os
+import sys
 import time
+from pathlib import Path
 
 import numpy as np
 
 
-def main() -> None:
+def _aux_log(payload: dict) -> None:
+    print("aux " + json.dumps(payload), file=sys.stderr, flush=True)
+
+
+# ---------------------------------------------------------------------------
+# Headline: ResNet34@224, device-resident batches
+# ---------------------------------------------------------------------------
+
+
+def bench_resnet_device(fast: bool) -> dict:
     import jax
-
-    from wsinsight_tpu.parallel.mesh import enable_compilation_cache
-
-    enable_compilation_cache()
 
     from __graft_entry__ import _build_forward
 
@@ -40,10 +67,6 @@ def main() -> None:
 
     step = jax.jit(step)
 
-    import os
-
-    # WSINSIGHT_BENCH_FAST shrinks shapes for CI smoke runs (CPU).
-    fast = os.getenv("WSINSIGHT_BENCH_FAST", "0") not in ("0", "")
     batch_size = 16 if fast else 512
     rng = np.random.default_rng(0)
     pool = [
@@ -65,16 +88,229 @@ def main() -> None:
     dt = time.perf_counter() - t0
 
     patches_per_sec = n_iters * batch_size / dt
-    print(
-        json.dumps(
-            {
-                "metric": "resnet34_224_patches_per_sec_per_chip",
-                "value": round(patches_per_sec, 2),
-                "unit": "patches/s",
-                "vs_baseline": round(patches_per_sec / 1000.0, 3),
-            }
+    return {
+        "metric": "resnet34_224_patches_per_sec_per_chip",
+        "value": round(patches_per_sec, 2),
+        "unit": "patches/s",
+        "vs_baseline": round(patches_per_sec / 1000.0, 3),
+    }
+
+
+# ---------------------------------------------------------------------------
+# Aux 1: end-to-end patches/s with host decode + H2D included
+# ---------------------------------------------------------------------------
+
+
+def bench_e2e_input_pipeline(fast: bool) -> dict:
+    import tempfile
+
+    import jax
+
+    from __graft_entry__ import _build_forward
+    from wsinsight_tpu.engine.data import PatchBatchSource
+    from wsinsight_tpu.patchlib.io import save_hdf5
+    from wsinsight_tpu.wsi.tiff import write_pyramidal_tiff
+
+    side = 2048 if fast else 8192
+    patch = 350
+    rng = np.random.default_rng(1)
+
+    with tempfile.TemporaryDirectory(prefix="wsinsight_bench_") as td:
+        slide_path = os.path.join(td, "bench.svs")
+        # Textured tissue-like content so JPEG decode cost is realistic.
+        img = rng.integers(120, 245, size=(side, side, 3), dtype=np.uint8)
+        write_pyramidal_tiff(slide_path, img, tile=(256, 256), compression="jpeg", mpp=0.25)
+
+        n_side = side // patch
+        gy, gx = np.mgrid[0:n_side, 0:n_side]
+        coords = np.stack([gx.ravel() * patch, gy.ravel() * patch], axis=1).astype(np.int32)
+        h5_path = os.path.join(td, "bench.h5")
+        save_hdf5(
+            h5_path, coords, None, np.array([n_side, n_side], np.int32),
+            patch_size=patch, patch_spacing_um_px=0.25, slide_path=slide_path,
+            slide_mpp=0.25, slide_width=side, slide_height=side,
         )
+
+        forward, params = _build_forward()
+
+        def step(params, batch):
+            with jax.default_matmul_precision("float32"):
+                return forward(params, batch)
+
+        step = jax.jit(step)
+        params = jax.device_put(params)
+        batch_size = 8 if fast else 32
+
+        # compile outside the timed region (shape-stable thereafter)
+        _ = np.asarray(step(params, np.zeros((batch_size, patch, patch, 3), np.uint8)))
+
+        from pathlib import Path as _P
+
+        src = PatchBatchSource(
+            wsi_path=_P(slide_path), patch_path=_P(h5_path), use_hdf5_images=False,
+            batch_size=batch_size, num_threads=4,
+        )
+        n_patches = 0
+        t0 = time.perf_counter()
+        out = None
+        for b in src:
+            out = step(params, b.images)
+            n_patches += b.n_valid
+        _ = np.asarray(out)
+        dt = time.perf_counter() - t0
+        src.close()
+
+    return {
+        "metric": "resnet34_e2e_patches_per_sec_incl_decode_h2d",
+        "value": round(n_patches / dt, 2),
+        "unit": "patches/s",
+        "n_patches": int(n_patches),
+        "note": "host JPEG decode + H2D + forward; host-bound on thin hosts",
+    }
+
+
+# ---------------------------------------------------------------------------
+# Aux 2: CellViT-256 cells/s through accumulate + finalize
+# ---------------------------------------------------------------------------
+
+
+def _paint_synthetic_nuclei(stitcher, spacing: int = 60, radius: int = 11) -> int:
+    """Overwrite the canvases with a dense grid of round nuclei; return count."""
+    h, w = stitcher.slide_height, stitcher.slide_width
+    stamp = 2 * radius + 1
+    yy, xx = np.mgrid[-radius : radius + 1, -radius : radius + 1].astype(np.float32)
+    dist = np.hypot(yy, xx)
+    inside = dist < radius
+    np_stamp = inside.astype(np.float32)
+    hx = np.where(inside, xx / radius, 0.0)
+    hy = np.where(inside, yy / radius, 0.0)
+
+    count = 0
+    for cy in range(radius + 4, h - radius - 4, spacing):
+        for cx in range(radius + 4, w - radius - 4, spacing):
+            ys, xs = slice(cy - radius, cy + radius + 1), slice(cx - radius, cx + radius + 1)
+            stitcher.np_map[ys, xs] = np_stamp
+            stitcher.hv_map[ys, xs, 0] = hx
+            stitcher.hv_map[ys, xs, 1] = hy
+            stitcher.tp_map[ys, xs, 1] = np_stamp
+            count += 1
+    del stamp
+    return count
+
+
+def bench_cellvit_cells(fast: bool) -> dict:
+    import jax
+
+    from wsinsight_tpu.engine.stitch import TileRemapStitcher
+    from wsinsight_tpu.models import create_model
+    from wsinsight_tpu.ops.preprocess import TransformSpec, make_preprocess_fn
+
+    # CellViT-256-x40 geometry (zoo registry): 256 px @ 0.25 um/px, halo 46,
+    # 164 px output map, 6 classes.
+    patch_px, halo_px, n_classes, mpp = 256, 46, 6, 0.25
+    out_px = patch_px - 2 * halo_px
+    side = 656 if fast else 4100  # multiple of 164 keeps the grid exact
+
+    model = create_model("cellvit-256", n_classes)
+    if hasattr(model, "clone"):
+        model = model.clone(halo_size=halo_px)
+    import jax.numpy as jnp
+
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, patch_px, patch_px, 3), jnp.float32))[
+        "params"
+    ]
+    spec = TransformSpec(size=None, mean=(0.5, 0.5, 0.5), std=(0.5, 0.5, 0.5), to_tensor=True)
+    preprocess = make_preprocess_fn(spec)
+
+    def step(params, batch_u8):
+        with jax.default_matmul_precision("float32"):
+            return model.apply({"params": params}, preprocess(batch_u8))
+
+    step = jax.jit(step)
+    params = jax.device_put(params)
+
+    stitcher = TileRemapStitcher(
+        n_classes=n_classes, slide_width=side, slide_height=side,
+        slide_patch_size=out_px, slide_halo_size=halo_px, slide_mpp=mpp, model_mpp=mpp,
     )
+
+    n_grid = side // out_px
+    gy, gx = np.mgrid[0:n_grid, 0:n_grid]
+    coords = np.stack(
+        [gx.ravel() * out_px - halo_px, gy.ravel() * out_px - halo_px], axis=1
+    ).astype(np.int64)
+    coords = np.concatenate([coords, np.full((len(coords), 2), patch_px, np.int64)], axis=1)
+
+    batch_size = 4 if fast else 16
+    rng = np.random.default_rng(2)
+    batch = rng.integers(0, 256, size=(batch_size, patch_px, patch_px, 3), dtype=np.uint8)
+    batch = jax.device_put(batch)
+
+    def run(i0: int) -> None:
+        sel = coords[i0 : i0 + batch_size]
+        pred = step(params, batch)
+        pred = {k: v for k, v in pred.items() if k != "tissue_types"}
+        stitcher.accumulate_batch(pred, sel, n_valid=len(sel))
+
+    run(0)  # compile
+    n_patches = len(coords)
+    t0 = time.perf_counter()
+    for i0 in range(0, n_patches, batch_size):
+        run(i0)
+    t_forward = time.perf_counter() - t0
+
+    n_cells_painted = _paint_synthetic_nuclei(stitcher)
+    t1 = time.perf_counter()
+    inst, probs, polys = stitcher.finalize(num_workers=None)
+    t_finalize = time.perf_counter() - t1
+    stitcher.close()
+
+    total = t_forward + t_finalize
+    n_cells = len(inst)
+    return {
+        "metric": "cellvit256_cells_per_sec",
+        "value": round(n_cells / total, 2),
+        "unit": "cells/s",
+        "cells_found": int(n_cells),
+        "cells_painted": int(n_cells_painted),
+        "patches_per_sec_forward_accumulate": round(n_patches / t_forward, 2),
+        "finalize_sec": round(t_finalize, 3),
+        "note": "forward+accumulate on real model, finalize on controlled-density maps",
+    }
+
+
+# ---------------------------------------------------------------------------
+
+
+def main() -> None:
+    from wsinsight_tpu.parallel.mesh import enable_compilation_cache
+
+    enable_compilation_cache()
+
+    fast = os.getenv("WSINSIGHT_BENCH_FAST", "0") not in ("0", "")
+    run_aux = os.getenv("WSINSIGHT_BENCH_AUX", "1") not in ("0", "")
+
+    headline = bench_resnet_device(fast)
+
+    aux = []
+    if run_aux:
+        for fn in (bench_e2e_input_pipeline, bench_cellvit_cells):
+            try:
+                result = fn(fast)
+                aux.append(result)
+                _aux_log(result)
+            except Exception as e:  # aux failures never break the headline
+                print(f"aux-bench {fn.__name__} failed: {e!r}", file=sys.stderr)
+
+    detail = {"fast": fast, "headline": headline, "aux": aux}
+    try:
+        (Path(__file__).parent / "BENCH_DETAIL.json").write_text(
+            json.dumps(detail, indent=1) + "\n"
+        )
+    except OSError:
+        pass
+
+    print(json.dumps(headline))
 
 
 if __name__ == "__main__":

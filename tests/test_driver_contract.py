@@ -39,6 +39,7 @@ def test_bench_emits_single_json_line():
         JAX_PLATFORMS="cpu",
         PALLAS_AXON_POOL_IPS="",
         WSINSIGHT_BENCH_FAST="1",
+        WSINSIGHT_BENCH_AUX="0",  # schema guard only; aux benches have their own path
     )
     res = subprocess.run(
         [sys.executable, "bench.py"], capture_output=True, text=True, timeout=1200, env=env
