@@ -13,10 +13,12 @@ wsinsight/insightlib/cme_generation.py:698-1307) in five phases:
    accelerator (insightlib/gnn.py), graphs padded to a common static shape,
    data-parallel over the device mesh (replaces PyG DataParallel,
    reference: :553-643).
-3. cluster-count estimation: kNN graph + Louvain sweep over resolutions x
+3. cluster-count estimation: kNN graph + Leiden sweep over resolutions x
    repeats, winner by (stability NMI, modularity, silhouette) with a
-   min-cluster-fraction filter (reference: :799-990; Louvain stands in for
-   Leiden — igraph/leidenalg are not dependencies), else KMeans with given k.
+   min-cluster-fraction filter (reference: :799-990). Leiden is the in-house
+   native implementation (native/leiden.cpp; the reference uses
+   igraph/leidenalg, which are not dependencies here), with a networkx
+   Louvain fallback. Else KMeans with given k.
 4. per-cell CSVs with feature_raw_k*/feature_normalized_k* + one-hot cme_*.
 5. annotation-level region merge via capped Voronoi (insightlib/voronoi.py).
 
@@ -292,36 +294,80 @@ def train_dgi_multi(
 
 
 # ---------------------------------------------------------------------------
-# Phase 3: cluster-count estimation (kNN graph + Louvain sweep)
+# Phase 3: cluster-count estimation (kNN graph + Leiden sweep)
 # ---------------------------------------------------------------------------
 
 
-def _louvain_sweep(
+def _leiden_partition(
+    edges: np.ndarray, n_nodes: int, resolution: float, seed: int
+) -> tuple[np.ndarray, float]:
+    """One Leiden run: (labels, gamma=1 modularity).
+
+    Uses the in-house native Leiden (native/leiden.cpp — same algorithm
+    family the reference gets from igraph/leidenalg, reference:
+    cme_generation.py:812-826); falls back to networkx Louvain when the
+    native library is unavailable (different algorithm, logged).
+    """
+    from ..native import leiden_native
+
+    out = leiden_native(edges, n_nodes, resolution, seed)
+    if out is not None:
+        return out
+
+    import logging
+
+    logging.getLogger(__name__).warning(
+        "native Leiden unavailable; falling back to networkx Louvain"
+    )
+    import networkx as nx
+
+    g = nx.Graph()
+    g.add_nodes_from(range(n_nodes))
+    g.add_edges_from(map(tuple, np.asarray(edges).tolist()))
+    comms = nx.community.louvain_communities(g, resolution=float(resolution), seed=seed)
+    labels = np.zeros(n_nodes, int)
+    for ci, nodes in enumerate(comms):
+        labels[list(nodes)] = ci
+    return labels, float(nx.community.modularity(g, comms))
+
+
+def _leiden_sweep(
     z: np.ndarray,
     resolutions: Iterable[float],
     n_repeats: int = 5,
     k_nn: int = 15,
 ) -> Dict[str, Any]:
-    import networkx as nx
+    """Leiden sweep over resolutions x repeats.
+
+    Runs fan out across threads — the native Leiden call releases the GIL —
+    replacing the reference's per-run process pool (cme_generation.py:896-906).
+    """
+    from concurrent.futures import ThreadPoolExecutor
+
     from sklearn.metrics import normalized_mutual_info_score, silhouette_score
     from sklearn.neighbors import kneighbors_graph
 
     a = kneighbors_graph(z, n_neighbors=min(k_nn, len(z) - 1), mode="connectivity", include_self=False)
     a = a.maximum(a.T).tocoo()
-    g = nx.Graph()
-    g.add_nodes_from(range(len(z)))
-    g.add_edges_from(zip(a.row.tolist(), a.col.tolist()))
+    keep = a.row < a.col
+    edges = np.stack([a.row[keep], a.col[keep]], axis=1).astype(np.int64)
+
+    resolutions = [float(r) for r in resolutions]
+    tasks = [(r, rep) for r in resolutions for rep in range(n_repeats)]
+    n_workers = min(8, max(1, (os.cpu_count() or 1) - 1))
+    with ThreadPoolExecutor(max_workers=n_workers) as ex:
+        runs_flat = list(
+            ex.map(
+                lambda t: _leiden_partition(edges, len(z), t[0], seed=t[1]), tasks
+            )
+        )
+    runs_by_r: Dict[float, list] = {}
+    for (r, _rep), run in zip(tasks, runs_flat):
+        runs_by_r.setdefault(r, []).append(run)
 
     logs = []
     for r in resolutions:
-        runs = []
-        for rep in range(n_repeats):
-            comms = nx.community.louvain_communities(g, resolution=float(r), seed=rep)
-            labels = np.zeros(len(z), int)
-            for ci, nodes in enumerate(comms):
-                labels[list(nodes)] = ci
-            mod = nx.community.modularity(g, comms, resolution=float(r))
-            runs.append((labels, float(mod)))
+        runs = runs_by_r[r]
         best_labels, best_mod = max(runs, key=lambda t: t[1])
         nmis = []
         if len(np.unique(best_labels)) > 1:
@@ -369,7 +415,7 @@ def estimate_cmes_from_Z_list(
         raise ValueError("only mode='global' is supported (matches the CLI path)")
     offsets = np.cumsum([0] + [z.shape[0] for z in z_list[:-1]])
     z_all = np.vstack(z_list)
-    sweep = _louvain_sweep(z_all, cme_clustering_resolutions, n_repeats=n_repeats, k_nn=k_nn)
+    sweep = _leiden_sweep(z_all, cme_clustering_resolutions, n_repeats=n_repeats, k_nn=k_nn)
     w = sweep["winner"]
     labels_all = w["labels"]
     labels_list = [labels_all[off : off + len(z)] for off, z in zip(offsets, z_list)]

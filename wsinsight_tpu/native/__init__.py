@@ -76,6 +76,17 @@ def get_lib() -> ctypes.CDLL | None:
                 ctypes.c_int64,
             ]
             lib.lzw_decode.restype = ctypes.c_int64
+            lib.leiden_cluster.argtypes = [
+                ctypes.POINTER(ctypes.c_int64),
+                ctypes.POINTER(ctypes.c_int64),
+                ctypes.c_int64,
+                ctypes.c_int64,
+                ctypes.c_double,
+                ctypes.c_uint64,
+                ctypes.POINTER(ctypes.c_int32),
+                ctypes.POINTER(ctypes.c_double),
+            ]
+            lib.leiden_cluster.restype = ctypes.c_int64
             _lib = lib
         except Exception as err:
             logger.debug(f"native load error: {err}")
@@ -126,3 +137,35 @@ def watershed_native(
         _ptr(out, ctypes.c_int32),
     )
     return out
+
+
+def leiden_native(
+    edges: np.ndarray, n_nodes: int, resolution: float, seed: int
+) -> tuple[np.ndarray, float] | None:
+    """Leiden clustering via the native library; None when unavailable.
+
+    edges: (E, 2) int array of undirected edges (duplicates/self-loops OK).
+    Returns (labels int32[n_nodes], gamma=1 modularity). The native call
+    releases the GIL, so sweeps can fan out across threads.
+    """
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "leiden_cluster"):
+        return None
+    edges = np.ascontiguousarray(np.asarray(edges, np.int64).reshape(-1, 2))
+    src = np.ascontiguousarray(edges[:, 0])
+    dst = np.ascontiguousarray(edges[:, 1])
+    labels = np.zeros(int(n_nodes), np.int32)
+    mod = ctypes.c_double(0.0)
+    n = lib.leiden_cluster(
+        _ptr(src, ctypes.c_int64),
+        _ptr(dst, ctypes.c_int64),
+        len(edges),
+        int(n_nodes),
+        float(resolution),
+        int(seed) & 0xFFFFFFFFFFFFFFFF,
+        _ptr(labels, ctypes.c_int32),
+        ctypes.byref(mod),
+    )
+    if n < 0:
+        return None
+    return labels, float(mod.value)
