@@ -343,3 +343,67 @@ def test_leiden_sweep_selects_stable_resolution():
     assert w["n_clusters"] == 2
     labels = w["labels"]
     assert len(np.unique(labels[:150])) == 1 and len(np.unique(labels[150:])) == 1
+
+
+def test_gaussian_knn_impute_math():
+    """Imputation weights match the reference formula exp(-(d/sigma)^2)."""
+    from wsinsight_tpu.insightlib.foundation import gaussian_knn_impute
+
+    coords = np.array([[0.0, 0.0], [10.0, 0.0], [100.0, 0.0]], np.float32)
+    sampled_idx = np.array([0, 2])
+    feats = np.array([[1.0, 0.0], [0.0, 1.0]], np.float32)
+    out = gaussian_knn_impute(coords, sampled_idx, feats, k=2, sigma_um=60.0)
+    # sampled cells reproduce themselves (dominant self-weight)
+    assert out[0, 0] > 0.9 and out[2, 1] > 0.9
+    # cell at x=10: w0 = exp(-(10/60)^2), w1 = exp(-(90/60)^2), normalized
+    eps = 1e-8
+    w0 = np.exp(-((10.0 / 60.0) ** 2)) + eps
+    w1 = np.exp(-((90.0 / 60.0) ** 2)) + eps
+    np.testing.assert_allclose(out[1, 0], w0 / (w0 + w1), rtol=1e-5)
+    np.testing.assert_allclose(out[1, 1], w1 / (w0 + w1), rtol=1e-5)
+
+
+def test_prepare_slide_graph_hoptimus_branch_with_stub():
+    """use_hoptimus concatenates an imputed foundation block onto the k-hop
+    features; runs fully under a stub extractor (no timm needed)."""
+    from wsinsight_tpu.insightlib.cme import prepare_slide_graph
+    from wsinsight_tpu.insightlib.foundation import stub_extractor
+
+    rng = np.random.default_rng(0)
+    n = 60
+    df = pd.DataFrame(
+        {
+            "minx": rng.integers(0, 400, n),
+            "miny": rng.integers(0, 400, n),
+            "width": 8,
+            "height": 8,
+            "prob_a": rng.random(n),
+            "prob_b": rng.random(n),
+        }
+    )
+
+    class _Crops:
+        def __len__(self):
+            return n
+
+        def __getitem__(self, i):
+            rr = np.random.default_rng(i)
+            return rr.integers(0, 256, size=(32, 32, 3), dtype=np.uint8)
+
+    base = prepare_slide_graph(df, mpp_um_per_px=0.25, max_edge_len_um=40.0)
+    g = prepare_slide_graph(
+        df,
+        mpp_um_per_px=0.25,
+        max_edge_len_um=40.0,
+        use_hoptimus=True,
+        patch_source=_Crops(),
+        feature_extractor=stub_extractor(dim=16),
+        sample_frac=0.5,
+        pca_dim=8,
+        knn_k=3,
+    )
+    assert g["X"].shape[0] == base["X"].shape[0]
+    assert g["X"].shape[1] == base["X"].shape[1] + 8
+    assert np.isfinite(g["X"]).all()
+    # k-hop block is unchanged by the foundation branch
+    np.testing.assert_allclose(g["X"][:, : base["X"].shape[1]], base["X"])

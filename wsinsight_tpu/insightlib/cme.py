@@ -160,19 +160,25 @@ def prepare_slide_graph(
     alpha: float = 1.0,
     mode: str = "hard",
     use_hoptimus: bool = False,
+    patch_source=None,
+    feature_extractor=None,
+    sample_frac: Optional[float] = 0.2,
+    sample_count: Optional[int] = None,
+    pca_dim: Optional[int] = 128,
+    knn_k: int = 3,
+    knn_sigma_um: float = 60.0,
+    seed: int = 0,
     **_unused,
 ) -> Dict[str, Any]:
     """Build one slide graph: X, edge_index, kept_idx, classes, edges_df.
 
-    The optional H-Optimus foundation-model embedding branch (reference:
-    cme_generation.py:436-490) requires the timm checkpoint; it is accepted
-    for API compatibility and raises if enabled without support.
+    With ``use_hoptimus`` the k-hop composition block is concatenated with a
+    foundation-model feature block: a sampled subset of cells is embedded
+    (pluggable ``feature_extractor``; defaults to the timm H-Optimus-0
+    checkpoint), PCA-reduced, and Gaussian-KNN-imputed to every kept cell in
+    micron space (reference: cme_generation.py:436-490,753-782).
+    ``patch_source`` supplies per-cell crops (insightlib/foundation.py).
     """
-    if use_hoptimus:
-        raise NotImplementedError(
-            "H-Optimus embeddings need the bioptimus/H-optimus-0 checkpoint;"
-            " provide it via a custom feature hook (planned follow-up)."
-        )
     df = compute_cell_center_points(cme_detection_df.copy())
     centers_px = df[["center_x", "center_y"]].to_numpy(np.float32)
     n = len(df)
@@ -186,9 +192,31 @@ def prepare_slide_graph(
 
     p_all, classes = probs_from_df(df, class_order=class_order)
     p = p_all[kept_idx]
-    x = khop_features(P=p, edge_index=edge_index, N=len(kept_idx), k=k_hops, alpha=alpha, mode=mode)
+    blocks = [
+        khop_features(
+            P=p, edge_index=edge_index, N=len(kept_idx), k=k_hops, alpha=alpha, mode=mode
+        )
+    ]
+    if use_hoptimus:
+        from .foundation import foundation_feature_block
+
+        coords_um = centers_px[kept_idx] * float(mpp_um_per_px)
+        blocks.append(
+            foundation_feature_block(
+                coords_um,
+                kept_idx,
+                patch_source,
+                feature_extractor,
+                sample_frac=sample_frac,
+                sample_count=sample_count,
+                pca_dim=pca_dim,
+                knn_k=knn_k,
+                knn_sigma_um=knn_sigma_um,
+                seed=seed,
+            )
+        )
     return {
-        "X": x,
+        "X": np.hstack(blocks).astype(np.float32),
         "edge_index": edge_index.astype(np.int64),
         "kept_idx": kept_idx.astype(np.int64),
         "classes": classes,
@@ -456,9 +484,15 @@ def cme_generation(
     cme_clustering_k: int | None = 10,
     cme_clustering_resolutions: "List[float] | str" = (0.5, 1.0, 2.0),
     cme_soft_mode: bool = False,
+    feature_extractor=None,
 ) -> None:
-    """Build slide graphs, train DGI, cluster, and write per-cell/region CSVs."""
-    del patch_datasets, sample_frac, sample_count, pca_dim, knn_k, knn_sigma_um
+    """Build slide graphs, train DGI, cluster, and write per-cell/region CSVs.
+
+    ``patch_datasets`` (per-slide cell-crop sources, insightlib/foundation.py)
+    and ``feature_extractor`` feed the H-Optimus branch; when
+    ``use_hoptimus`` is set and no patch source is given, real crops are
+    read from each slide around the detected cell centres.
+    """
 
     if isinstance(cme_clustering_resolutions, str):
         cme_clustering_resolutions = [
@@ -507,9 +541,22 @@ def cme_generation(
         print("Phase 1/5: build slide graphs")
         slides = []
         good_pairs = []
-        for wsi_path, csv_path in tqdm(pairs, desc="Graphs"):
+        for slide_i, (wsi_path, csv_path) in enumerate(tqdm(pairs, desc="Graphs")):
             df = pd.read_csv(csv_path.materialize())
             mpp = get_avg_mpp(wsi_path)
+            patch_source = None
+            if use_hoptimus:
+                if patch_datasets is not None:
+                    patch_source = patch_datasets[slide_i]
+                else:
+                    from ..wsi import get_wsi_cls
+                    from .foundation import SlideCropSource
+
+                    cdf = compute_cell_center_points(df.copy())
+                    patch_source = SlideCropSource(
+                        get_wsi_cls()(str(wsi_path.materialize())),
+                        cdf[["center_x", "center_y"]].to_numpy(np.int64),
+                    )
             try:
                 slides.append(
                     prepare_slide_graph(
@@ -521,6 +568,13 @@ def cme_generation(
                         alpha=alpha,
                         mode="soft" if cme_soft_mode else "hard",
                         use_hoptimus=use_hoptimus,
+                        patch_source=patch_source,
+                        feature_extractor=feature_extractor,
+                        sample_frac=sample_frac,
+                        sample_count=sample_count,
+                        pca_dim=pca_dim,
+                        knn_k=knn_k,
+                        knn_sigma_um=knn_sigma_um,
                     )
                 )
                 good_pairs.append((wsi_path, csv_path))
