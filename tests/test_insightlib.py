@@ -407,3 +407,68 @@ def test_prepare_slide_graph_hoptimus_branch_with_stub():
     assert np.isfinite(g["X"]).all()
     # k-hop block is unchanged by the foundation branch
     np.testing.assert_allclose(g["X"][:, : base["X"].shape[1]], base["X"])
+
+
+def test_exact_capped_voronoi_geometry():
+    """Exact construction: interior grid cells are exact squares, union area
+    equals the sum of disjoint cell areas, and enclosed holes are detected."""
+    from wsinsight_tpu.insightlib.voronoi_exact import (
+        capped_voronoi_cells,
+        ring_area,
+        union_cells,
+    )
+
+    pts = np.stack(np.meshgrid(np.arange(5) * 10.0, np.arange(5) * 10.0), -1).reshape(-1, 2)
+    cells = capped_voronoi_cells(pts, radius=12.0)
+    assert abs(ring_area(cells[12]) - 100.0) < 1e-6  # interior cell = 10x10
+
+    rings = union_cells([c for c in cells if c is not None])
+    total_cells = sum(ring_area(c) for c in cells if c is not None)
+    total_union = sum(ring_area(r) for r in rings)  # holes count negative
+    np.testing.assert_allclose(total_union, total_cells, rtol=1e-6)
+
+    # ring of 8 cells around an excluded island -> union must carry a hole
+    ang = np.linspace(0, 2 * np.pi, 8, endpoint=False)
+    pts = np.concatenate([np.stack([10 * np.cos(ang), 10 * np.sin(ang)], 1), [[0.0, 0.0]]])
+    cells = capped_voronoi_cells(pts, radius=9.0)
+    rings = union_cells([c for c in cells[:8] if c is not None])
+    areas = [ring_area(r) for r in rings]
+    assert any(a < 0 for a in areas)
+    np.testing.assert_allclose(
+        sum(areas), sum(ring_area(c) for c in cells[:8] if c is not None), rtol=1e-6
+    )
+
+
+def test_raster_voronoi_error_bounded_vs_exact():
+    """The raster fallback's region areas stay within a quantified bound of
+    the exact construction on a random arrangement."""
+    from wsinsight_tpu.insightlib.voronoi import merge_same_label_by_shared_edges_iterative
+    from wsinsight_tpu.insightlib.helpers import delaunay_triangulation
+
+    rng = np.random.default_rng(5)
+    n = 120
+    centers = rng.uniform(0, 500, size=(n, 2))
+    df = pd.DataFrame(
+        {
+            "minx": centers[:, 0] - 4,
+            "miny": centers[:, 1] - 4,
+            "width": 8,
+            "height": 8,
+        }
+    )
+    labels = rng.integers(0, 2, n)
+    for k in range(2):
+        df[f"cme_{k}"] = (labels == k).astype(float)
+    edges_df = delaunay_triangulation(centers.astype(np.float32), 80.0)
+
+    kwargs = dict(
+        cme_clustering_k=2, mpp=0.25, max_radius_um=10.0, raster_um_per_px=0.5
+    )
+    exact = merge_same_label_by_shared_edges_iterative(df, edges_df, method="exact", **kwargs)
+    raster = merge_same_label_by_shared_edges_iterative(df, edges_df, method="raster", **kwargs)
+    assert len(exact) > 0 and len(raster) > 0
+    for k in range(2):
+        a_e = exact.loc[exact[f"cme_{k}"] == 1.0, "area"].sum()
+        a_r = raster.loc[raster[f"cme_{k}"] == 1.0, "area"].sum()
+        # discretization error of the 0.5um/0.25mpp grid stays under 10%
+        assert abs(a_e - a_r) / a_e < 0.10, (k, a_e, a_r)

@@ -5,16 +5,20 @@ wsinsight/insightlib/vorononi_cme_region_helper.py:89-650): per-cell Voronoi
 regions capped by a disk of max_radius_um, same-label neighbors merged via
 Delaunay edges, serialized as WKT rows with one-hot cme_* columns and area.
 
-Shapely/GEOS is not a dependency: the polygon union runs on a raster instead —
-for each merged component, nearest-cell assignment is computed with a distance
-transform over a working grid (exactly the Voronoi partition, discretized),
-capped at max_radius, and the component mask is contour-traced back to slide
-coordinates. Output schema matches the reference
-(vorononi_cme_region_helper.py:602-650): cme_0..cme_{K-1}, polygon_wkt, area.
+Shapely/GEOS is not a dependency. The default path is the EXACT polygon
+construction in voronoi_exact.py (finite-ified scipy Voronoi cells clipped
+by a 64-gon disk, union by split-and-cancel of shared edges — matching the
+reference's shapely buffer/union semantics). A raster fallback remains for
+degenerate diagrams (and via WSINSIGHT_VORONOI_METHOD=raster): per merged
+component, nearest-cell assignment via a distance transform over a working
+grid, capped at max_radius, contour-traced back to slide coordinates.
+Output schema matches the reference (vorononi_cme_region_helper.py:602-650):
+cme_0..cme_{K-1}, polygon_wkt, area.
 """
 
 from __future__ import annotations
 
+import os
 from typing import List, Tuple
 
 import cv2
@@ -68,9 +72,13 @@ def merge_same_label_by_shared_edges_iterative(
     mpp: float,
     max_radius_um: float,
     raster_um_per_px: float = 2.0,
+    method: str | None = None,
 ) -> pd.DataFrame:
     """Merge same-label capped-Voronoi cells into region polygons.
 
+    method: "exact" (default; polygon construction, voronoi_exact.py) or
+    "raster"; also settable via WSINSIGHT_VORONOI_METHOD. Exact falls back
+    to raster when the diagram is degenerate.
     Returns DataFrame[cme_0..cme_{K-1}, polygon_wkt, area] (area in slide px^2).
     """
     cme_cols = [c for c in cme_detection_df.columns if c.startswith("cme_")]
@@ -105,6 +113,40 @@ def merge_same_label_by_shared_edges_iterative(
     pad = max_radius_px + 2 * scale
 
     out_cme_cols = [f"cme_{i}" for i in range(cme_clustering_k)]
+
+    method = (method or os.getenv("WSINSIGHT_VORONOI_METHOD", "exact")).lower()
+    capped_cells = None
+    if method == "exact":
+        try:
+            from .voronoi_exact import capped_voronoi_cells
+
+            capped_cells = capped_voronoi_cells(kept_centers, max_radius_px)
+        except Exception:
+            capped_cells = None  # degenerate diagram -> raster fallback
+
+    if capped_cells is not None:
+        from .voronoi_exact import ring_area, union_cells
+
+        rows = []
+        for comp in components:
+            comp = np.asarray(comp)
+            label = int(kept_labels[comp[0]])
+            polys = [capped_cells[i] for i in comp if capped_cells[i] is not None]
+            if not polys:
+                continue
+            one_hot = np.zeros(cme_clustering_k, np.float32)
+            if 0 <= label < cme_clustering_k:
+                one_hot[label] = 1.0
+            for ring in union_cells(polys):
+                area = ring_area(ring)
+                if area <= 0:  # CW = hole; exterior rings only (see module doc)
+                    continue
+                row = {name: float(v) for name, v in zip(out_cme_cols, one_hot)}
+                row["polygon_wkt"] = polygon_wkt([ring])
+                row["area"] = float(area)
+                rows.append(row)
+        return pd.DataFrame(rows, columns=out_cme_cols + ["polygon_wkt", "area"])
+
     rows = []
     for comp in components:
         comp = np.asarray(comp)
