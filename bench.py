@@ -246,17 +246,24 @@ def bench_cellvit_cells(fast: bool) -> dict:
     batch = rng.integers(0, 256, size=(batch_size, patch_px, patch_px, 3), dtype=np.uint8)
     batch = jax.device_put(batch)
 
-    def run(i0: int) -> None:
+    def postprocess(i0: int):
         sel = coords[i0 : i0 + batch_size]
         pred = step(params, batch)
         pred = {k: v for k, v in pred.items() if k != "tissue_types"}
-        stitcher.accumulate_batch(pred, sel, n_valid=len(sel))
+        return stitcher.device_postprocess(pred), sel
 
-    run(0)  # compile
+    maps, sel = postprocess(0)  # compile
+    stitcher.scatter(maps, sel, n_valid=len(sel))
     n_patches = len(coords)
     t0 = time.perf_counter()
+    # production pipeline shape: dispatch batch i+1, then scatter batch i
+    pending = None
     for i0 in range(0, n_patches, batch_size):
-        run(i0)
+        maps, sel = postprocess(i0)
+        if pending is not None:
+            stitcher.scatter(pending[0], pending[1], n_valid=len(pending[1]))
+        pending = (maps, sel)
+    stitcher.scatter(pending[0], pending[1], n_valid=len(pending[1]))
     t_forward = time.perf_counter() - t0
 
     n_cells_painted = _paint_synthetic_nuclei(stitcher)

@@ -112,6 +112,7 @@ def test_stitcher_accumulate_device_half():
     st = TileRemapStitcher(
         n_classes=k, slide_width=200, slide_height=200, slide_patch_size=82,
         slide_halo_size=10, slide_mpp=0.25, model_mpp=0.5,
+        transfer_dtype="float32",  # this test checks the math at f32 tolerance
     )
     pred = {
         "nuclei_binary_map": rng.standard_normal((b, 2, o, o)).astype(np.float32),
@@ -211,3 +212,41 @@ def test_cellvit_end_to_end(tmp_path):
             assert len(f["/polygons/offsets"]) - 1 == len(
                 [None for _ in range(len(f["/polygons/offsets"]) - 1)]
             )
+
+
+def test_bf16_transfer_matches_f32_instances():
+    """bfloat16 map transfer (the default) produces the same instances and
+    near-identical class probabilities as float32 transfer."""
+    from wsinsight_tpu.engine.stitch import TileRemapStitcher
+
+    h = w = 256
+    np_map, hv_map, tp_map = _synthetic_nuclei(h, w)
+    rng = np.random.default_rng(0)
+    # model-space logits whose softmax reproduces the synthetic maps
+    eps = 1e-4
+    np_logits = np.stack(
+        [np.log1p(-np_map + eps), np.log(np_map + eps)], axis=0
+    )[None].astype(np.float32)
+    tp_logits = np.log(tp_map + eps).transpose(2, 0, 1)[None].astype(np.float32)
+    hv = hv_map.transpose(2, 0, 1)[None].astype(np.float32)
+    # subpixel noise so the two dtypes actually see quantization
+    tp_logits += rng.normal(0, 1e-3, tp_logits.shape).astype(np.float32)
+
+    coords = np.array([[0, 0, w, h]], np.int64)
+    results = {}
+    for dtype in ("float32", "bfloat16"):
+        st = TileRemapStitcher(
+            n_classes=3, slide_width=w, slide_height=h, slide_patch_size=w,
+            slide_halo_size=0, slide_mpp=0.25, model_mpp=0.25,
+            transfer_dtype=dtype,
+        )
+        st.accumulate_batch({"np": np_logits, "hv": hv, "tp": tp_logits}, coords)
+        inst, prob, poly = st.finalize(num_workers=1)
+        st.close()
+        results[dtype] = (np.concatenate(inst), np.concatenate(prob))
+
+    inst32, prob32 = results["float32"]
+    inst16, prob16 = results["bfloat16"]
+    assert inst32.shape == inst16.shape
+    np.testing.assert_array_equal(inst32, inst16)  # same boxes
+    np.testing.assert_allclose(prob16, prob32, atol=5e-3)  # measured budget

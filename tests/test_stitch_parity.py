@@ -32,6 +32,7 @@ def test_accumulate_matches_torch_reference():
     st = TileRemapStitcher(
         n_classes=k, slide_width=400, slide_height=400, slide_patch_size=s,
         slide_halo_size=0, slide_mpp=0.25, model_mpp=0.5,
+        transfer_dtype="float32",  # torch parity is asserted at f32 tolerance
     )
     coords = np.array([[0, 0, s, s], [s, 0, s, s], [0, s, s, s]], np.int64)
     st.accumulate_batch(

@@ -130,7 +130,7 @@ def run_cell_inference(
         slide_mpp=mpp,
         model_mpp=cfg.spacing_um_px,
         min_object_size=min_object_size,
-        transfer_dtype="bfloat16" if getattr(engine, "mixed_precision", False) else "float32",
+        transfer_dtype=None,  # bf16 default (see TileRemapStitcher); env-overridable
     )
 
     src = PatchBatchSource(
@@ -141,13 +141,23 @@ def run_cell_inference(
         num_threads=num_workers or 4,
     )
     with tqdm.tqdm(total=src.num_batches, desc="Inference", position=1, leave=False) as qbar:
+        # One-deep software pipeline: jax dispatch is asynchronous, so the
+        # forward + device post-process of batch i+1 runs on the chip while
+        # batch i's resized maps transfer and scatter into the host canvases.
+        pending = None  # (device maps, coords, n_valid)
         for batch in src:
             pred = engine.run_batch(batch.images)
             # Keep maps on device: the stitcher's jitted half (softmax, resize,
             # HV scaling) consumes them there; only the resized maps cross to
-            # host, once.
+            # host, once per batch.
             pred = {k: v for k, v in pred.items() if k != "tissue_types"}
-            stitcher.accumulate_batch(pred, batch.coords, n_valid=batch.n_valid)
+            maps = stitcher.device_postprocess(pred)
+            if pending is not None:
+                stitcher.scatter(*pending)
+                qbar.update(1)
+            pending = (maps, batch.coords, batch.n_valid)
+        if pending is not None:
+            stitcher.scatter(*pending)
             qbar.update(1)
     src.close()
 

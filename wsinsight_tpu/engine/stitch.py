@@ -43,10 +43,16 @@ class TileRemapStitcher:
         model_mpp: float,
         min_object_size: int = 20,
         memmap_above_bytes: int | None = None,
-        transfer_dtype: str = "float32",
+        transfer_dtype: str | None = None,
     ):
-        # bf16 map transfer halves device->host bytes (the cell path's biggest
-        # per-batch transfer); used by the mixed-precision fast path.
+        # Map-transfer dtype. The resized prediction maps are the cell path's
+        # dominant device->host traffic ((3+K) channels x patch^2 x 4B each);
+        # post-softmax probabilities in [0,1] lose ~0.4% relative precision
+        # in bfloat16, far below the 0.5 NP threshold's noise floor, so bf16
+        # halves the bytes by default (WSINSIGHT_CELL_TRANSFER=float32 to
+        # opt out; parity asserted in tests/test_cells.py).
+        if transfer_dtype is None:
+            transfer_dtype = os.getenv("WSINSIGHT_CELL_TRANSFER", "bfloat16")
         self.transfer_dtype = transfer_dtype
         self.n_classes = n_classes
         self.slide_width = slide_width
@@ -127,15 +133,14 @@ class TileRemapStitcher:
 
         self._device_step = jax.jit(step)
 
-    def accumulate_batch(
-        self, pred_dict: dict, batch_coords: np.ndarray, n_valid: int | None = None
-    ) -> None:
-        """Device post-process one batch and scatter into the host canvases.
+    def device_postprocess(self, pred_dict: dict):
+        """Dispatch the jitted device half (softmax / resize / HV scale).
 
         pred_dict accepts both key conventions (reference: tilefuse.py:225-230):
-        {np, hv, tp} or {nuclei_binary_map, hv_map, nuclei_type_map}; values are
-        (B, C, h, w) arrays (device or host). batch_coords is (B, 4)
-        [minx, miny, w, h] in slide coordinates.
+        {np, hv, tp} or {nuclei_binary_map, hv_map, nuclei_type_map}; values
+        are (B, C, h, w) arrays (device or host). Returns DEVICE arrays — the
+        call is asynchronous, so the caller can overlap the next forward with
+        this batch's host scatter (see engine/cells.py pipeline).
         """
         np_logits = pred_dict.get("np", pred_dict.get("nuclei_binary_map"))
         hv = pred_dict.get("hv", pred_dict.get("hv_map"))
@@ -144,7 +149,14 @@ class TileRemapStitcher:
 
         if self._device_step is None:
             self._build_device_step()
-        np_res, hv_res, tp_res = self._device_step(np_logits, hv, tp_logits)
+        return self._device_step(np_logits, hv, tp_logits)
+
+    def scatter(self, maps, batch_coords: np.ndarray, n_valid: int | None = None) -> None:
+        """Fetch one post-processed batch and write it into the host canvases.
+
+        batch_coords is (B, 4) [minx, miny, w, h] in slide coordinates.
+        """
+        np_res, hv_res, tp_res = maps
         np_res = np.asarray(np_res).astype(np.float32)
         hv_res = np.asarray(hv_res).astype(np.float32)
         tp_res = np.asarray(tp_res).astype(np.float32)
@@ -164,6 +176,12 @@ class TileRemapStitcher:
             self.np_map[cy0:cy1, cx0:cx1] = np_res[i, ty0:ty1, tx0:tx1]
             self.hv_map[cy0:cy1, cx0:cx1, :] = hv_res[i, ty0:ty1, tx0:tx1, :]
             self.tp_map[cy0:cy1, cx0:cx1, :] = tp_res[i, ty0:ty1, tx0:tx1, :]
+
+    def accumulate_batch(
+        self, pred_dict: dict, batch_coords: np.ndarray, n_valid: int | None = None
+    ) -> None:
+        """Device post-process one batch and scatter it (synchronous form)."""
+        self.scatter(self.device_postprocess(pred_dict), batch_coords, n_valid)
 
     # ------------------------------------------------------------------
     def finalize(
