@@ -68,3 +68,215 @@ def test_unknown_architecture():
 
     with pytest.raises(UnknownArchitectureError):
         create_model("not_a_net", 2)
+
+
+def test_convtranspose_conversion_matches_torch():
+    """ConvTranspose2d mapping: (in,out,kh,kw) -> (kh,kw,in,out) + spatial
+    flip (torch transposes a cross-correlation; lax does not flip)."""
+    import flax.linen as nn
+    import jax
+
+    torch.manual_seed(0)
+    t = torch.nn.ConvTranspose2d(3, 5, kernel_size=2, stride=2)
+    x = torch.randn(1, 3, 8, 8)
+    with torch.no_grad():
+        expected = t(x).numpy()
+
+    class M(nn.Module):
+        @nn.compact
+        def __call__(self, x):
+            return nn.ConvTranspose(5, (2, 2), strides=(2, 2), padding="VALID",
+                                    name="deconv")(x)
+
+    params = convert_torch_state_dict(state_dict_to_arrays(
+        {f"deconv.{k}": v for k, v in t.state_dict().items()}
+    ))
+    got = M().apply(
+        {"params": params}, jnp.asarray(x.numpy().transpose(0, 2, 3, 1))
+    )
+    np.testing.assert_allclose(
+        np.asarray(got).transpose(0, 3, 1, 2), expected, atol=1e-5
+    )
+
+
+def test_cellvit256_full_parity():
+    """Template-guided conversion of a full torch CellViT-256 (ViT encoder,
+    three decoder branches, tissue head) matches the flax model end to end."""
+    import torch_refs_cells
+
+    from wsinsight_tpu.models.convert import convert_with_template
+
+    torch.manual_seed(1)
+    tmodel = torch_refs_cells.TorchCellViT256(num_nuclei_classes=3, halo=8)
+    tmodel.eval()
+    _randomize_bn(tmodel, seed=3)
+    with torch.no_grad():
+        # non-trivial cls/pos so their conversion is exercised
+        tmodel.encoder.cls_token.normal_(0, 0.02)
+        tmodel.encoder.pos_embed.normal_(0, 0.02)
+
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((2, 3, 64, 64)).astype(np.float32) * 0.5
+    with torch.no_grad():
+        expected = tmodel(torch.from_numpy(x))
+
+    import jax
+
+    fmodel = create_model("cellvit-256", 3).clone(halo_size=8)
+    template = fmodel.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3), jnp.float32)
+    )["params"]
+    params = convert_with_template(
+        state_dict_to_arrays(tmodel.state_dict()), template
+    )
+    got = fmodel.apply({"params": params}, jnp.asarray(np.transpose(x, (0, 2, 3, 1))))
+
+    for key in ("nuclei_binary_map", "hv_map", "nuclei_type_map", "tissue_types"):
+        np.testing.assert_allclose(
+            np.asarray(got[key]), expected[key].numpy(), atol=1e-3, rtol=1e-4,
+            err_msg=key,
+        )
+
+
+def test_hovernet_full_parity():
+    """Template-guided conversion of a full torch HoVer-Net (pre-act ResNet50
+    encoder + three dense decoders) matches the flax model end to end."""
+    import torch_refs_cells
+
+    from wsinsight_tpu.models.convert import convert_with_template
+
+    torch.manual_seed(2)
+    tmodel = torch_refs_cells.TorchHoVerNetFast(num_nuclei_classes=3, halo=8)
+    tmodel.eval()
+    _randomize_bn(tmodel, seed=4)
+
+    rng = np.random.default_rng(1)
+    x = rng.standard_normal((1, 3, 64, 64)).astype(np.float32) * 0.5
+    with torch.no_grad():
+        expected = tmodel(torch.from_numpy(x))
+
+    import jax
+
+    fmodel = create_model("hovernet-fast", 3).clone(halo_size=8)
+    template = fmodel.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3), jnp.float32)
+    )["params"]
+    params = convert_with_template(
+        state_dict_to_arrays(tmodel.state_dict()), template
+    )
+    got = fmodel.apply({"params": params}, jnp.asarray(np.transpose(x, (0, 2, 3, 1))))
+    for key in ("nuclei_binary_map", "hv_map", "nuclei_type_map"):
+        np.testing.assert_allclose(
+            np.asarray(got[key]), expected[key].numpy(), atol=1e-3, rtol=1e-4,
+            err_msg=key,
+        )
+
+
+def test_stardist_full_parity():
+    """Template-guided conversion of a torch StarDist U-Net matches flax."""
+    import torch_refs_cells
+
+    from wsinsight_tpu.models.convert import convert_with_template
+    from wsinsight_tpu.models.stardist import StarDistUNet
+
+    torch.manual_seed(3)
+    tmodel = torch_refs_cells.TorchStarDistUNet()
+    tmodel.eval()
+
+    rng = np.random.default_rng(2)
+    x = rng.random((1, 3, 64, 64)).astype(np.float32)
+    with torch.no_grad():
+        t_prob, t_dist = tmodel(torch.from_numpy(x))
+
+    import jax
+
+    fmodel = StarDistUNet()
+    template = fmodel.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3), jnp.float32)
+    )["params"]
+    params = convert_with_template(
+        state_dict_to_arrays(tmodel.state_dict()), template
+    )
+    prob, dist = fmodel.apply({"params": params}, jnp.asarray(np.transpose(x, (0, 2, 3, 1))))
+    np.testing.assert_allclose(
+        np.asarray(prob).transpose(0, 3, 1, 2), t_prob.numpy(), atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(dist).transpose(0, 3, 1, 2), t_dist.numpy(), atol=1e-4
+    )
+
+
+def test_cellvit_sam_b_full_parity():
+    """SAM-encoder CellViT (windowed attention, decomposed rel-pos, no cls
+    token) converts and matches numerically."""
+    import torch_refs_cells
+
+    from wsinsight_tpu.models.convert import convert_with_template
+
+    torch.manual_seed(4)
+    tmodel = torch_refs_cells.TorchCellViTSAMB(num_nuclei_classes=3, halo=8)
+    tmodel.eval()
+    _randomize_bn(tmodel, seed=5)
+    with torch.no_grad():
+        tmodel.encoder.pos_embed.normal_(0, 0.02)
+        for blk in tmodel.encoder.blocks:
+            blk.attn.rel_pos_h.normal_(0, 0.02)
+            blk.attn.rel_pos_w.normal_(0, 0.02)
+
+    rng = np.random.default_rng(3)
+    x = rng.standard_normal((1, 3, 64, 64)).astype(np.float32) * 0.5
+    with torch.no_grad():
+        expected = tmodel(torch.from_numpy(x))
+
+    import jax
+
+    fmodel = create_model("cellvit-sam-b", 3).clone(halo_size=8)
+    template = fmodel.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3), jnp.float32)
+    )["params"]
+    params = convert_with_template(
+        state_dict_to_arrays(tmodel.state_dict()), template
+    )
+    got = fmodel.apply({"params": params}, jnp.asarray(np.transpose(x, (0, 2, 3, 1))))
+    for key in ("nuclei_binary_map", "hv_map", "nuclei_type_map", "tissue_types"):
+        np.testing.assert_allclose(
+            np.asarray(got[key]), expected[key].numpy(), atol=1e-3, rtol=1e-4,
+            err_msg=key,
+        )
+
+
+def test_zoo_ingests_torch_checkpoint(tmp_path):
+    """ModelHandle converts a .pt torch checkpoint via the template path and
+    the resulting model scores identically to the torch source."""
+    import json
+
+    import torch_refs
+
+    from wsinsight_tpu.zoo import load_local_model
+
+    tmodel = torch_refs.torch_resnet34(2)
+    tmodel.eval()
+    _randomize_bn(tmodel)
+    torch.save(tmodel.state_dict(), tmp_path / "w.pt")
+    cfg = {
+        "architecture": "resnet34",
+        "num_classes": 2,
+        "class_names": ["a", "b"],
+        "patch_size_pixels": 350,
+        "spacing_um_px": 0.25,
+        "transform": [
+            {"name": "Resize", "arguments": {"size": 224}},
+            {"name": "ToTensor"},
+        ],
+    }
+    (tmp_path / "cfg.json").write_text(json.dumps(cfg))
+    handle = load_local_model(tmp_path / "cfg.json", tmp_path / "w.pt")
+    params = handle.load_flax_params()
+
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((2, 3, 224, 224)).astype(np.float32) * 0.5
+    with torch.no_grad():
+        expected = tmodel(torch.from_numpy(x)).numpy()
+    model = create_model("resnet34", 2)
+    got = np.asarray(model.apply({"params": params}, jnp.asarray(np.transpose(x, (0, 2, 3, 1)))))
+    np.testing.assert_allclose(got, expected, atol=2e-4, rtol=1e-4)

@@ -1,0 +1,549 @@
+"""Torch reference implementations for the cell-model converter tests.
+
+These mirror the wsinsight_tpu flax architectures with the torch module
+naming the converter expects, so `convert_with_template` can be validated
+numerically end to end (same weights -> same outputs). They are test-only
+oracles, written from the public CellViT architecture description.
+"""
+
+from __future__ import annotations
+
+import math
+
+import torch
+import torch.nn as nn
+
+
+# ---------------------------------------------------------------------------
+# ViT-256 encoder (standard ViT, cls token, global attention)
+# ---------------------------------------------------------------------------
+
+
+class PatchEmbed(nn.Module):
+    def __init__(self, dim, patch=16):
+        super().__init__()
+        self.proj = nn.Conv2d(3, dim, kernel_size=patch, stride=patch)
+
+    def forward(self, x):  # (B,3,H,W) -> (B, gh*gw, C)
+        y = self.proj(x)
+        b, c, gh, gw = y.shape
+        return y.flatten(2).transpose(1, 2), (gh, gw)
+
+
+class Mlp(nn.Module):
+    def __init__(self, dim, hidden):
+        super().__init__()
+        self.lin1 = nn.Linear(dim, hidden)
+        self.lin2 = nn.Linear(hidden, dim)
+
+    def forward(self, x):
+        return self.lin2(nn.functional.gelu(self.lin1(x)))
+
+
+class Attention(nn.Module):
+    def __init__(self, dim, heads):
+        super().__init__()
+        self.heads = heads
+        self.qkv = nn.Linear(dim, dim * 3)
+        self.proj = nn.Linear(dim, dim)
+
+    def forward(self, x):  # (B, N, C)
+        b, n, c = x.shape
+        hd = c // self.heads
+        qkv = self.qkv(x).reshape(b, n, 3, self.heads, hd).permute(2, 0, 3, 1, 4)
+        q, k, v = qkv[0], qkv[1], qkv[2]  # (b, heads, n, hd)
+        attn = (q * (hd**-0.5)) @ k.transpose(-2, -1)
+        attn = attn.float().softmax(dim=-1)
+        out = (attn @ v).transpose(1, 2).reshape(b, n, c)
+        return self.proj(out)
+
+
+class Block(nn.Module):
+    def __init__(self, dim, heads, mlp_ratio=4.0):
+        super().__init__()
+        self.norm1 = nn.LayerNorm(dim, eps=1e-6)
+        self.attn = Attention(dim, heads)
+        self.norm2 = nn.LayerNorm(dim, eps=1e-6)
+        self.mlp = Mlp(dim, int(dim * mlp_ratio))
+
+    def forward(self, x):
+        x = x + self.attn(self.norm1(x))
+        return x + self.mlp(self.norm2(x))
+
+
+class ViT256Encoder(nn.Module):
+    def __init__(self, dim=384, depth=12, heads=6, n_tokens=17, extract=(3, 6, 9, 12)):
+        super().__init__()
+        self.patch_embed = PatchEmbed(dim)
+        self.cls_token = nn.Parameter(torch.zeros(1, 1, dim))
+        self.pos_embed = nn.Parameter(torch.zeros(1, n_tokens, dim))
+        self.blocks = nn.Sequential(*[Block(dim, heads) for _ in range(depth)])
+        self.extract = extract
+
+    def forward(self, x):
+        tokens, (gh, gw) = self.patch_embed(x)
+        b = tokens.shape[0]
+        tokens = torch.cat([self.cls_token.expand(b, -1, -1), tokens], dim=1)
+        tokens = tokens + self.pos_embed
+        skips = []
+        for i, blk in enumerate(self.blocks):
+            tokens = blk(tokens)
+            if (i + 1) in self.extract:
+                grid = tokens[:, 1:, :].transpose(1, 2).reshape(b, -1, gh, gw)
+                skips.append(grid)
+        return skips, tokens[:, 0, :]
+
+
+# ---------------------------------------------------------------------------
+# CellViT decoder branches
+# ---------------------------------------------------------------------------
+
+
+class Conv2DBlock(nn.Module):
+    def __init__(self, cin, cout):
+        super().__init__()
+        self.conv = nn.Conv2d(cin, cout, 3, padding=1)
+        self.bn = nn.BatchNorm2d(cout)
+
+    def forward(self, x):
+        return torch.relu(self.bn(self.conv(x)))
+
+
+class Deconv2DBlock(nn.Module):
+    def __init__(self, cin, cout):
+        super().__init__()
+        self.deconv = nn.ConvTranspose2d(cin, cout, 2, stride=2)
+        self.conv = nn.Conv2d(cout, cout, 3, padding=1)
+        self.bn = nn.BatchNorm2d(cout)
+
+    def forward(self, x):
+        return torch.relu(self.bn(self.conv(self.deconv(x))))
+
+
+class UpsamplingBranch(nn.Module):
+    def __init__(self, dim, out_channels):
+        super().__init__()
+        self.bottleneck_upsampler = nn.ConvTranspose2d(dim, 512, 2, stride=2)
+        self.decoder3 = nn.Sequential(Deconv2DBlock(dim, 512))
+        self.decoder3_upsampler = nn.Sequential(
+            Conv2DBlock(1024, 512), Conv2DBlock(512, 512),
+            nn.ConvTranspose2d(512, 256, 2, stride=2),
+        )
+        self.decoder2 = nn.Sequential(Deconv2DBlock(dim, 512), Deconv2DBlock(512, 256))
+        self.decoder2_upsampler = nn.Sequential(
+            Conv2DBlock(512, 256), nn.ConvTranspose2d(256, 128, 2, stride=2)
+        )
+        self.decoder1 = nn.Sequential(
+            Deconv2DBlock(dim, 512), Deconv2DBlock(512, 256), Deconv2DBlock(256, 128)
+        )
+        self.decoder1_upsampler = nn.Sequential(
+            Conv2DBlock(256, 128), nn.ConvTranspose2d(128, 64, 2, stride=2)
+        )
+        self.decoder0 = nn.Sequential(Conv2DBlock(3, 32), Conv2DBlock(32, 64))
+        self.decoder0_header = nn.Sequential(
+            Conv2DBlock(128, 64), Conv2DBlock(64, 64), nn.Conv2d(64, out_channels, 1)
+        )
+
+    def forward(self, img, z1, z2, z3, z4):
+        b4 = self.bottleneck_upsampler(z4)
+        b3 = self.decoder3(z3)
+        y = self.decoder3_upsampler(torch.cat([b3, b4], dim=1))
+        b2 = self.decoder2(z2)
+        y = self.decoder2_upsampler(torch.cat([b2, y], dim=1))
+        b1 = self.decoder1(z1)
+        y = self.decoder1_upsampler(torch.cat([b1, y], dim=1))
+        b0 = self.decoder0(img)
+        return self.decoder0_header(torch.cat([b0, y], dim=1))
+
+
+class TorchCellViT256(nn.Module):
+    """CellViT with the ViT-256 encoder, matching wsinsight_tpu naming."""
+
+    def __init__(self, num_nuclei_classes=3, num_tissue_classes=19, halo=8, n_tokens=17):
+        super().__init__()
+        dim = 384
+        self.halo = halo
+        self.encoder = ViT256Encoder(dim=dim, n_tokens=n_tokens)
+        self.nuclei_binary_map_decoder = UpsamplingBranch(dim, 2)
+        self.hv_map_decoder = UpsamplingBranch(dim, 2)
+        self.nuclei_type_maps_decoder = UpsamplingBranch(dim, num_nuclei_classes)
+        self.classifier_head = nn.Linear(dim, num_tissue_classes)
+
+    def forward(self, x):
+        (z1, z2, z3, z4), cls_tok = self.encoder(x)
+        np_map = self.nuclei_binary_map_decoder(x, z1, z2, z3, z4)
+        hv_map = self.hv_map_decoder(x, z1, z2, z3, z4)
+        tp_map = self.nuclei_type_maps_decoder(x, z1, z2, z3, z4)
+        h = self.halo
+        if h > 0:
+            np_map = np_map[:, :, h:-h, h:-h]
+            hv_map = hv_map[:, :, h:-h, h:-h]
+            tp_map = tp_map[:, :, h:-h, h:-h]
+        return {
+            "nuclei_binary_map": np_map,
+            "hv_map": hv_map,
+            "nuclei_type_map": tp_map,
+            "tissue_types": self.classifier_head(cls_tok),
+        }
+
+
+# ---------------------------------------------------------------------------
+# HoVer-Net (fast) mirror
+# ---------------------------------------------------------------------------
+
+
+class PreActBottleneck(nn.Module):
+    def __init__(self, cin, width, stride=1):
+        super().__init__()
+        cout = width * 4
+        self.bn1 = nn.BatchNorm2d(cin)
+        if stride != 1 or cin != cout:
+            self.shortcut = nn.Conv2d(cin, cout, 1, stride=stride, bias=False)
+        else:
+            self.shortcut = None
+        self.conv1 = nn.Conv2d(cin, width, 1, bias=False)
+        self.bn2 = nn.BatchNorm2d(width)
+        self.conv2 = nn.Conv2d(width, width, 3, stride=stride, padding=1, bias=False)
+        self.bn3 = nn.BatchNorm2d(width)
+        self.conv3 = nn.Conv2d(width, cout, 1, bias=False)
+
+    def forward(self, x):
+        pre = torch.relu(self.bn1(x))
+        sc = self.shortcut(pre) if self.shortcut is not None else x
+        y = self.conv1(pre)
+        y = self.conv2(torch.relu(self.bn2(y)))
+        y = self.conv3(torch.relu(self.bn3(y)))
+        return y + sc
+
+
+class HoverDenseUnit(nn.Module):
+    def __init__(self, cin, growth=32):
+        super().__init__()
+        self.bn1 = nn.BatchNorm2d(cin)
+        self.conv1 = nn.Conv2d(cin, 128, 1, bias=False)
+        self.bn2 = nn.BatchNorm2d(128)
+        self.conv2 = nn.Conv2d(128, growth, 3, padding=1, bias=False)
+
+    def forward(self, x):
+        y = self.conv1(torch.relu(self.bn1(x)))
+        y = self.conv2(torch.relu(self.bn2(y)))
+        return torch.cat([x, y], dim=1)
+
+
+class _U3(nn.Module):
+    def __init__(self, cin):
+        super().__init__()
+        self.conva = nn.Conv2d(cin, 256, 5, padding=2, bias=False)
+        for i in range(4):
+            setattr(self, f"dense{i}", HoverDenseUnit(256 + 32 * i))
+        self.convf = nn.Conv2d(256 + 128, 512, 1, bias=False)
+
+    def forward(self, x):
+        x = self.conva(x)
+        for i in range(4):
+            x = getattr(self, f"dense{i}")(x)
+        return self.convf(x)
+
+
+class _U2(nn.Module):
+    def __init__(self, cin):
+        super().__init__()
+        self.conva = nn.Conv2d(cin, 128, 5, padding=2, bias=False)
+        for i in range(4):
+            setattr(self, f"dense{i}", HoverDenseUnit(128 + 32 * i))
+        self.convf = nn.Conv2d(128 + 128, 256, 1, bias=False)
+
+    def forward(self, x):
+        x = self.conva(x)
+        for i in range(4):
+            x = getattr(self, f"dense{i}")(x)
+        return self.convf(x)
+
+
+class _U1(nn.Module):
+    def __init__(self):
+        super().__init__()
+        self.conva = nn.Conv2d(256, 64, 5, padding=2, bias=False)
+
+    def forward(self, x):
+        return self.conva(x)
+
+
+class _U0(nn.Module):
+    def __init__(self, cin):
+        super().__init__()
+        self.bn = nn.BatchNorm2d(cin)
+        self.conv = nn.Conv2d(cin, 64, 3, padding=1, bias=False)
+
+    def forward(self, x):
+        return torch.relu(self.conv(torch.relu(self.bn(x))))
+
+
+def _up2(x):
+    return nn.functional.interpolate(x, scale_factor=2, mode="nearest")
+
+
+class TorchHoverDecoder(nn.Module):
+    def __init__(self, out_channels):
+        super().__init__()
+        self.u3 = _U3(2048 + 1024)
+        self.u2 = _U2(512 + 512)
+        self.u1 = _U1()
+        self.u0 = _U0(64 + 64)
+        self.head = nn.Conv2d(64, out_channels, 1, bias=True)
+
+    def forward(self, d0, d1, d2, d3):
+        x = self.u3(torch.cat([_up2(d3), d2], dim=1))
+        x = self.u2(torch.cat([_up2(x), d1], dim=1))
+        x = self.u1(_up2(x))
+        x = _up2(x)
+        x = self.u0(torch.cat([x, d0], dim=1))
+        return self.head(x)
+
+
+class TorchHoVerNetFast(nn.Module):
+    def __init__(self, num_nuclei_classes=3, halo=8):
+        super().__init__()
+        self.halo = halo
+        self.conv0 = nn.Conv2d(3, 64, 7, padding=3, bias=False)
+        self.bn0 = nn.BatchNorm2d(64)
+        widths = (64, 128, 256, 512)
+        blocks = (3, 4, 6, 3)
+        cin = 64
+        for si, (wd, nb) in enumerate(zip(widths, blocks)):
+            stage = []
+            for bi in range(nb):
+                stride = 2 if (bi == 0 and si > 0) else 1
+                stage.append(PreActBottleneck(cin, wd, stride))
+                cin = wd * 4
+            setattr(self, f"res{si}", nn.Sequential(*stage))
+        self.decoder = nn.ModuleDict(
+            {
+                "np": TorchHoverDecoder(2),
+                "hv": TorchHoverDecoder(2),
+                "tp": TorchHoverDecoder(num_nuclei_classes),
+            }
+        )
+
+    def forward(self, x):
+        d0 = torch.relu(self.bn0(self.conv0(x)))
+        y = nn.functional.max_pool2d(d0, 3, stride=2, padding=1)
+        stages = []
+        for si in range(4):
+            y = getattr(self, f"res{si}")(y)
+            stages.append(y)
+        d1, d2, d3 = stages[1], stages[2], stages[3]
+        out = {}
+        h = self.halo
+        for key, name in (
+            ("nuclei_binary_map", "np"),
+            ("hv_map", "hv"),
+            ("nuclei_type_map", "tp"),
+        ):
+            m = self.decoder[name](d0, d1, d2, d3)
+            if h > 0:
+                m = m[:, :, h:-h, h:-h]
+            out[key] = m
+        return out
+
+
+# ---------------------------------------------------------------------------
+# StarDist U-Net mirror
+# ---------------------------------------------------------------------------
+
+
+class SDConvBlock(nn.Module):
+    def __init__(self, cin, cout):
+        super().__init__()
+        self.conv1 = nn.Conv2d(cin, cout, 3, padding=1)
+        self.conv2 = nn.Conv2d(cout, cout, 3, padding=1)
+
+    def forward(self, x):
+        return torch.relu(self.conv2(torch.relu(self.conv1(x))))
+
+
+class TorchStarDistUNet(nn.Module):
+    def __init__(self, base_filters=32, depth=3, n_rays=32):
+        super().__init__()
+        f = base_filters
+        self.depth = depth
+        cin = 3
+        for d in range(depth):
+            setattr(self, f"down{d}", SDConvBlock(cin, f * (2**d)))
+            cin = f * (2**d)
+        self.bottom = SDConvBlock(cin, f * (2**depth))
+        cin = f * (2**depth)
+        for d in reversed(range(depth)):
+            setattr(self, f"up{d}", SDConvBlock(cin + f * (2**d), f * (2**d)))
+            cin = f * (2**d)
+        self.features = nn.Conv2d(cin, 128, 3, padding=1)
+        self.prob = nn.Conv2d(128, 1, 1)
+        self.dist = nn.Conv2d(128, n_rays, 1)
+
+    def forward(self, x):
+        skips = []
+        for d in range(self.depth):
+            x = getattr(self, f"down{d}")(x)
+            skips.append(x)
+            x = nn.functional.max_pool2d(x, 2)
+        x = self.bottom(x)
+        for d in reversed(range(self.depth)):
+            x = nn.functional.interpolate(x, scale_factor=2, mode="nearest")
+            x = torch.cat([x, skips[d]], dim=1)
+            x = getattr(self, f"up{d}")(x)
+        feat = torch.relu(self.features(x))
+        return torch.sigmoid(self.prob(feat)), nn.functional.softplus(self.dist(feat))
+
+
+# ---------------------------------------------------------------------------
+# SAM-style ViT encoder mirror (windowed attention + decomposed rel-pos)
+# ---------------------------------------------------------------------------
+
+
+def _torch_get_rel_pos(q_size, k_size, rel_pos):
+    max_rel_dist = 2 * max(q_size, k_size) - 1
+    if rel_pos.shape[0] != max_rel_dist:
+        rel_pos = nn.functional.interpolate(
+            rel_pos.reshape(1, rel_pos.shape[0], -1).permute(0, 2, 1),
+            size=max_rel_dist, mode="linear",
+        ).reshape(-1, max_rel_dist).permute(1, 0)
+    q_coords = torch.arange(q_size)[:, None] * max(k_size / q_size, 1.0)
+    k_coords = torch.arange(k_size)[None, :] * max(q_size / k_size, 1.0)
+    rel = (q_coords - k_coords) + (k_size - 1) * max(q_size / k_size, 1.0)
+    return rel_pos[rel.long()]
+
+
+class SamAttention(nn.Module):
+    def __init__(self, dim, heads, input_size):
+        super().__init__()
+        self.heads = heads
+        self.qkv = nn.Linear(dim, dim * 3)
+        self.proj = nn.Linear(dim, dim)
+        head_dim = dim // heads
+        self.rel_pos_h = nn.Parameter(torch.zeros(2 * input_size[0] - 1, head_dim))
+        self.rel_pos_w = nn.Parameter(torch.zeros(2 * input_size[1] - 1, head_dim))
+
+    def forward(self, x):  # (B, H, W, C)
+        b, h, w, c = x.shape
+        hd = c // self.heads
+        qkv = self.qkv(x.reshape(b, h * w, c))
+        qkv = qkv.reshape(b, h * w, 3, self.heads, hd).permute(2, 0, 3, 1, 4)
+        q, k, v = (t.reshape(b * self.heads, h * w, hd) for t in (qkv[0], qkv[1], qkv[2]))
+        attn = (q * (hd**-0.5)) @ k.transpose(-2, -1)
+
+        rh = _torch_get_rel_pos(h, h, self.rel_pos_h)
+        rw = _torch_get_rel_pos(w, w, self.rel_pos_w)
+        rq = q.reshape(b * self.heads, h, w, hd)
+        rel_h = torch.einsum("bhwc,hkc->bhwk", rq, rh)
+        rel_w = torch.einsum("bhwc,wkc->bhwk", rq, rw)
+        attn = attn.view(b * self.heads, h, w, h, w)
+        attn = attn + rel_h[:, :, :, :, None] + rel_w[:, :, :, None, :]
+        attn = attn.view(b * self.heads, h * w, h * w)
+
+        attn = attn.float().softmax(dim=-1)
+        out = (attn @ v).view(b, self.heads, h * w, hd)
+        out = out.permute(0, 2, 1, 3).reshape(b, h, w, c)
+        return self.proj(out)
+
+
+def _window_partition(x, window):
+    b, h, w, c = x.shape
+    pad_h = (window - h % window) % window
+    pad_w = (window - w % window) % window
+    if pad_h or pad_w:
+        x = nn.functional.pad(x, (0, 0, 0, pad_w, 0, pad_h))
+    hp, wp = h + pad_h, w + pad_w
+    x = x.view(b, hp // window, window, wp // window, window, c)
+    return x.permute(0, 1, 3, 2, 4, 5).reshape(-1, window, window, c), (hp, wp)
+
+
+def _window_unpartition(windows, window, pad_hw, hw):
+    hp, wp = pad_hw
+    h, w = hw
+    b = windows.shape[0] // (hp * wp // window // window)
+    x = windows.view(b, hp // window, wp // window, window, window, -1)
+    x = x.permute(0, 1, 3, 2, 4, 5).reshape(b, hp, wp, -1)
+    return x[:, :h, :w, :]
+
+
+class SamBlock(nn.Module):
+    def __init__(self, dim, heads, window, grid, mlp_ratio=4.0):
+        super().__init__()
+        self.window = window
+        self.norm1 = nn.LayerNorm(dim, eps=1e-6)
+        size = (window, window) if window > 0 else grid
+        self.attn = SamAttention(dim, heads, size)
+        self.norm2 = nn.LayerNorm(dim, eps=1e-6)
+        self.mlp = Mlp(dim, int(dim * mlp_ratio))
+
+    def forward(self, x):  # (B, H, W, C)
+        shortcut = x
+        y = self.norm1(x)
+        if self.window > 0:
+            h, w = y.shape[1], y.shape[2]
+            y, pad_hw = _window_partition(y, self.window)
+            y = self.attn(y)
+            y = _window_unpartition(y, self.window, pad_hw, (h, w))
+        else:
+            y = self.attn(y)
+        x = shortcut + y
+        return x + self.mlp(self.norm2(x))
+
+
+class SamViTEncoder(nn.Module):
+    """SAM ViT-B geometry at an arbitrary input grid, channel-last like SAM."""
+
+    def __init__(self, dim=768, depth=12, heads=12, grid=(4, 4), window=3,
+                 global_idx=(2, 5, 8, 11), extract=(3, 6, 9, 12)):
+        super().__init__()
+        self.patch_embed = PatchEmbed(dim)
+        self.pos_embed = nn.Parameter(torch.zeros(1, grid[0], grid[1], dim))
+        self.blocks = nn.Sequential(
+            *[
+                SamBlock(dim, heads, 0 if i in global_idx else window, grid)
+                for i in range(depth)
+            ]
+        )
+        self.extract = extract
+
+    def forward(self, x):
+        tokens, (gh, gw) = self.patch_embed(x)
+        b = tokens.shape[0]
+        grid = tokens.view(b, gh, gw, -1) + self.pos_embed
+        skips = []
+        for i, blk in enumerate(self.blocks):
+            grid = blk(grid)
+            if (i + 1) in self.extract:
+                skips.append(grid.permute(0, 3, 1, 2))
+        return skips, grid.mean(dim=(1, 2))
+
+
+class TorchCellViTSAMB(nn.Module):
+    """CellViT with the SAM ViT-B encoder, matching wsinsight_tpu naming."""
+
+    def __init__(self, num_nuclei_classes=3, num_tissue_classes=19, halo=8, grid=(4, 4)):
+        super().__init__()
+        dim = 768
+        self.halo = halo
+        self.encoder = SamViTEncoder(dim=dim, grid=grid, window=14)
+        self.nuclei_binary_map_decoder = UpsamplingBranch(dim, 2)
+        self.hv_map_decoder = UpsamplingBranch(dim, 2)
+        self.nuclei_type_maps_decoder = UpsamplingBranch(dim, num_nuclei_classes)
+        self.classifier_head = nn.Linear(dim, num_tissue_classes)
+
+    def forward(self, x):
+        (z1, z2, z3, z4), pooled = self.encoder(x)
+        np_map = self.nuclei_binary_map_decoder(x, z1, z2, z3, z4)
+        hv_map = self.hv_map_decoder(x, z1, z2, z3, z4)
+        tp_map = self.nuclei_type_maps_decoder(x, z1, z2, z3, z4)
+        h = self.halo
+        if h > 0:
+            np_map = np_map[:, :, h:-h, h:-h]
+            hv_map = hv_map[:, :, h:-h, h:-h]
+            tp_map = tp_map[:, :, h:-h, h:-h]
+        return {
+            "nuclei_binary_map": np_map,
+            "hv_map": hv_map,
+            "nuclei_type_map": tp_map,
+            "tissue_types": self.classifier_head(pooled),
+        }

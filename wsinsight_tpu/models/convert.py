@@ -69,10 +69,14 @@ def convert_torch_state_dict(sd: Mapping[str, np.ndarray]) -> dict:
             w = leaves.get("weight")
             if w is not None:
                 if w.ndim == 4 and ("deconv" in mod or "upsampler" in mod.rsplit(".", 1)[-1]):
-                    # ConvTranspose2d weight (in, out, kh, kw) -> (kh, kw, in, out).
-                    # NOTE: validated structurally; revisit flip semantics when
-                    # real CellViT checkpoints are converted.
-                    entry["kernel"] = np.transpose(w, (2, 3, 0, 1)).astype(np.float32)
+                    # ConvTranspose2d weight (in, out, kh, kw) -> (kh, kw, in, out)
+                    # PLUS a spatial flip: torch computes the gradient-of-conv
+                    # (cross-correlation transposed), while lax.conv_transpose
+                    # applies the kernel unflipped. Verified numerically against
+                    # torch (tests/test_model_parity.py::test_convtranspose_*).
+                    entry["kernel"] = np.transpose(w, (2, 3, 0, 1))[::-1, ::-1].astype(
+                        np.float32
+                    )
                 elif w.ndim == 4:
                     entry["kernel"] = np.transpose(w, (2, 3, 1, 0)).astype(np.float32)
                 elif w.ndim == 2:
@@ -83,6 +87,124 @@ def convert_torch_state_dict(sd: Mapping[str, np.ndarray]) -> dict:
                 entry["bias"] = leaves["bias"].astype(np.float32)
         params[mod] = entry
     return params
+
+
+def convert_with_template(
+    sd: Mapping[str, np.ndarray], template: Mapping[str, Any], strict: bool = True
+) -> dict:
+    """Convert a torch state dict into the EXACT shape of a flax param tree.
+
+    ``template`` is a params pytree from ``model.init`` — its nesting and leaf
+    names drive the conversion, so models whose flax trees are nested (the
+    ViT/CellViT/HoVer-Net families) convert correctly, unlike the flat
+    dotted-path output of :func:`convert_torch_state_dict` (which matches the
+    flat-named classifier models only).
+
+    Rules per torch leaf:
+    * target leaf ``kernel``: 4-D weights become conv (O,I,kh,kw)->(kh,kw,I,O)
+      or transposed-conv (I,O,kh,kw)->(kh,kw,I,O)+spatial flip — disambiguated
+      by the template leaf's shape (falling back to a name heuristic when
+      I == O makes both fit); 2-D weights transpose (O,I)->(I,O).
+    * target leaf ``scale`` (LayerNorm/GroupNorm): copied from torch
+      ``weight``.
+    * batch-norm leaves and direct parameters (cls_token, pos_embed,
+      rel_pos_*) copy verbatim.
+
+    strict=True raises with a per-layer report when any template leaf is
+    unmatched or any torch tensor is left over (num_batches_tracked is always
+    ignored).
+    """
+    sd = _strip_wrapper_prefixes({k: np.asarray(v) for k, v in sd.items()})
+    sd = {k: v for k, v in sd.items() if not k.endswith("num_batches_tracked")}
+
+    # Flatten the template: dotted module path -> {leaf name: shape}
+    flat_template: dict[str, dict[str, tuple]] = {}
+
+    def walk(node: Mapping[str, Any], prefix: str) -> None:
+        for name, child in node.items():
+            path = f"{prefix}.{name}" if prefix else str(name)
+            if hasattr(child, "items"):
+                walk(child, path)
+            else:
+                mod, _, leaf = path.rpartition(".")
+                flat_template.setdefault(mod, {})[leaf] = tuple(np.shape(child))
+
+    walk(template, "")
+
+    converted: dict[str, dict[str, np.ndarray]] = {}
+    problems: list[str] = []
+
+    def place(mod: str, leaf: str, value: np.ndarray) -> None:
+        converted.setdefault(mod, {})[leaf] = value.astype(np.float32)
+
+    for key, w in sd.items():
+        mod, _, torch_leaf = key.rpartition(".")
+        leaves = flat_template.get(mod)
+        if leaves is None:
+            problems.append(f"torch module {mod!r} (from {key!r}) has no template match")
+            continue
+        if torch_leaf == "weight":
+            if "kernel" in leaves:
+                want = leaves["kernel"]
+                if w.ndim == 4:
+                    as_conv = np.transpose(w, (2, 3, 1, 0))
+                    as_deconv = np.transpose(w, (2, 3, 0, 1))[::-1, ::-1]
+                    conv_fits = as_conv.shape == want
+                    deconv_fits = as_deconv.shape == want
+                    if conv_fits and deconv_fits:
+                        # I == O: both layouts fit; decide by torch naming
+                        is_deconv = "deconv" in mod or "upsampler" in mod.rsplit(".", 1)[-1]
+                        place(mod, "kernel", as_deconv if is_deconv else as_conv)
+                    elif deconv_fits:
+                        place(mod, "kernel", as_deconv)
+                    elif conv_fits:
+                        place(mod, "kernel", as_conv)
+                    else:
+                        problems.append(
+                            f"{key!r}: no conv layout of {w.shape} fits template {want}"
+                        )
+                elif w.ndim == 2:
+                    place(mod, "kernel", np.transpose(w, (1, 0)))
+                else:
+                    place(mod, "kernel", w)
+            elif "scale" in leaves:
+                place(mod, "scale", w)
+            elif "weight" in leaves:  # EvalBN keeps torch naming
+                place(mod, "weight", w)
+            else:
+                problems.append(f"{key!r}: template has no kernel/scale/weight leaf")
+        elif torch_leaf in leaves:
+            place(mod, torch_leaf, w)
+        else:
+            problems.append(f"{key!r}: leaf {torch_leaf!r} not in template {sorted(leaves)}")
+
+    # verify coverage + shapes
+    for mod, leaves in flat_template.items():
+        got = converted.get(mod, {})
+        for leaf, shape in leaves.items():
+            if leaf not in got:
+                problems.append(f"template leaf {mod}.{leaf} not filled from torch")
+            elif tuple(got[leaf].shape) != shape:
+                problems.append(
+                    f"{mod}.{leaf}: shape {got[leaf].shape} != template {shape}"
+                )
+    if problems and strict:
+        report = "\n  ".join(problems[:40])
+        raise ValueError(f"torch->flax conversion mismatches ({len(problems)}):\n  {report}")
+
+    # re-nest following the template structure
+    def rebuild(node: Mapping[str, Any], prefix: str) -> dict:
+        out: dict[str, Any] = {}
+        for name, child in node.items():
+            path = f"{prefix}.{name}" if prefix else str(name)
+            if hasattr(child, "items"):
+                out[name] = rebuild(child, path)
+            else:
+                mod, _, leaf = path.rpartition(".")
+                out[name] = converted.get(mod, {}).get(leaf, np.asarray(child))
+        return out
+
+    return rebuild(template, "")
 
 
 def load_torch_weights(path: str | os.PathLike) -> dict[str, np.ndarray]:

@@ -134,7 +134,7 @@ class ModelHandle:
 
     def load_flax_params(self) -> dict:
         from ..models.convert import (
-            convert_torch_state_dict,
+            convert_with_template,
             load_flax_params,
             load_torch_weights,
         )
@@ -142,7 +142,31 @@ class ModelHandle:
         path = self._resolve_weights()
         if path.suffix in (".msgpack", ".flax", ".npz"):
             return load_flax_params(path)
-        return convert_torch_state_dict(load_torch_weights(path))
+        # Torch checkpoint: convert against the architecture's own init tree,
+        # which drives nesting + leaf naming and verifies full coverage.
+        return convert_with_template(load_torch_weights(path), self._init_template())
+
+    def _init_template(self) -> dict:
+        import jax
+        import jax.numpy as jnp
+
+        from ..models import create_model
+
+        model = create_model(self.config.architecture, self.config.num_classes)
+        if hasattr(model, "halo_size") and self.config.halo_size_pixels is not None:
+            model = model.clone(halo_size=self.config.halo_size_pixels)
+        p = self.config.patch_size_pixels
+        # transform may resize; the template shape must match the model input
+        for t in self.config.transform or []:
+            name = t["name"] if isinstance(t, dict) else t.name
+            if name == "Resize":
+                args = (t.get("arguments") if isinstance(t, dict) else t.arguments) or {}
+                s = args.get("size")
+                p = s if isinstance(s, int) else int(s[0])
+        with jax.default_device(jax.devices("cpu")[0]):
+            return model.init(
+                jax.random.PRNGKey(0), jnp.zeros((1, p, p, 3), jnp.float32)
+            )["params"]
 
     def _resolve_weights(self) -> Path:
         if self.weights_path:
