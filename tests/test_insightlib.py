@@ -472,3 +472,33 @@ def test_raster_voronoi_error_bounded_vs_exact():
         a_r = raster.loc[raster[f"cme_{k}"] == 1.0, "area"].sum()
         # discretization error of the 0.5um/0.25mpp grid stays under 10%
         assert abs(a_e - a_r) / a_e < 0.10, (k, a_e, a_r)
+
+
+def test_cme_generation_resolution_sweep_path(purple_slide, tmp_path):
+    """cme_clustering_k=None triggers the Leiden resolution sweep end to end
+    (phase 3 auto-k) and still produces valid one-hot cme_* outputs."""
+    from wsinsight_tpu.insightlib import cme_generation
+    from wsinsight_tpu.uri_path import URIPath
+
+    results = tmp_path / "results"
+    (results / "model-outputs-csv").mkdir(parents=True)
+    _grid_cells(n=14).to_csv(results / "model-outputs-csv" / "purple.csv", index=False)
+
+    cme_generation(
+        wsi_dir=None,
+        wsi_paths=[URIPath(str(purple_slide))],
+        results_dir=URIPath(str(results)),
+        max_edge_len_um=4.0,
+        max_cell_radius_um=3.0,
+        k_hops=1,
+        epochs=3,
+        cme_cellular=True,
+        cme_annotation=False,
+        cme_clustering_k=None,  # sweep path
+        cme_clustering_resolutions=(0.5, 1.0),
+    )
+    cells = pd.read_csv(results / "cme-outputs-csv" / "cells" / "purple.csv")
+    cme_cols = [c for c in cells.columns if c.startswith("cme_")]
+    assert len(cme_cols) >= 1
+    kept = cells[cme_cols].notna().all(axis=1)
+    np.testing.assert_allclose(cells.loc[kept, cme_cols].sum(axis=1), 1.0)

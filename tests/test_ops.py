@@ -122,3 +122,20 @@ def test_estimate_stains_shape():
     w_est = estimate_stains_from_batch(batch)
     assert w_est.shape == (3, 3)
     np.testing.assert_allclose(np.linalg.norm(w_est, axis=0), 1.0, atol=1e-4)
+
+
+def test_estimate_stains_degenerate_batches_fall_back():
+    """Blank / saturated / single-color sample batches must not poison the
+    stain matrix: the estimator falls back to the default target stains
+    (identity normalization) instead of returning NaNs or a singular W."""
+    from wsinsight_tpu.ops.stain import default_target_stains
+
+    for batch in (
+        np.full((2, 32, 32, 3), 255, np.uint8),   # saturated white background
+        np.zeros((2, 32, 32, 3), np.uint8),        # black
+        np.full((2, 32, 32, 3), (186, 90, 160), np.uint8),  # one flat color
+    ):
+        w = estimate_stains_from_batch(batch)
+        assert np.isfinite(w).all()
+        assert abs(np.linalg.det(w)) > 1e-6
+        np.testing.assert_allclose(w, default_target_stains())

@@ -159,3 +159,88 @@ def test_qupath_geojson_infer_one_hot(purple_slide, tmp_path):
     np.testing.assert_array_equal(df["minx"], [72, 472])
     np.testing.assert_array_equal(df["prob_tumor"], [1.0, 0.0])
     np.testing.assert_array_equal(df["prob_immune"], [0.0, 1.0])
+
+
+def test_qupath_unknown_class_names_yield_zero_rows(purple_slide, tmp_path):
+    """Detections whose class is unknown or missing get all-zero prob rows;
+    the slide still exports (reference one-hot synthesis semantics)."""
+    qdir = tmp_path / "qp"
+    qdir.mkdir()
+    df = pd.DataFrame(
+        {
+            "Object type": ["Detection", "Detection", "Detection"],
+            "Name": ["Tumor cell", "???", None],
+            "Classification": ["Tumor", "Necrosis", None],  # 2nd/3rd unknown
+            "Centroid X µm": [25.0, 125.0, 225.0],
+            "Centroid Y µm": [30.0, 135.0, 235.0],
+            "Parent": ["ROI", "ROI", "ROI"],
+        }
+    )
+    df.to_csv(qdir / "purple.txt", sep="\t", index=False)
+    results = tmp_path / "results"
+    segment_and_patch_one_slide(
+        slide_path=URIPath(str(purple_slide)),
+        save_dir=URIPath(str(results)),
+        qupath_detection_dir=URIPath(str(qdir)),
+        qupath_geojson_detection_dir=None,
+        qupath_geojson_annotation_dir=None,
+        patch_size_px=56,
+        patch_spacing_um_px=0.25,
+        object_based=True,
+    )
+    cfg = ModelConfiguration(
+        architecture="qupath.detection", num_classes=2,
+        class_names=["tumor", "immune"], patch_size_pixels=56,
+        spacing_um_px=0.25, transform=[],
+    )
+    _, failed = run_inference(
+        wsi_dir=None, slide_paths=None, results_dir=URIPath(str(results)),
+        qupath_detection_dir=URIPath(str(qdir)),
+        model_info=ModelHandle(name="qupath.detection", config=cfg),
+        object_based=True,
+    )
+    assert failed == []
+    out = pd.read_csv(results / "model-outputs-csv" / "purple.csv")
+    np.testing.assert_array_equal(out["prob_tumor"], [1.0, 0.0, 0.0])
+    np.testing.assert_array_equal(out["prob_immune"], [0.0, 0.0, 0.0])
+
+
+def test_qupath_malformed_tsv_fails_one_slide_not_cohort(purple_slide, tmp_path):
+    """--qupath-name-as-class with a TSV that has no Name column marks the
+    slide failed instead of aborting the run."""
+    qdir = tmp_path / "qp"
+    qdir.mkdir()
+    pd.DataFrame(
+        {
+            "Object type": ["Detection"],
+            "Classification": ["Tumor"],
+            "Centroid X µm": [25.0],
+            "Centroid Y µm": [30.0],
+            "Parent": ["ROI"],
+        }
+    ).to_csv(qdir / "purple.txt", sep="\t", index=False)
+    results = tmp_path / "results"
+    segment_and_patch_one_slide(
+        slide_path=URIPath(str(purple_slide)),
+        save_dir=URIPath(str(results)),
+        qupath_detection_dir=URIPath(str(qdir)),
+        qupath_geojson_detection_dir=None,
+        qupath_geojson_annotation_dir=None,
+        patch_size_px=56,
+        patch_spacing_um_px=0.25,
+        object_based=True,
+    )
+    cfg = ModelConfiguration(
+        architecture="qupath.detection", num_classes=2,
+        class_names=["tumor", "immune"], patch_size_pixels=56,
+        spacing_um_px=0.25, transform=[],
+    )
+    _, failed = run_inference(
+        wsi_dir=None, slide_paths=None, results_dir=URIPath(str(results)),
+        qupath_detection_dir=URIPath(str(qdir)),
+        qupath_name_as_class=True,  # Name column absent -> per-slide failure
+        model_info=ModelHandle(name="qupath.detection", config=cfg),
+        object_based=True,
+    )
+    assert failed == ["purple"]
+    assert not (results / "model-outputs-csv" / "purple.csv").exists()

@@ -273,22 +273,30 @@ def run_inference(
                     failed_inference.append(wsi_path.stem)
                     pbar.update(1)
                     continue
-                qpdet_df = pd.read_csv(slide_det.materialize(), delimiter="\t")
-                half = round(cfg.patch_size_pixels / 2)
-                x = np.rint(qpdet_df["Centroid X µm"] / mpp - half).astype(np.int32)
-                y = np.rint(qpdet_df["Centroid Y µm"] / mpp - half).astype(np.int32)
-                coords_arr = np.column_stack(
-                    [x, y, np.full_like(x, cfg.patch_size_pixels), np.full_like(y, cfg.patch_size_pixels)]
-                )
-                det_mask = (qpdet_df["Object type"] == "Detection") | (
-                    qpdet_df["Object type"] == "Cell"
-                )
-                col = "Name" if qupath_name_as_class else "Classification"
-                indexer = pd.Index(cfg.class_names).get_indexer(
-                    _norm_names(qpdet_df[det_mask][col])
-                )
-                probs_arr = _one_hot_probs(indexer, len(qpdet_df), len(cfg.class_names))
-                slide_superior_structure = qpdet_df["Parent"]
+                try:
+                    qpdet_df = pd.read_csv(slide_det.materialize(), delimiter="\t")
+                    half = round(cfg.patch_size_pixels / 2)
+                    x = np.rint(qpdet_df["Centroid X µm"] / mpp - half).astype(np.int32)
+                    y = np.rint(qpdet_df["Centroid Y µm"] / mpp - half).astype(np.int32)
+                    coords_arr = np.column_stack(
+                        [x, y, np.full_like(x, cfg.patch_size_pixels), np.full_like(y, cfg.patch_size_pixels)]
+                    )
+                    det_mask = (qpdet_df["Object type"] == "Detection") | (
+                        qpdet_df["Object type"] == "Cell"
+                    )
+                    col = "Name" if qupath_name_as_class else "Classification"
+                    indexer = pd.Index(cfg.class_names).get_indexer(
+                        _norm_names(qpdet_df[det_mask][col])
+                    )
+                    probs_arr = _one_hot_probs(indexer, len(qpdet_df), len(cfg.class_names))
+                    slide_superior_structure = qpdet_df["Parent"]
+                except Exception as err:
+                    # one malformed TSV (e.g. missing Name column under
+                    # --qupath-name-as-class) must not kill the cohort
+                    logger.error(f"QuPath TSV parse failed for {wsi_path}", exc_info=err)
+                    failed_inference.append(wsi_path.stem)
+                    pbar.update(1)
+                    continue
 
             elif object_based and qupath_geojson_detection_dir is not None and not (
                 qupath_detection_dir or qupath_geojson_annotation_dir

@@ -143,10 +143,25 @@ def deconvolution_based_normalization(
 
 def estimate_stains_from_batch(batch_u8: np.ndarray, max_pixels: int = 1 << 20) -> np.ndarray:
     """Host helper: estimate W_est from a (B,H,W,3) uint8 sample batch
-    (reference samples one shuffled 256-patch batch, run_inference.py:259-261)."""
+    (reference samples one shuffled 256-patch batch, run_inference.py:259-261).
+
+    Degenerate samples (blank background, saturated white, single-color
+    tissue) make the Macenko PCA rank-deficient or non-finite; those fall
+    back to the default target stains, turning normalization into a no-op
+    instead of poisoning every downstream patch.
+    """
     pixels = np.asarray(batch_u8, dtype=np.float32).reshape(-1, 3) + EPSILON
     if len(pixels) > max_pixels:
         idx = np.random.default_rng(0).choice(len(pixels), max_pixels, replace=False)
         pixels = pixels[idx]
     w = macenko_stain_matrix(jnp.asarray(pixels))
-    return complement_stain_matrix(np.asarray(w))
+    w = complement_stain_matrix(np.asarray(w))
+    if not np.isfinite(w).all() or abs(float(np.linalg.det(w))) < 1e-6:
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "stain estimation sample is degenerate (blank/single-color batch);"
+            " using default target stains"
+        )
+        return default_target_stains()
+    return w
