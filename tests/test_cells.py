@@ -250,3 +250,44 @@ def test_bf16_transfer_matches_f32_instances():
     assert inst32.shape == inst16.shape
     np.testing.assert_array_equal(inst32, inst16)  # same boxes
     np.testing.assert_allclose(prob16, prob32, atol=5e-3)  # measured budget
+
+
+def test_device_separation_energy_matches_cv2():
+    """The XLA Sobel/min-max energy stage equals the cv2 path (same taps,
+    same REFLECT_101 border), and device-assisted finalize produces the
+    same instances."""
+    from wsinsight_tpu.ops.hv_device import separation_energy_batched
+    from wsinsight_tpu.ops.hv_postproc import raw_separation_energy
+
+    rng = np.random.default_rng(0)
+    _, hv1, _ = _synthetic_nuclei(128, 128)
+    hv2 = rng.normal(0, 0.4, (128, 128, 2)).astype(np.float32)
+    batch = np.stack([hv1, hv2])
+    got = separation_energy_batched(batch)
+    for i, hv in enumerate((hv1, hv2)):
+        np.testing.assert_allclose(got[i], raw_separation_energy(hv), atol=2e-4)
+
+
+def test_finalize_device_ridge_same_instances(monkeypatch):
+    """WSINSIGHT_DEVICE_RIDGE=1 finalize yields the same boxes as CPU."""
+    from wsinsight_tpu.engine.stitch import TileRemapStitcher
+
+    np_map, hv_map, tp_map = _synthetic_nuclei(256, 256)
+
+    def run(env: str):
+        monkeypatch.setenv("WSINSIGHT_DEVICE_RIDGE", env)
+        st = TileRemapStitcher(
+            n_classes=3, slide_width=256, slide_height=256, slide_patch_size=128,
+            slide_halo_size=0, slide_mpp=0.25, model_mpp=0.25,
+        )
+        st.np_map[:] = np_map
+        st.hv_map[:] = hv_map
+        st.tp_map[:] = tp_map
+        inst, prob, _ = st.finalize(tile_size=128, padding_size=32, num_workers=1)
+        st.close()
+        return np.concatenate(inst), np.concatenate(prob)
+
+    i_cpu, p_cpu = run("0")
+    i_dev, p_dev = run("1")
+    np.testing.assert_array_equal(i_cpu, i_dev)
+    np.testing.assert_allclose(p_cpu, p_dev, atol=1e-5)

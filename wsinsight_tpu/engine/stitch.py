@@ -216,6 +216,32 @@ class TileRemapStitcher:
         if not jobs:
             return [], [], []
 
+        # Optional device half of post-processing: the wide-Sobel separation
+        # energy (the dense, expensive stage) computed batched on the
+        # accelerator for all full-size tiles (WSINSIGHT_DEVICE_RIDGE=1).
+        # Edge tiles with irregular shapes keep the CPU path so per-tile
+        # min-max normalization is untouched.
+        energy_for_job: dict[int, np.ndarray] = {}
+        if os.getenv("WSINSIGHT_DEVICE_RIDGE", "0") not in ("0", ""):
+            from ..ops.hv_device import separation_energy_batched
+
+            shapes = [(j[1] - j[0], j[3] - j[2]) for j in jobs]
+            full = max(set(shapes), key=shapes.count)
+            batch_idx = [i for i, s in enumerate(shapes) if s == full]
+            chunk = 8
+            for c0 in range(0, len(batch_idx), chunk):
+                sel = batch_idx[c0 : c0 + chunk]
+                hv_batch = np.stack(
+                    [
+                        np.ascontiguousarray(
+                            self.hv_map[jobs[i][0] : jobs[i][1], jobs[i][2] : jobs[i][3], :]
+                        )
+                        for i in sel
+                    ]
+                )
+                for i, e in zip(sel, separation_energy_batched(hv_batch)):
+                    energy_for_job[i] = e
+
         if num_workers is None or num_workers <= 0:
             # Adaptive sizing from CPU/RAM headroom (utils/workers.py), capped
             # at cpu-2 like the reference (tilefuse.py:346-347).
@@ -230,17 +256,18 @@ class TileRemapStitcher:
         poly_all: List[np.ndarray] = []
         merge_lock = threading.Lock()
         q: queue.Queue = queue.Queue()
-        for j in jobs:
-            q.put(j)
+        for ji, j in enumerate(jobs):
+            q.put((ji, j))
         for _ in range(num_workers):
             q.put(None)
 
         def worker() -> None:
             local: list[tuple] = []
             while True:
-                job = q.get()
-                if job is None:
+                item = q.get()
+                if item is None:
                     break
+                ji, job = item
                 (pad_y0, pad_y1, pad_x0, pad_x1, interior_y0, interior_x0,
                  inner_y0, inner_y1, inner_x0, inner_x1) = job
                 np_tile = np.ascontiguousarray(self.np_map[pad_y0:pad_y1, pad_x0:pad_x1])
@@ -254,6 +281,7 @@ class TileRemapStitcher:
                     interior_x0,
                     (slice(inner_y0, inner_y1), slice(inner_x0, inner_x1)),
                     self.min_object_size,
+                    raw_energy=energy_for_job.get(ji),
                 )
                 if ins:
                     local.append((ins, prb, ply))

@@ -1,0 +1,96 @@
+"""Device (XLA) half of the HV separation-energy stage.
+
+The most expensive dense step of nucleus post-processing is the wide Sobel
+over the HV field (ksize=21 on 2048^2 finalize tiles — reference:
+wsinsight/modellib/tilefuse.py:63-79). That part is foreground-independent:
+``energy_raw = max(1 - unit(Sobel_x(unit(h))), 1 - unit(Sobel_y(unit(v))))``
+only depends on the HV maps, so it can run batched on the accelerator while
+the host keeps the sequential tail (hole fill, labeling, watershed).
+
+Enabled by the stitcher when ``WSINSIGHT_DEVICE_RIDGE=1``; numerics are
+pinned to the CPU/cv2 path by tests (same separable taps as
+``cv2.getDerivKernels(1, 0, ksize=21)``, same REFLECT_101 border).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def _sobel_taps(ksize: int = 21) -> tuple[np.ndarray, np.ndarray]:
+    """(derivative, smoothing) 1-D taps matching cv2.getDerivKernels(1,0,k).
+
+    cv2 builds them from binomial coefficients: smoothing = C(k-2, i)
+    normalized family, derivative = difference of binomials. Computed here
+    from cv2 when available (exactness), with the binomial construction as
+    the fallback.
+    """
+    try:
+        import cv2
+
+        kx, ky = cv2.getDerivKernels(1, 0, ksize=ksize)
+        return kx.ravel().astype(np.float64), ky.ravel().astype(np.float64)
+    except Exception:  # pragma: no cover - cv2 is a hard dep elsewhere
+        from math import comb
+
+        n = ksize - 2
+        smooth = np.array([comb(n, i) for i in range(n + 1)], np.float64)
+        smooth = np.convolve(smooth, [1.0, 2.0, 1.0])[: ksize]  # not exact; cv2 path preferred
+        deriv = np.convolve([comb(n, i) for i in range(n + 1)], [-1.0, 0.0, 1.0])
+        return deriv[:ksize], smooth
+
+
+def make_energy_fn(ksize: int = 21):
+    """Jitted (B, H, W, 2) HV -> (B, H, W) raw separation energy."""
+    import jax
+    import jax.numpy as jnp
+
+    deriv, smooth = _sobel_taps(ksize)
+    half = ksize // 2
+
+    def _conv1d(x, taps, axis):
+        # x: (B, H, W); correlate along `axis` with REFLECT_101 border
+        pad = [(0, 0), (0, 0), (0, 0)]
+        pad[axis] = (half, half)
+        x = jnp.pad(x, pad, mode="reflect")
+        k = jnp.asarray(taps, jnp.float32)
+        if axis == 2:
+            kernel = k.reshape(1, 1, 1, ksize)
+        else:
+            kernel = k.reshape(1, 1, ksize, 1)
+        y = jax.lax.conv_general_dilated(
+            x[:, None, :, :],
+            kernel,
+            window_strides=(1, 1),
+            padding="VALID",
+            dimension_numbers=("NCHW", "OIHW", "NCHW"),
+        )
+        return y[:, 0]
+
+    def _unit(x):
+        lo = x.min(axis=(1, 2), keepdims=True)
+        hi = x.max(axis=(1, 2), keepdims=True)
+        span = hi - lo
+        return jnp.where(span > 0, (x - lo) / jnp.where(span > 0, span, 1.0), 0.0)
+
+    def energy(hv):
+        hv = hv.astype(jnp.float32)
+        h_dir = _unit(hv[..., 0])
+        v_dir = _unit(hv[..., 1])
+        # cv2.Sobel(dx=1): derivative along x (columns), smoothing along y
+        grad_h = _conv1d(_conv1d(h_dir, deriv, axis=2), smooth, axis=1)
+        grad_v = _conv1d(_conv1d(v_dir, smooth, axis=2), deriv, axis=1)
+        return jnp.maximum(1.0 - _unit(grad_h), 1.0 - _unit(grad_v))
+
+    return jax.jit(energy)
+
+
+_ENERGY_FN = None
+
+
+def separation_energy_batched(hv_tiles: np.ndarray) -> np.ndarray:
+    """Raw separation energy for a batch of HV tiles, computed on device."""
+    global _ENERGY_FN
+    if _ENERGY_FN is None:
+        _ENERGY_FN = make_energy_fn()
+    return np.asarray(_ENERGY_FN(np.asarray(hv_tiles)))

@@ -69,17 +69,28 @@ def _foreground(np_map: np.ndarray, min_size: int) -> np.ndarray:
     return comp > 0
 
 
-def _separation_energy(hv_map: np.ndarray, fg: np.ndarray) -> np.ndarray:
-    """Energy in [0,1], high where adjacent nuclei should be cut apart.
+def raw_separation_energy(hv_map: np.ndarray) -> np.ndarray:
+    """Foreground-independent part of the separation energy (host/cv2 path).
 
     The HV field points from boundary to centre inside each nucleus, so its
     spatial gradient spikes along the contact line between touching nuclei.
     A wide Sobel (ksize=21) picks that line up; each direction is inverted
-    and the two are fused with a max, background is forced to zero.
+    and the two are fused with a max. The same computation can run batched
+    on the accelerator (ops/hv_device.py) — this is the dense, expensive
+    piece of post-processing.
     """
     grad_h = cv2.Sobel(_unit_range(hv_map[:, :, 0]), cv2.CV_64F, 1, 0, ksize=_SOBEL_KSIZE)
     grad_v = cv2.Sobel(_unit_range(hv_map[:, :, 1]), cv2.CV_64F, 0, 1, ksize=_SOBEL_KSIZE)
-    energy = np.maximum(1.0 - _unit_range(grad_h), 1.0 - _unit_range(grad_v))
+    return np.maximum(1.0 - _unit_range(grad_h), 1.0 - _unit_range(grad_v))
+
+
+def _separation_energy(
+    hv_map: np.ndarray, fg: np.ndarray, raw: np.ndarray | None = None
+) -> np.ndarray:
+    """Energy in [0,1], high where adjacent nuclei should be cut apart;
+    background forced to zero. `raw` short-circuits the Sobel stage with a
+    precomputed (possibly device-computed) raw energy."""
+    energy = np.array(raw_separation_energy(hv_map) if raw is None else raw, np.float64)
     energy -= ~fg  # push background strictly negative ...
     np.clip(energy, 0.0, None, out=energy)  # ... then floor it at zero
     return energy.astype(np.float32, copy=False)
@@ -106,14 +117,17 @@ def _seeds(fg: np.ndarray, boundary: np.ndarray, min_size: int) -> np.ndarray:
 
 
 def segment_instances(
-    np_map: np.ndarray, hv_map: np.ndarray, min_object_size: int
+    np_map: np.ndarray,
+    hv_map: np.ndarray,
+    min_object_size: int,
+    raw_energy: np.ndarray | None = None,
 ) -> np.ndarray:
     """Instance map (H, W) int32 from an NP prob map and HV offset maps."""
     fg = _foreground(np_map, min_object_size)
     if not fg.any():
         return np.zeros(np_map.shape[:2], dtype=np.int32)
 
-    energy = _separation_energy(hv_map, fg)
+    energy = _separation_energy(hv_map, fg, raw=raw_energy)
     basin = (1.0 - energy) * fg  # deep inside nuclei, shallow at contacts
     basin = -cv2.GaussianBlur(basin.astype(np.float32), (3, 3), 0)
     markers = _seeds(fg, energy >= _BOUNDARY_THRESHOLD, min_object_size)
@@ -193,16 +207,18 @@ def extract_instances(
     interior_x0: int,
     interior_slice: tuple[slice, slice],
     min_object_size: int,
+    raw_energy: np.ndarray | None = None,
 ) -> tuple[List[np.ndarray], List[np.ndarray], List[np.ndarray]]:
     """Segment one padded tile and measure the instances in its interior.
 
     Returns aligned lists of (1,4) bbox rows [x,y,w,h], (1,K) class-prob
     rows, and (M,2) contour polygons — all in global slide coordinates.
     len(bboxes) == len(probs) == len(polygons) always holds (see module
-    docstring).
+    docstring). `raw_energy` optionally supplies the device-computed Sobel
+    stage for this tile.
     """
     ys, xs = interior_slice
-    labels = segment_instances(np_tile, hv_tile, min_object_size)[ys, xs]
+    labels = segment_instances(np_tile, hv_tile, min_object_size, raw_energy)[ys, xs]
     ids, boxes = _grouped_bboxes(labels)
     if ids.size == 0:
         return [], [], []
