@@ -198,20 +198,26 @@ def _paint_synthetic_nuclei(stitcher, spacing: int = 60, radius: int = 11) -> in
     return count
 
 
-def bench_cellvit_cells(fast: bool) -> dict:
+def bench_cellvit_cells(fast: bool, variant: str | None = None) -> dict:
     import jax
 
     from wsinsight_tpu.engine.stitch import TileRemapStitcher
     from wsinsight_tpu.models import create_model
     from wsinsight_tpu.ops.preprocess import TransformSpec, make_preprocess_fn
 
-    # CellViT-256-x40 geometry (zoo registry): 256 px @ 0.25 um/px, halo 46,
-    # 164 px output map, 6 classes.
+    # Zoo geometry (both CellViT variants): 256 px @ 0.25 um/px, halo 46,
+    # 164 px output map, 6 classes. WSINSIGHT_BENCH_CELL_VARIANT selects the
+    # architecture (cellvit-256 default; cellvit-sam-h is the 660M-param
+    # flagship — slower to build/compile, so opt-in).
+    variant = variant or os.getenv("WSINSIGHT_BENCH_CELL_VARIANT", "cellvit-256")
     patch_px, halo_px, n_classes, mpp = 256, 46, 6, 0.25
     out_px = patch_px - 2 * halo_px
-    side = 656 if fast else 4100  # multiple of 164 keeps the grid exact
+    if variant == "cellvit-256":
+        side = 656 if fast else 4100  # multiple of 164 keeps the grid exact
+    else:
+        side = 656 if fast else 1640  # big model: fewer patches suffice
 
-    model = create_model("cellvit-256", n_classes)
+    model = create_model(variant, n_classes)
     if hasattr(model, "clone"):
         model = model.clone(halo_size=halo_px)
     import jax.numpy as jnp
@@ -241,7 +247,7 @@ def bench_cellvit_cells(fast: bool) -> dict:
     ).astype(np.int64)
     coords = np.concatenate([coords, np.full((len(coords), 2), patch_px, np.int64)], axis=1)
 
-    batch_size = 4 if fast else 16
+    batch_size = 4 if fast else (16 if variant == "cellvit-256" else 8)
     rng = np.random.default_rng(2)
     batch = rng.integers(0, 256, size=(batch_size, patch_px, patch_px, 3), dtype=np.uint8)
     batch = jax.device_put(batch)
@@ -275,7 +281,7 @@ def bench_cellvit_cells(fast: bool) -> dict:
     total = t_forward + t_finalize
     n_cells = len(inst)
     return {
-        "metric": "cellvit256_cells_per_sec",
+        "metric": f"{variant.replace('-', '_')}_cells_per_sec",
         "value": round(n_cells / total, 2),
         "unit": "cells/s",
         "cells_found": int(n_cells),

@@ -502,3 +502,42 @@ def test_cme_generation_resolution_sweep_path(purple_slide, tmp_path):
     assert len(cme_cols) >= 1
     kept = cells[cme_cols].notna().all(axis=1)
     np.testing.assert_allclose(cells.loc[kept, cme_cols].sum(axis=1), 1.0)
+
+
+def test_halo_aware_subgraph_sampler():
+    """The DGI sampler takes BFS-local balls (edges survive) and masks the
+    loss to interior nodes whose full neighbourhood is in the sample."""
+    from wsinsight_tpu.insightlib.gnn import sample_subgraph
+
+    # 40x40 grid graph (4-neighbour): 1600 nodes, strong locality
+    n_side = 40
+    n = n_side * n_side
+    idx = np.arange(n).reshape(n_side, n_side)
+    pairs = np.concatenate(
+        [
+            np.stack([idx[:, :-1].ravel(), idx[:, 1:].ravel()], 1),
+            np.stack([idx[:-1, :].ravel(), idx[1:, :].ravel()], 1),
+        ]
+    )
+    edge_index = np.concatenate([pairs, pairs[:, ::-1]]).T.astype(np.int64)
+    x = np.random.default_rng(0).random((n, 5)).astype(np.float32)
+
+    rng = np.random.default_rng(1)
+    g = sample_subgraph(x, edge_index, max_nodes=257, max_edges=2048, rng=rng)
+    n_sel = int(g.node_mask.sum())
+    assert n_sel == 256
+    n_edges = int(g.edge_mask.sum())
+    # a BFS ball of 256 grid nodes keeps near-interior edge density
+    # (~2 undirected edges/node stored both ways); a uniform random subset
+    # of 256/1600 nodes would keep ~16% of that
+    assert n_edges > 2.5 * n_sel
+    # loss restricted to interior nodes, all of which kept their neighbours
+    lm = g.loss_mask
+    assert 0 < lm.sum() < n_sel
+    src, dst = g.edges
+    real = g.edge_mask > 0
+    deg = np.zeros(len(g.node_mask))
+    np.add.at(deg, src[real], 1)
+    interior_nodes = np.flatnonzero(lm > 0)
+    border_nodes = np.flatnonzero((g.node_mask > 0) & (lm == 0))
+    assert deg[interior_nodes].mean() > deg[border_nodes].mean()

@@ -303,16 +303,23 @@ def train_dgi_multi(
         edges = np.stack([g.edges for g in padded])
         em = np.stack([g.edge_mask for g in padded])
         nm = np.stack([g.node_mask for g in padded])
+        # halo-aware samples restrict the loss to interior nodes
+        lm = np.stack(
+            [g.loss_mask if g.loss_mask is not None else g.node_mask for g in padded]
+        )
         # Corruption: per-graph node-feature row shuffle (DGI convention).
         perm = np.stack([rng.permutation(max_nodes) for _ in range(n_graphs)])
         xc = np.take_along_axis(x, perm[:, :, None], axis=1)
         if batch != n_graphs:  # pad the graph batch by repetition
             reps = [i % n_graphs for i in range(batch)]
             params, opt_state, _loss = train_step(
-                params, opt_state, x[reps], xc[reps], edges[reps], em[reps], nm[reps]
+                params, opt_state, x[reps], xc[reps], edges[reps], em[reps],
+                nm[reps], lm[reps],
             )
         else:
-            params, opt_state, _loss = train_step(params, opt_state, x, xc, edges, em, nm)
+            params, opt_state, _loss = train_step(
+                params, opt_state, x, xc, edges, em, nm, lm
+            )
 
     host_params = jax.tree_util.tree_map(np.asarray, params)
     z_list = [

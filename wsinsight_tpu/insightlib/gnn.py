@@ -32,8 +32,9 @@ class PaddedGraph:
 
     x: np.ndarray
     edges: np.ndarray
-    node_mask: np.ndarray  # (max_nodes,) float32 1=real
+    node_mask: np.ndarray  # (max_nodes,) float32 1=real (participates in propagation)
     edge_mask: np.ndarray  # (max_edges,) float32 1=real
+    loss_mask: np.ndarray | None = None  # (max_nodes,) 1=contributes to the DGI loss
 
 
 def pad_graph(
@@ -52,7 +53,7 @@ def pad_graph(
     nm[:n] = 1.0
     em = np.zeros(max_edges, np.float32)
     em[:e] = 1.0
-    return PaddedGraph(x=xp, edges=ep, node_mask=nm, edge_mask=em)
+    return PaddedGraph(x=xp, edges=ep, node_mask=nm, edge_mask=em, loss_mask=nm.copy())
 
 
 def _gcn_propagate(
@@ -118,11 +119,15 @@ class DGI(nn.Module):
     def embed(self, x, edges, edge_mask, node_mask):
         return self.encoder(x, edges, edge_mask, node_mask)
 
-    def __call__(self, x, x_corrupt, edges, edge_mask, node_mask):
+    def __call__(self, x, x_corrupt, edges, edge_mask, node_mask, loss_mask=None):
+        # node_mask gates propagation (real vs padding); loss_mask restricts
+        # the objective — e.g. to interior nodes of a halo-aware subgraph
+        # whose receptive fields are complete (sample_subgraph).
+        lm = node_mask if loss_mask is None else loss_mask
         pos = self.encoder(x, edges, edge_mask, node_mask)
         neg = self.encoder(x_corrupt, edges, edge_mask, node_mask)
-        n_real = jnp.maximum(node_mask.sum(), 1.0)
-        summary = jax.nn.sigmoid((pos * node_mask[:, None]).sum(0) / n_real)
+        n_real = jnp.maximum(lm.sum(), 1.0)
+        summary = jax.nn.sigmoid((pos * lm[:, None]).sum(0) / n_real)
 
         def scores(h):
             return jnp.einsum("nd,de,e->n", h, self.weight, summary)
@@ -132,7 +137,7 @@ class DGI(nn.Module):
         # form overflows to inf under XLA fusion for large scores.)
         pos_loss = jax.nn.softplus(-scores(pos))
         neg_loss = jax.nn.softplus(scores(neg))
-        loss = ((pos_loss + neg_loss) * node_mask).sum() / n_real
+        loss = ((pos_loss + neg_loss) * lm).sum() / n_real
         return loss
 
 
@@ -143,23 +148,76 @@ def sample_subgraph(
     max_edges: int,
     rng: np.random.Generator,
 ) -> PaddedGraph:
-    """Node-induced random subgraph padded to static shapes (Cluster-GCN style).
+    """Halo-aware LOCAL subgraph padded to static shapes.
 
-    Keeps DGI training memory bounded for million-cell slide graphs: each step
-    sees a random chunk of nodes plus the edges among them.
+    Keeps DGI training memory bounded for million-cell slide graphs while
+    preserving neighbourhood structure: grow a BFS ball from a random seed
+    (adding further random seeds if a component runs out) until the node
+    budget is filled, keep the edges among the selected nodes, and mask the
+    DGI loss to the INTERIOR nodes — those whose full 1-hop neighbourhood
+    made it into the sample — so boundary-clipped receptive fields never
+    contribute gradient. (A uniform random node subset of a sparse spatial
+    graph keeps almost no edges at all; BFS balls are the shape the encoder
+    actually sees at inference.)
     """
     n = x.shape[0]
-    take = min(max_nodes - 1, n)
-    nodes = rng.choice(n, size=take, replace=False)
-    remap = -np.ones(n, np.int64)
-    remap[nodes] = np.arange(take)
     src, dst = edge_index
+    take = min(max_nodes - 1, n)
+
+    if take >= n:
+        selected = np.arange(n)
+    else:
+        # CSR adjacency for BFS
+        order = np.argsort(src, kind="stable")
+        s_sorted, d_sorted = src[order], dst[order]
+        starts = np.searchsorted(s_sorted, np.arange(n + 1))
+        chosen = np.zeros(n, bool)
+        picked: list[np.ndarray] = []
+        count = 0
+        while count < take:
+            free = np.flatnonzero(~chosen)
+            frontier = np.array([rng.choice(free)])
+            chosen[frontier] = True
+            picked.append(frontier)
+            count += 1
+            while frontier.size and count < take:
+                neigh = np.concatenate(
+                    [d_sorted[starts[v] : starts[v + 1]] for v in frontier]
+                )
+                neigh = np.unique(neigh)
+                neigh = neigh[~chosen[neigh]]
+                if neigh.size > take - count:
+                    neigh = rng.choice(neigh, size=take - count, replace=False)
+                if neigh.size == 0:
+                    break
+                chosen[neigh] = True
+                picked.append(neigh)
+                count += neigh.size
+                frontier = neigh
+        selected = np.concatenate(picked)
+
+    remap = -np.ones(n, np.int64)
+    remap[selected] = np.arange(len(selected))
     keep = (remap[src] >= 0) & (remap[dst] >= 0)
     sub_edges = np.stack([remap[src[keep]], remap[dst[keep]]])
     if sub_edges.shape[1] > max_edges:
         sel = rng.choice(sub_edges.shape[1], size=max_edges, replace=False)
         sub_edges = sub_edges[:, sel]
-    return pad_graph(x[nodes], sub_edges, max_nodes, max_edges)
+
+    # interior = selected nodes with no lost neighbours (full receptive field)
+    lost = np.zeros(n, np.int64)
+    cut = (remap[src] >= 0) & (remap[dst] < 0)
+    np.add.at(lost, src[cut], 1)
+    interior = lost[selected] == 0
+
+    g = pad_graph(x[selected], sub_edges, max_nodes, max_edges)
+    lm = np.zeros_like(g.node_mask)
+    lm[: len(selected)] = interior.astype(np.float32)
+    if not lm.any():  # degenerate sample: learn from everything rather than nothing
+        lm[: len(selected)] = 1.0
+    return PaddedGraph(
+        x=g.x, edges=g.edges, node_mask=g.node_mask, edge_mask=g.edge_mask, loss_mask=lm
+    )
 
 
 def embed_full_graph(params: dict, x: np.ndarray, edge_index: np.ndarray) -> np.ndarray:
@@ -206,15 +264,17 @@ def make_dgi_train_step(model: DGI, optimizer, mesh=None):
     Batch dims: x (B, N, F), edges (B, 2, E), masks (B, ...). Gradients are
     meaned over the batch (psum over the mesh under jit).
     """
-    def loss_fn(params, x, x_corrupt, edges, edge_mask, node_mask):
+    def loss_fn(params, x, x_corrupt, edges, edge_mask, node_mask, loss_mask):
         losses = jax.vmap(
-            lambda a, b, c, d, e: model.apply({"params": params}, a, b, c, d, e)
-        )(x, x_corrupt, edges, edge_mask, node_mask)
+            lambda a, b, c, d, e, f: model.apply({"params": params}, a, b, c, d, e, f)
+        )(x, x_corrupt, edges, edge_mask, node_mask, loss_mask)
         return losses.mean()
 
-    def train_step(params, opt_state, x, x_corrupt, edges, edge_mask, node_mask):
+    def train_step(
+        params, opt_state, x, x_corrupt, edges, edge_mask, node_mask, loss_mask
+    ):
         loss, grads = jax.value_and_grad(loss_fn)(
-            params, x, x_corrupt, edges, edge_mask, node_mask
+            params, x, x_corrupt, edges, edge_mask, node_mask, loss_mask
         )
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = jax.tree_util.tree_map(lambda p, u: p + u, params, updates)
@@ -227,7 +287,7 @@ def make_dgi_train_step(model: DGI, optimizer, mesh=None):
         bsh = NamedSharding(mesh, P("data"))
         return jax.jit(
             train_step,
-            in_shardings=(rep, rep, bsh, bsh, bsh, bsh, bsh),
+            in_shardings=(rep, rep, bsh, bsh, bsh, bsh, bsh, bsh),
             out_shardings=(rep, rep, rep),
         )
     return jax.jit(train_step)
