@@ -315,13 +315,14 @@ def main() -> None:
             except Exception as e:  # aux failures never break the headline
                 print(f"aux-bench {fn.__name__} failed: {e!r}", file=sys.stderr)
 
-    detail = {"fast": fast, "headline": headline, "aux": aux}
-    try:
-        (Path(__file__).parent / "BENCH_DETAIL.json").write_text(
-            json.dumps(detail, indent=1) + "\n"
-        )
-    except OSError:
-        pass
+    if not fast:  # CI smoke runs must not clobber the real-chip artifact
+        detail = {"fast": fast, "headline": headline, "aux": aux}
+        try:
+            (Path(__file__).parent / "BENCH_DETAIL.json").write_text(
+                json.dumps(detail, indent=1) + "\n"
+            )
+        except OSError:
+            pass
 
     print(json.dumps(headline))
 
