@@ -234,7 +234,7 @@ def test_bf16_transfer_matches_f32_instances():
 
     coords = np.array([[0, 0, w, h]], np.int64)
     results = {}
-    for dtype in ("float32", "bfloat16"):
+    for dtype in ("float32", "bfloat16", "quantized"):
         st = TileRemapStitcher(
             n_classes=3, slide_width=w, slide_height=h, slide_patch_size=w,
             slide_halo_size=0, slide_mpp=0.25, model_mpp=0.25,
@@ -246,10 +246,11 @@ def test_bf16_transfer_matches_f32_instances():
         results[dtype] = (np.concatenate(inst), np.concatenate(prob))
 
     inst32, prob32 = results["float32"]
-    inst16, prob16 = results["bfloat16"]
-    assert inst32.shape == inst16.shape
-    np.testing.assert_array_equal(inst32, inst16)  # same boxes
-    np.testing.assert_allclose(prob16, prob32, atol=5e-3)  # measured budget
+    for dtype in ("bfloat16", "quantized"):
+        inst_c, prob_c = results[dtype]
+        assert inst32.shape == inst_c.shape, dtype
+        np.testing.assert_array_equal(inst32, inst_c)  # same boxes
+        np.testing.assert_allclose(prob_c, prob32, atol=5e-3)  # measured budget
 
 
 def test_device_separation_energy_matches_cv2():

@@ -46,13 +46,15 @@ class TileRemapStitcher:
         transfer_dtype: str | None = None,
     ):
         # Map-transfer dtype. The resized prediction maps are the cell path's
-        # dominant device->host traffic ((3+K) channels x patch^2 x 4B each);
-        # post-softmax probabilities in [0,1] lose ~0.4% relative precision
-        # in bfloat16, far below the 0.5 NP threshold's noise floor, so bf16
-        # halves the bytes by default (WSINSIGHT_CELL_TRANSFER=float32 to
-        # opt out; parity asserted in tests/test_cells.py).
+        # dominant device->host traffic ((3+K) channels x patch^2 x 4B each).
+        # Default "quantized": probabilities cross as uint8 (step 1/255 —
+        # the same order as bf16's relative error on [0,1] and far below the
+        # 0.5 NP threshold's noise floor) and HV as bf16 for the downstream
+        # Sobel; ~4.5x fewer bytes than f32 at K=6. Also accepted:
+        # "bfloat16" (2x) and "float32" (exact); override with
+        # WSINSIGHT_CELL_TRANSFER. Parity asserted in tests/test_cells.py.
         if transfer_dtype is None:
-            transfer_dtype = os.getenv("WSINSIGHT_CELL_TRANSFER", "bfloat16")
+            transfer_dtype = os.getenv("WSINSIGHT_CELL_TRANSFER", "quantized")
         self.transfer_dtype = transfer_dtype
         self.n_classes = n_classes
         self.slide_width = slide_width
@@ -121,15 +123,23 @@ class TileRemapStitcher:
             b = np_prob.shape[0]
             k = tp_prob.shape[1]
             np_res = resize(np_prob, (b, s, s))
-            hv_res = resize(hv, (b, 2, s, s)) * alpha
+            hv_res = jnp.transpose(resize(hv, (b, 2, s, s)) * alpha, (0, 2, 3, 1))
             tp_res = resize(tp_prob, (b, k, s, s))
-            tp_res = tp_res / (tp_res.sum(axis=1, keepdims=True) + 1e-8)
-            out_dt = jnp.bfloat16 if self.transfer_dtype == "bfloat16" else jnp.float32
-            return (
-                np_res.astype(out_dt),
-                jnp.transpose(hv_res, (0, 2, 3, 1)).astype(out_dt),
-                jnp.transpose(tp_res, (0, 2, 3, 1)).astype(out_dt),
+            tp_res = jnp.transpose(
+                tp_res / (tp_res.sum(axis=1, keepdims=True) + 1e-8), (0, 2, 3, 1)
             )
+            if self.transfer_dtype == "quantized":
+                # Probabilities cross as uint8 (quantization step 1/255 —
+                # same order as bf16's relative error on [0,1]); HV keeps
+                # bf16 for the downstream Sobel. (3+K) x 4B per pixel
+                # becomes (1+K) x 1B + 2 x 2B.
+                return (
+                    jnp.round(np_res * 255.0).astype(jnp.uint8),
+                    hv_res.astype(jnp.bfloat16),
+                    jnp.round(tp_res * 255.0).astype(jnp.uint8),
+                )
+            out_dt = jnp.bfloat16 if self.transfer_dtype == "bfloat16" else jnp.float32
+            return (np_res.astype(out_dt), hv_res.astype(out_dt), tp_res.astype(out_dt))
 
         self._device_step = jax.jit(step)
 
@@ -157,9 +167,15 @@ class TileRemapStitcher:
         batch_coords is (B, 4) [minx, miny, w, h] in slide coordinates.
         """
         np_res, hv_res, tp_res = maps
-        np_res = np.asarray(np_res).astype(np.float32)
+        np_res = np.asarray(np_res)
+        tp_res = np.asarray(tp_res)
+        if np_res.dtype == np.uint8:  # quantized transfer: dequantize on host
+            np_res = np_res.astype(np.float32) / 255.0
+            tp_res = tp_res.astype(np.float32) / 255.0
+        else:
+            np_res = np_res.astype(np.float32)
+            tp_res = tp_res.astype(np.float32)
         hv_res = np.asarray(hv_res).astype(np.float32)
-        tp_res = np.asarray(tp_res).astype(np.float32)
 
         s = self.slide_patch_size
         coords = np.asarray(batch_coords, dtype=np.int64)[:, :2] + self.slide_halo_size
