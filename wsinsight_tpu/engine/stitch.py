@@ -244,7 +244,7 @@ class TileRemapStitcher:
             shapes = [(j[1] - j[0], j[3] - j[2]) for j in jobs]
             full = max(set(shapes), key=shapes.count)
             batch_idx = [i for i, s in enumerate(shapes) if s == full]
-            chunk = 8
+            chunk = min(8, len(batch_idx))
             for c0 in range(0, len(batch_idx), chunk):
                 sel = batch_idx[c0 : c0 + chunk]
                 hv_batch = np.stack(
@@ -255,6 +255,10 @@ class TileRemapStitcher:
                         for i in sel
                     ]
                 )
+                if len(sel) < chunk:  # pad the tail so one compile serves all
+                    hv_batch = np.concatenate(
+                        [hv_batch, np.zeros((chunk - len(sel), *hv_batch.shape[1:]), hv_batch.dtype)]
+                    )
                 for i, e in zip(sel, separation_energy_batched(hv_batch)):
                     energy_for_job[i] = e
 
