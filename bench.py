@@ -307,6 +307,127 @@ def bench_cellvit_cells(fast: bool, variant: str | None = None) -> dict:
 
 
 # ---------------------------------------------------------------------------
+# Aux 3: banded streaming cell path (engine/stream_cells.py)
+# ---------------------------------------------------------------------------
+
+
+def bench_streaming_cells(fast: bool) -> dict:
+    """Streaming pipeline throughput with controlled nucleus content.
+
+    Drives postprocess -> banded scatter -> per-tile energy/watershed ->
+    label round-trip -> device class sums with synthetic logits whose
+    softmax paints nuclei at realistic density (~5 per patch), then adds the
+    separately-timed real CellViT-256 forward; production overlaps the two,
+    so the summed time is conservative.
+    """
+    import jax
+
+    from wsinsight_tpu.engine.stream_cells import BandedCellStitcher
+    from wsinsight_tpu.models import create_model
+    from wsinsight_tpu.ops.preprocess import TransformSpec, make_preprocess_fn
+
+    patch_px, halo_px, n_classes, mpp = 256, 46, 6, 0.25
+    out_px = patch_px - 2 * halo_px
+    side = 656 if fast else 4100
+    batch_size = 4 if fast else 16
+
+    # -- timed real forward (random weights; content irrelevant here) -------
+    model = create_model("cellvit-256", n_classes)
+    if hasattr(model, "clone"):
+        model = model.clone(halo_size=halo_px)
+    import jax.numpy as jnp
+
+    params = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, patch_px, patch_px, 3), jnp.float32)
+    )["params"]
+    spec = TransformSpec(size=None, mean=(0.5, 0.5, 0.5), std=(0.5, 0.5, 0.5), to_tensor=True)
+    preprocess = make_preprocess_fn(spec)
+
+    def fwd(params, batch_u8):
+        with jax.default_matmul_precision("float32"):
+            return model.apply({"params": params}, preprocess(batch_u8))
+
+    fwd = jax.jit(fwd)
+    params = jax.device_put(params)
+    rng = np.random.default_rng(2)
+    batch_u8 = jax.device_put(
+        rng.integers(0, 256, size=(batch_size, patch_px, patch_px, 3), dtype=np.uint8)
+    )
+    out = fwd(params, batch_u8)
+    jax.block_until_ready(out)
+    n_grid = side // out_px
+    n_patches = n_grid * n_grid
+    t0 = time.perf_counter()
+    for _ in range(0, n_patches, batch_size):
+        out = fwd(params, batch_u8)
+    jax.block_until_ready(out)
+    t_forward = time.perf_counter() - t0
+
+    # -- timed streaming pipeline on controlled content ---------------------
+    eps = 1e-4
+    s = out_px
+    np_map = np.zeros((s, s), np.float32)
+    hv = np.zeros((2, s, s), np.float32)
+    yy, xx = np.mgrid[:s, :s].astype(np.float32)
+    n_per_patch = 0
+    for cy in range(20, s - 15, 60):
+        for cx in range(20, s - 15, 60):
+            d = np.hypot(yy - cy, xx - cx)
+            inside = d < 11
+            np_map[inside] = 1.0
+            hv[0][inside] = ((xx - cx) / 11)[inside]
+            hv[1][inside] = ((yy - cy) / 11)[inside]
+            n_per_patch += 1
+    np_logits = np.stack([np.log1p(-np_map + eps), np.log(np_map + eps)])[None]
+    tp = np.full((n_classes, s, s), eps, np.float32)
+    tp[0] = 1.0 - np_map
+    tp[1] = np_map
+    tp_logits = np.log(tp + eps)[None]
+    pred = {
+        "np": np.repeat(np_logits, batch_size, 0),
+        "hv": np.repeat(hv[None], batch_size, 0),
+        "tp": np.repeat(tp_logits, batch_size, 0),
+    }
+
+    gy, gx = np.mgrid[0:n_grid, 0:n_grid]
+    coords = np.stack(
+        [gx.ravel() * s - halo_px, gy.ravel() * s - halo_px], 1
+    ).astype(np.int64)
+    coords = np.concatenate([coords, np.full((len(coords), 2), patch_px, np.int64)], 1)
+
+    def run_stream():
+        st = BandedCellStitcher(
+            n_classes=n_classes, slide_width=side, slide_height=side,
+            slide_patch_size=s, slide_halo_size=halo_px, slide_mpp=mpp, model_mpp=mpp,
+        )
+        for i0 in range(0, n_patches, batch_size):
+            sel = coords[i0 : i0 + batch_size]
+            st.accumulate_batch(pred, sel, n_valid=len(sel))
+        inst, probs, polys = st.finalize()
+        st.close()
+        return inst
+
+    run_stream()  # warm (compiles)
+    t1 = time.perf_counter()
+    inst = run_stream()
+    t_stream = time.perf_counter() - t1
+
+    total = t_forward + t_stream
+    n_cells = len(inst)
+    return {
+        "metric": "cellvit_256_streaming_cells_per_sec",
+        "value": round(n_cells / total, 2),
+        "unit": "cells/s",
+        "cells_found": int(n_cells),
+        "cells_painted": int(n_per_patch * n_patches),
+        "patches_per_sec_stream_only": round(n_patches / t_stream, 2),
+        "forward_sec": round(t_forward, 3),
+        "stream_sec": round(t_stream, 3),
+        "note": "banded HBM-resident maps; labels round-trip for device class sums",
+    }
+
+
+# ---------------------------------------------------------------------------
 
 
 def main() -> None:

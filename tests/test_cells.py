@@ -292,3 +292,80 @@ def test_finalize_device_ridge_same_instances(monkeypatch):
     i_dev, p_dev = run("1")
     np.testing.assert_array_equal(i_cpu, i_dev)
     np.testing.assert_allclose(p_cpu, p_dev, atol=1e-5)
+
+
+def test_streaming_banded_stitcher_matches_classic(monkeypatch):
+    """The banded streaming engine (maps stay in HBM, labels round-trip for
+    device class sums) produces the same instances as the classic
+    host-canvas path with matching transfer settings."""
+    from wsinsight_tpu.engine.stitch import TileRemapStitcher
+    from wsinsight_tpu.engine.stream_cells import BandedCellStitcher
+
+    rng = np.random.default_rng(0)
+    h = w = 512
+    s, k = 64, 3  # slide patch 64 px, 3 classes; bands/tiles of 128
+
+    # synthetic model outputs per patch: logits whose softmax paints nuclei
+    eps = 1e-4
+    grid = range(0, 512, s)
+    coords, preds = [], []
+    for y0 in grid:
+        for x0 in grid:
+            np_map = np.zeros((s, s), np.float32)
+            hv = np.zeros((2, s, s), np.float32)
+            if (x0 // s + y0 // s) % 2 == 0:  # one nucleus on alternating tiles
+                yy, xx = np.mgrid[:s, :s].astype(np.float32)
+                d = np.hypot(yy - 32, xx - 32)
+                inside = d < 14
+                np_map[inside] = 1.0
+                hv[0][inside] = ((xx - 32) / 14)[inside]
+                hv[1][inside] = ((yy - 32) / 14)[inside]
+            np_logits = np.stack([np.log1p(-np_map + eps), np.log(np_map + eps)])
+            tp = np.zeros((k, s, s), np.float32)
+            tp[0] = 1.0 - np_map
+            tp[1] = np_map * 0.7
+            tp[2] = np_map * 0.3
+            tp_logits = np.log(tp + eps) + rng.normal(0, 1e-3, (k, s, s)).astype(np.float32)
+            coords.append([x0, y0, s, s])
+            preds.append((np_logits, hv, tp_logits))
+
+    coords = np.asarray(coords, np.int64)
+    order = np.lexsort((coords[:, 0], coords[:, 1]))
+
+    def feed(st):
+        bs = 4
+        for i0 in range(0, len(order), bs):
+            sel = order[i0 : i0 + bs]
+            batch = {
+                "np": np.stack([preds[i][0] for i in sel]),
+                "hv": np.stack([preds[i][1] for i in sel]),
+                "tp": np.stack([preds[i][2] for i in sel]),
+            }
+            st.accumulate_batch(batch, coords[sel])
+
+    common = dict(
+        n_classes=k, slide_width=w, slide_height=h, slide_patch_size=s,
+        slide_halo_size=0, slide_mpp=0.25, model_mpp=0.25, min_object_size=20,
+    )
+    monkeypatch.setenv("WSINSIGHT_DEVICE_RIDGE", "1")
+    classic = TileRemapStitcher(transfer_dtype="quantized", **common)
+    feed(classic)
+    ci, cp, cpoly = classic.finalize(tile_size=128, padding_size=32, num_workers=1)
+    classic.close()
+
+    streaming = BandedCellStitcher(tile_size=128, padding_size=32, **common)
+    feed(streaming)
+    si, sp, spoly = streaming.finalize()
+    streaming.close()
+
+    assert len(ci) == len(si) > 0
+    c_boxes = np.concatenate(ci)
+    s_boxes = np.concatenate(si)
+    c_order = np.lexsort((c_boxes[:, 0], c_boxes[:, 1]))
+    s_order = np.lexsort((s_boxes[:, 0], s_boxes[:, 1]))
+    np.testing.assert_array_equal(c_boxes[c_order], s_boxes[s_order])
+    np.testing.assert_allclose(
+        np.concatenate(cp)[c_order], np.concatenate(sp)[s_order], atol=5e-3
+    )
+    for a, b in zip(c_order, s_order):
+        np.testing.assert_array_equal(cpoly[a], spoly[b])

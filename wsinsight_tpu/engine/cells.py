@@ -116,10 +116,32 @@ def run_cell_inference(
     Geometry contract matches the reference (run_inference.py:309-311):
     model_output = patch_px - 2*halo; slide sizes scaled by spacing/mpp.
     """
+    import os
+
     cfg = engine.config
     model_output_size_px = cfg.patch_size_pixels - 2 * halo_size_px
     slide_patch_size = int(round(model_output_size_px * cfg.spacing_um_px / mpp))
     slide_halo_size = int(round(halo_size_px * cfg.spacing_um_px / mpp))
+
+    if os.getenv("WSINSIGHT_STREAM_CELLS", "0") not in ("0", ""):
+        from .stream_cells import run_streaming_cell_inference, streaming_fits
+
+        if streaming_fits(slide_width, cfg.num_classes, slide_patch_size):
+            return run_streaming_cell_inference(
+                engine,
+                wsi_path=wsi_path,
+                patch_path=patch_path,
+                use_hdf5_images=use_hdf5_images,
+                slide_width=slide_width,
+                slide_height=slide_height,
+                mpp=mpp,
+                halo_size_px=halo_size_px,
+                batch_size=batch_size,
+                num_workers=num_workers,
+                min_object_size=min_object_size,
+            )
+        logger.info("banded streaming requested but bands exceed the HBM budget;"
+                    " using the host-canvas path")
 
     stitcher = TileRemapStitcher(
         n_classes=cfg.num_classes,

@@ -76,6 +76,7 @@ class PatchBatchSource:
         num_threads: int = 8,
         prefetch: int = 2,
         shuffle_seed: int | None = None,
+        order_by_y: bool = False,
     ):
         self.patch_path = patch_path
         self.wsi_path = wsi_path
@@ -92,6 +93,9 @@ class PatchBatchSource:
         self._order = np.arange(len(self.coords))
         if shuffle_seed is not None:
             np.random.default_rng(shuffle_seed).shuffle(self._order)
+        elif order_by_y:
+            # banded/streaming consumers need patches in slide-row order
+            self._order = np.lexsort((self.coords[:, 0], self.coords[:, 1]))
 
         self._use_hdf5_images = use_hdf5_images
         self._h5: h5py.File | None = None

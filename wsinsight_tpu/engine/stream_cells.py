@@ -1,0 +1,420 @@
+"""Streaming banded cell inference: prediction maps never leave HBM wholesale.
+
+The classic path (engine/cells.py + engine/stitch.py) transfers every
+resized map channel to host canvases and post-processes from there. On the
+hosts that run this framework the device->host link is the cell path's
+bottleneck, and most of those bytes — the (K-channel) type maps — exist only
+to produce K numbers per instance. This engine keeps the maps in
+device-resident slide-space BANDS and moves per-pixel data across the link
+only where the host genuinely needs it:
+
+  down per band:  NP probability (uint8) + separation energy (f32),
+                  per watershed tile window — 2 of the (3+K) channels
+  up   per band:  the watershed label image (int32)
+  down per band:  per-instance type-prob sums + pixel counts (tiny)
+
+Pipeline per band (bands are one watershed-tile row high, aligned with the
+classic finalize tiling so the per-tile math is IDENTICAL to the classic
+device-ridge path):
+
+  1. the jitted model step's maps scatter into the band buffers on device
+     (lax.fori_loop of dynamic_update_slice; buffers are donated),
+  2. when the sorted patch stream passes the band, the wide-Sobel separation
+     energy is computed on device per tile window and fetched with the NP
+     window,
+  3. host threads run the sequential tail (threshold, seeds, watershed,
+     contours) exactly as ops/hv_postproc does,
+  4. the label image returns to the device, where a segment-sum against the
+     still-resident type maps yields per-instance class means.
+
+Falls back to the classic path when the band buffers would not fit in HBM
+(see run_streaming_cell_inference).
+"""
+
+from __future__ import annotations
+
+import logging
+from typing import List
+
+import numpy as np
+
+from ..ops.hv_postproc import extract_instance_labels
+from ..uri_path import URIPath
+from .data import PatchBatchSource
+
+logger = logging.getLogger(__name__)
+
+_MAX_IDS = 1 << 16  # per-band instance cap for the device segment-sum
+
+
+class BandedCellStitcher:
+    """Device-banded accumulate + streaming finalize."""
+
+    def __init__(
+        self,
+        n_classes: int,
+        slide_width: int,
+        slide_height: int,
+        slide_patch_size: int,
+        slide_halo_size: int,
+        slide_mpp: float,
+        model_mpp: float,
+        min_object_size: int = 20,
+        tile_size: int = 2048,
+        padding_size: int = 64,
+    ):
+        import jax
+        import jax.numpy as jnp
+
+        self.k = n_classes
+        self.w = slide_width
+        self.h = slide_height
+        self.s = slide_patch_size
+        self.halo = slide_halo_size
+        self.alpha = model_mpp / slide_mpp
+        self.min_object_size = int(min_object_size)
+        self.tile = int(tile_size)
+        self.pad = int(padding_size)
+
+        s, m = self.s, self.pad
+        # buffer rows cover [y0 - pad - s, y0 + band_h + pad + s) so every
+        # patch that intersects the banded context fits without clipping;
+        # cols cover [-s, W + s) for the same reason.
+        self.band_h = self.tile
+        self.buf_h = self.band_h + 2 * m + 2 * s
+        self.buf_w = self.w + 2 * s
+
+        self._bands: dict[int, tuple] = {}  # band index -> (np, hv, tp) device bufs
+        self._results: list[tuple] = []
+        self._next_id = 1
+        self._jax = jax
+        self._jnp = jnp
+        self._build_kernels()
+
+    # -- devices kernels ----------------------------------------------------
+    def _build_kernels(self):
+        import jax
+        import jax.numpy as jnp
+
+        s, k, alpha = self.s, self.k, self.alpha
+
+        def postprocess(np_logits, hv, tp_logits):
+            np_prob = jax.nn.softmax(np_logits, axis=1)[:, 1, :, :]
+            tp_prob = jax.nn.softmax(tp_logits, axis=1)
+            b = np_prob.shape[0]
+            np_res = jax.image.resize(np_prob, (b, s, s), method="bilinear")
+            hv_res = jax.image.resize(hv, (b, 2, s, s), method="bilinear") * alpha
+            tp_res = jax.image.resize(tp_prob, (b, k, s, s), method="bilinear")
+            tp_res = tp_res / (tp_res.sum(axis=1, keepdims=True) + 1e-8)
+            return (
+                np_res.astype(jnp.bfloat16),
+                jnp.transpose(hv_res, (0, 2, 3, 1)).astype(jnp.bfloat16),
+                jnp.transpose(tp_res, (0, 2, 3, 1)).astype(jnp.bfloat16),
+            )
+
+        self._postprocess = jax.jit(postprocess)
+
+        def scatter(np_b, hv_b, tp_b, np_p, hv_p, tp_p, rows, cols, valid):
+            def body(i, bufs):
+                nb, hb, tb = bufs
+                r, c = rows[i], cols[i]
+                cur_n = jax.lax.dynamic_slice(nb, (r, c), (s, s))
+                cur_h = jax.lax.dynamic_slice(hb, (r, c, 0), (s, s, 2))
+                cur_t = jax.lax.dynamic_slice(tb, (r, c, 0), (s, s, k))
+                nb = jax.lax.dynamic_update_slice(
+                    nb, jnp.where(valid[i], np_p[i], cur_n), (r, c)
+                )
+                hb = jax.lax.dynamic_update_slice(
+                    hb, jnp.where(valid[i], hv_p[i], cur_h), (r, c, 0)
+                )
+                tb = jax.lax.dynamic_update_slice(
+                    tb, jnp.where(valid[i], tp_p[i], cur_t), (r, c, 0)
+                )
+                return nb, hb, tb
+
+            return jax.lax.fori_loop(0, rows.shape[0], body, (np_b, hv_b, tp_b))
+
+        self._scatter = jax.jit(scatter, donate_argnums=(0, 1, 2))
+
+        # per-window energy + NP fetch (window shape is static per jit cache)
+        from ..ops.hv_device import _sobel_taps
+
+        deriv, smooth = _sobel_taps(21)
+
+        def window_stage(np_b, hv_b, r0, c0, wh, ww):
+            np_win = jax.lax.dynamic_slice(np_b, (r0, c0), (wh, ww)).astype(jnp.float32)
+            hv_win = jax.lax.dynamic_slice(hv_b, (r0, c0, 0), (wh, ww, 2)).astype(
+                jnp.float32
+            )
+
+            def unit(x):
+                lo, hi = x.min(), x.max()
+                span = hi - lo
+                return jnp.where(span > 0, (x - lo) / jnp.where(span > 0, span, 1.0), 0.0)
+
+            def conv1d(x, taps, axis):
+                half = len(taps) // 2
+                pad = [(0, 0), (0, 0)]
+                pad[axis] = (half, half)
+                x = jnp.pad(x, pad, mode="reflect")
+                kern = jnp.asarray(taps, jnp.float32)
+                kern = kern.reshape(1, 1, 1, -1) if axis == 1 else kern.reshape(1, 1, -1, 1)
+                y = jax.lax.conv_general_dilated(
+                    x[None, None], kern, (1, 1), "VALID",
+                    dimension_numbers=("NCHW", "OIHW", "NCHW"),
+                )
+                return y[0, 0]
+
+            gh = conv1d(conv1d(unit(hv_win[..., 0]), deriv, 1), smooth, 0)
+            gv = conv1d(conv1d(unit(hv_win[..., 1]), smooth, 1), deriv, 0)
+            energy = jnp.maximum(1.0 - unit(gh), 1.0 - unit(gv))
+            np_u8 = jnp.round(np_win * 255.0).astype(jnp.uint8)
+            return np_u8, energy
+
+        self._window_stage = jax.jit(window_stage, static_argnums=(4, 5))
+
+        def class_sums(tp_b, labels, r0, c0):
+            # labels: (band_rows, W) int32 local ids (0 = background)
+            bh, bw = labels.shape
+            tp_win = jax.lax.dynamic_slice(tp_b, (r0, c0, 0), (bh, bw, k)).astype(
+                jnp.float32
+            )
+            flat = labels.reshape(-1)
+            tpf = tp_win.reshape(-1, k)
+            sums = jnp.zeros((_MAX_IDS, k), jnp.float32).at[flat].add(tpf)
+            counts = jnp.zeros((_MAX_IDS,), jnp.float32).at[flat].add(1.0)
+            return sums, counts
+
+        self._class_sums = jax.jit(class_sums)
+
+    # -- banding ------------------------------------------------------------
+    def _band_origin(self, b: int) -> int:
+        return b * self.band_h
+
+    def _buffer_top(self, b: int) -> int:
+        return self._band_origin(b) - self.pad - self.s
+
+    def _bands_for_patch(self, y_w: int) -> list[int]:
+        """Bands whose READ region [y0 - pad, y1 + pad) the patch overlaps.
+
+        Restricting assignment to the read region (tile windows + class-sum
+        interior) keeps every buffer write offset strictly inside the
+        buffer, so dynamic_update_slice never clamps.
+        """
+        out = []
+        lo = max(0, (y_w - self.pad) // self.band_h - 1)
+        hi = min(self._n_bands(), (y_w + self.s + self.pad) // self.band_h + 1)
+        for b in range(lo, hi):
+            y0 = self._band_origin(b)
+            y1 = min(y0 + self.band_h, self.h)
+            if y_w + self.s > y0 - self.pad and y_w < y1 + self.pad:
+                out.append(b)
+        return out
+
+    def _n_bands(self) -> int:
+        return max(1, -(-self.h // self.band_h))
+
+    def _get_band(self, b: int):
+        if b not in self._bands:
+            jnp = self._jnp
+            self._bands[b] = (
+                jnp.zeros((self.buf_h, self.buf_w), jnp.bfloat16),
+                jnp.zeros((self.buf_h, self.buf_w, 2), jnp.bfloat16),
+                jnp.zeros((self.buf_h, self.buf_w, self.k), jnp.bfloat16),
+            )
+        return self._bands[b]
+
+    # -- accumulate ---------------------------------------------------------
+    def accumulate_batch(self, pred_dict: dict, batch_coords: np.ndarray, n_valid=None):
+        np_logits = pred_dict.get("np", pred_dict.get("nuclei_binary_map"))
+        hv = pred_dict.get("hv", pred_dict.get("hv_map"))
+        tp_logits = pred_dict.get("tp", pred_dict.get("nuclei_type_map"))
+        maps = self._postprocess(np_logits, hv, tp_logits)
+
+        coords = np.asarray(batch_coords, np.int64)[:, :2] + self.halo
+        n = len(coords) if n_valid is None else min(int(n_valid), len(coords))
+
+        # group patches by destination band
+        groups: dict[int, list[int]] = {}
+        max_y = -1
+        for i in range(n):
+            y_w, x_w = int(coords[i, 1]), int(coords[i, 0])
+            max_y = max(max_y, y_w)
+            if x_w < -self.s or x_w > self.w or y_w < -self.s or y_w > self.h:
+                logger.warning(f"patch at ({x_w},{y_w}) outside the banded range; skipped")
+                continue
+            for b in self._bands_for_patch(y_w):
+                groups.setdefault(b, []).append(i)
+
+        bsz = len(coords)
+        for b, idxs in sorted(groups.items()):
+            rows = np.zeros(bsz, np.int32)
+            cols = np.zeros(bsz, np.int32)
+            valid = np.zeros(bsz, bool)
+            top = self._buffer_top(b)
+            for i in idxs:
+                rows[i] = int(coords[i, 1]) - top
+                cols[i] = int(coords[i, 0]) + self.s
+                valid[i] = True
+            bufs = self._get_band(b)
+            self._bands[b] = self._scatter(*bufs, *maps, rows, cols, valid)
+
+        # flush bands the sorted stream has fully passed
+        for b in sorted(self._bands):
+            if self._buffer_top(b) + self.buf_h <= max_y:
+                self._flush_band(b)
+
+    # -- streaming finalize ---------------------------------------------------
+    def _flush_band(self, b: int) -> None:
+        np_b, hv_b, tp_b = self._bands.pop(b)
+        jnp = self._jnp
+        y0 = self._band_origin(b)
+        y1 = min(y0 + self.band_h, self.h)
+        if y1 <= y0:
+            return
+        top = self._buffer_top(b)
+
+        band_labels = np.zeros((y1 - y0, self.w), np.int32)
+        band_records: list[tuple] = []  # (local_id, box, poly)
+        local_next = 1
+
+        for x0 in range(0, self.w, self.tile):
+            x1 = min(x0 + self.tile, self.w)
+            # window with context, clipped to the slide like the classic path
+            wy0, wy1 = max(0, y0 - self.pad), min(self.h, y1 + self.pad)
+            wx0, wx1 = max(0, x0 - self.pad), min(self.w, x1 + self.pad)
+            r0 = wy0 - top
+            c0 = wx0 + self.s
+            wh, ww = wy1 - wy0, wx1 - wx0
+            np_u8, energy = self._window_stage(np_b, hv_b, r0, c0, int(wh), int(ww))
+            np_win = np.asarray(np_u8).astype(np.float32) / 255.0
+            energy_win = np.asarray(energy)
+
+            interior = (slice(y0 - wy0, y1 - wy0), slice(x0 - wx0, x1 - wx0))
+            labels, ids, boxes, polys = extract_instance_labels(
+                np_win, energy_win, interior, self.min_object_size
+            )
+            if ids.size == 0:
+                continue
+            # relabel tile-locals into band-locals, drop degenerate contours
+            remap = np.zeros(int(labels.max()) + 1, np.int32)
+            for i in range(ids.size):
+                if polys[i] is None:
+                    continue  # alignment rule: drop from labels + outputs
+                remap[ids[i]] = local_next
+                box = boxes[i].astype(np.int64)
+                box[0] += x0
+                box[1] += y0
+                poly = polys[i].astype(np.int64)
+                poly[:, 0] += x0
+                poly[:, 1] += y0
+                band_records.append((local_next, box, poly))
+                local_next += 1
+            band_labels[y0 - y0 : y1 - y0, x0:x1] = remap[labels]
+
+        if not band_records:
+            return
+        if local_next >= _MAX_IDS:
+            raise RuntimeError(
+                f"band {b}: {local_next} instances exceeds the device segment cap"
+            )
+
+        # per-instance class means from the device-resident type maps
+        sums, counts = self._class_sums(
+            tp_b, jnp.asarray(band_labels), (y0 - top), self.s
+        )
+        sums = np.array(sums)[1:local_next]
+        counts = np.array(counts)[1:local_next]
+        counts[counts == 0] = 1.0
+        means = (sums / counts[:, None]).astype(np.float32)
+
+        for local_id, box, poly in band_records:
+            self._results.append(
+                (
+                    np.array([box[0], box[1], box[2], box[3]], np.int32).reshape(1, -1),
+                    means[local_id - 1].reshape(1, -1),
+                    poly.astype(np.int32),
+                )
+            )
+
+    def finalize(self) -> tuple[List[np.ndarray], List[np.ndarray], List[np.ndarray]]:
+        for b in sorted(self._bands):
+            self._flush_band(b)
+        if not self._results:
+            return [], [], []
+        inst, probs, polys = zip(*self._results)
+        return list(inst), list(probs), list(polys)
+
+    def close(self) -> None:
+        self._bands.clear()
+
+
+def run_streaming_cell_inference(
+    engine,
+    *,
+    wsi_path: URIPath,
+    patch_path: URIPath,
+    use_hdf5_images: bool,
+    slide_width: int,
+    slide_height: int,
+    mpp: float,
+    halo_size_px: int,
+    batch_size: int,
+    num_workers: int,
+    min_object_size: int = 20,
+) -> tuple[np.ndarray, np.ndarray, List[np.ndarray]]:
+    """Banded streaming counterpart of engine.cells.run_cell_inference."""
+    import tqdm
+
+    cfg = engine.config
+    model_output_size_px = cfg.patch_size_pixels - 2 * halo_size_px
+    slide_patch_size = int(round(model_output_size_px * cfg.spacing_um_px / mpp))
+    slide_halo_size = int(round(halo_size_px * cfg.spacing_um_px / mpp))
+
+    stitcher = BandedCellStitcher(
+        n_classes=cfg.num_classes,
+        slide_width=slide_width,
+        slide_height=slide_height,
+        slide_patch_size=slide_patch_size,
+        slide_halo_size=slide_halo_size,
+        slide_mpp=mpp,
+        model_mpp=cfg.spacing_um_px,
+        min_object_size=min_object_size,
+    )
+    src = PatchBatchSource(
+        wsi_path=wsi_path,
+        patch_path=patch_path,
+        use_hdf5_images=use_hdf5_images,
+        batch_size=engine.pad_batch(batch_size),
+        num_threads=num_workers or 4,
+        order_by_y=True,  # banding needs the stream sorted by slide row
+    )
+    with tqdm.tqdm(total=src.num_batches, desc="Inference", position=1, leave=False) as bar:
+        for batch in src:
+            pred = engine.run_batch(batch.images)
+            pred = {k: v for k, v in pred.items() if k != "tissue_types"}
+            stitcher.accumulate_batch(pred, batch.coords, n_valid=batch.n_valid)
+            bar.update(1)
+    src.close()
+    inst, probs, polys = stitcher.finalize()
+    stitcher.close()
+
+    if not inst:
+        return np.zeros((0, 4), np.int32), np.zeros((0, cfg.num_classes), np.float32), []
+    return np.concatenate(inst, axis=0), np.concatenate(probs, axis=0), polys
+
+
+def streaming_fits(
+    slide_width: int, n_classes: int, slide_patch_size: int,
+    tile_size: int = 2048, padding: int = 64,
+    budget_bytes: int | None = None,
+) -> bool:
+    """Whether ~3 band buffers fit the HBM budget (bf16 channels)."""
+    import os
+
+    if budget_bytes is None:
+        budget_bytes = int(os.getenv("WSINSIGHT_STREAM_HBM_BYTES", 6 * (1 << 30)))
+    buf_h = tile_size + 2 * padding + 2 * slide_patch_size
+    buf_w = slide_width + 2 * slide_patch_size
+    per_band = buf_h * buf_w * (3 + n_classes) * 2
+    return 3 * per_band <= budget_bytes

@@ -199,6 +199,35 @@ def _instance_polygon(patch: np.ndarray) -> np.ndarray | None:
     return ring
 
 
+def extract_instance_labels(
+    np_tile: np.ndarray,
+    raw_energy: np.ndarray,
+    interior_slice: tuple[slice, slice],
+    min_object_size: int,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, List[np.ndarray | None]]:
+    """Tile segmentation + measurement WITHOUT class probabilities.
+
+    For the streaming engine (engine/stream_cells.py), where per-instance
+    class means are computed on-device from the type maps after the label
+    image is known. Returns (labels_interior int32, ids, boxes, polygons)
+    with polygons[i] None when degenerate — the caller drops those instances
+    everywhere so the alignment guarantee holds.
+    """
+    labels = segment_instances(np_tile, None, min_object_size, raw_energy)[interior_slice]
+    ids, boxes = _grouped_bboxes(labels)
+    polys: List[np.ndarray | None] = []
+    for i in range(ids.size):
+        x, y, w, h = (int(v) for v in boxes[i])
+        patch = (labels[y : y + h, x : x + w] == ids[i]).astype(np.uint8)
+        ring = _instance_polygon(patch)
+        if ring is not None:
+            ring = ring.copy()
+            ring[:, 0] += x
+            ring[:, 1] += y
+        polys.append(ring)
+    return labels, ids, boxes, polys
+
+
 def extract_instances(
     np_tile: np.ndarray,
     hv_tile: np.ndarray,
