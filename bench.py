@@ -146,25 +146,36 @@ def bench_e2e_input_pipeline(fast: bool) -> dict:
 
         from pathlib import Path as _P
 
-        src = PatchBatchSource(
-            wsi_path=_P(slide_path), patch_path=_P(h5_path), use_hdf5_images=False,
-            batch_size=batch_size, num_threads=4,
-        )
-        n_patches = 0
-        t0 = time.perf_counter()
-        out = None
-        for b in src:
-            out = step(params, b.images)
-            n_patches += b.n_valid
-        _ = np.asarray(out)
-        dt = time.perf_counter() - t0
-        src.close()
+        def timed_pass(host_resize):
+            src = PatchBatchSource(
+                wsi_path=_P(slide_path), patch_path=_P(h5_path), use_hdf5_images=False,
+                batch_size=batch_size, num_threads=4, host_resize=host_resize,
+            )
+            n_patches = 0
+            t0 = time.perf_counter()
+            out = None
+            for b in src:
+                out = step(params, b.images)
+                n_patches += b.n_valid
+            _ = np.asarray(out)
+            dt = time.perf_counter() - t0
+            src.close()
+            return n_patches, dt
+
+        n_patches, dt = timed_pass(None)
+        # Host-resize variant (WSINSIGHT_HOST_RESIZE): decode threads do the
+        # PIL resize, cutting H2D bytes (350->224)^2 ~ 2.4x. Probabilities are
+        # bit-identical (the device resize is bit-exact PIL) — tested in
+        # tests/test_engine.py::test_host_resize_bit_identical.
+        _ = np.asarray(step(params, np.zeros((batch_size, 224, 224, 3), np.uint8)))
+        n_hr, dt_hr = timed_pass((224, 224))
 
     return {
         "metric": "resnet34_e2e_patches_per_sec_incl_decode_h2d",
         "value": round(n_patches / dt, 2),
         "unit": "patches/s",
         "n_patches": int(n_patches),
+        "host_resize_patches_per_sec": round(n_hr / dt_hr, 2),
         "note": "host JPEG decode + H2D + forward; host-bound on thin hosts",
     }
 
@@ -442,7 +453,7 @@ def main() -> None:
 
     aux = []
     if run_aux:
-        for fn in (bench_e2e_input_pipeline, bench_cellvit_cells):
+        for fn in (bench_e2e_input_pipeline, bench_cellvit_cells, bench_streaming_cells):
             try:
                 result = fn(fast)
                 aux.append(result)

@@ -157,6 +157,57 @@ def test_patch_source_hdf5_images(tmp_path):
     np.testing.assert_array_equal(got_coords[:, :2], coords)
 
 
+def test_host_resize_bit_identical(tmp_path):
+    """WSINSIGHT_HOST_RESIZE moves the (downscaling) resize into the decode
+    threads (PIL bilinear — the reference's own CPU transform placement).
+    The device fixed-point resize is bit-exact PIL, so probabilities must be
+    bitwise identical; upscale requests are ignored (they'd inflate H2D)."""
+    from PIL import Image
+
+    from wsinsight_tpu.engine.data import PatchBatchSource
+    from wsinsight_tpu.engine.runner import ClassifierEngine
+    from wsinsight_tpu.patchlib.io import save_hdf5
+    from wsinsight_tpu.zoo import load_local_model, make_random_local_model
+
+    rng = np.random.default_rng(3)
+    imgs = rng.integers(0, 256, size=(5, 96, 96, 3), dtype=np.uint8)
+    coords = np.array([[0, 0], [96, 0], [192, 0], [0, 96], [96, 96]], np.int32)
+    h5 = tmp_path / "s.h5"
+    save_hdf5(
+        path=h5, coords=coords, polygons=None, tile_dim=None, patch_size=96,
+        patch_spacing_um_px=0.25, images=imgs, slide_path="/nonexistent.tif",
+        slide_mpp=0.25, slide_width=288, slide_height=192,
+    )
+
+    def one_batch(host_resize):
+        src = PatchBatchSource(
+            wsi_path=None, patch_path=URIPath(str(h5)), use_hdf5_images=True,
+            batch_size=5, num_threads=2, host_resize=host_resize,
+        )
+        batch = next(iter(src))
+        src.close()
+        return batch
+
+    resized = one_batch((64, 64))
+    assert resized.images.shape == (5, 64, 64, 3)
+    want = np.stack(
+        [np.asarray(Image.fromarray(im).resize((64, 64), Image.BILINEAR)) for im in imgs]
+    )
+    np.testing.assert_array_equal(resized.images, want)
+
+    full = one_batch((128, 128))  # upscale request: ignored
+    assert full.images.shape == (5, 96, 96, 3)
+
+    d = tmp_path / "model"
+    cfg, weights = make_random_local_model(
+        "resnet34", 2, d, patch_size_pixels=96, resize_size=64
+    )
+    engine = ClassifierEngine(load_local_model(cfg, weights), max_devices=1)
+    p_device = engine.run_batch(full.images, 5)   # device does the 96 -> 64 resize
+    p_host = engine.run_batch(resized.images, 5)  # resize already done on host
+    np.testing.assert_array_equal(p_device, p_host)
+
+
 def test_stain_normalization_end_to_end(tmp_path, patched_results, purple_slide):
     """Macenko estimation from a shuffled sample batch + on-device
     normalization inside the jitted step (reference: run_inference.py:232-266)."""

@@ -77,6 +77,7 @@ class PatchBatchSource:
         prefetch: int = 2,
         shuffle_seed: int | None = None,
         order_by_y: bool = False,
+        host_resize: tuple[int, int] | None = None,
     ):
         self.patch_path = patch_path
         self.wsi_path = wsi_path
@@ -96,6 +97,19 @@ class PatchBatchSource:
         elif order_by_y:
             # banded/streaming consumers need patches in slide-row order
             self._order = np.lexsort((self.coords[:, 0], self.coords[:, 1]))
+
+        # Optional decode-thread resize (PIL bilinear — the reference's own
+        # CPU transform, torchvision Resize on PIL images). Only applied when
+        # it SHRINKS the patch: the point is to cut host->device bytes on
+        # hosts with a thin transfer link (WSINSIGHT_HOST_RESIZE=1); an
+        # upscale would inflate them. The device's bit-exact fixed-point
+        # resize (ops/preprocess.py) reproduces PIL exactly, so moving the
+        # resize here changes WHERE the work runs, not the numbers.
+        self._host_resize: tuple[int, int] | None = None
+        if host_resize is not None:
+            oh, ow = int(host_resize[0]), int(host_resize[1])
+            if oh * ow < int(self.patch_size) ** 2:
+                self._host_resize = (oh, ow)
 
         self._use_hdf5_images = use_hdf5_images
         self._h5: h5py.File | None = None
@@ -135,19 +149,35 @@ class PatchBatchSource:
                 arr = self._images[idx]
             if arr.shape[0] == 3 and arr.shape[-1] != 3:
                 arr = np.transpose(arr, (1, 2, 0))
-            return np.ascontiguousarray(arr[:, :, :3], dtype=np.uint8)
+            arr = np.ascontiguousarray(arr[:, :, :3], dtype=np.uint8)
+            return self._maybe_resize(arr)
         minx, miny, w, h = self.coords[idx]
         fast = getattr(self._slide, "read_region_array", None)
         if fast is not None:
-            return fast((int(minx), int(miny)), 0, (int(w), int(h)))
+            return self._maybe_resize(fast((int(minx), int(miny)), 0, (int(w), int(h))))
         region = self._slide.read_region(
             location=(int(minx), int(miny)), level=0, size=(int(w), int(h))
         )
-        return np.asarray(region.convert("RGB"), dtype=np.uint8)
+        return self._maybe_resize(np.asarray(region.convert("RGB"), dtype=np.uint8))
+
+    def _maybe_resize(self, arr: np.ndarray) -> np.ndarray:
+        if self._host_resize is None:
+            return arr
+        from PIL import Image
+
+        oh, ow = self._host_resize
+        return np.asarray(Image.fromarray(arr).resize((ow, oh), Image.BILINEAR))
+
+    @property
+    def image_hw(self) -> tuple[int, int]:
+        """(H, W) of the images this source yields (post host-resize)."""
+        if self._host_resize is not None:
+            return self._host_resize
+        return (self.patch_size, self.patch_size)
 
     def _make_batch(self, pool: ThreadPoolExecutor, indices: np.ndarray) -> Batch:
-        p = self.patch_size
-        images = np.zeros((self.batch_size, p, p, 3), np.uint8)
+        ih, iw = self.image_hw
+        images = np.zeros((self.batch_size, ih, iw, 3), np.uint8)
         for slot, arr in zip(range(len(indices)), pool.map(self._fetch_one, indices)):
             images[slot] = arr
         coords = np.zeros((self.batch_size, 4), np.int64)

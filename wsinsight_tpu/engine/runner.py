@@ -424,6 +424,20 @@ def run_inference(
                     # Same compiled step across slides; only the Macenko
                     # matrices (runtime args) change per slide.
                     engine.set_stains(w_est, w_def)
+                # WSINSIGHT_HOST_RESIZE=1 moves the (downscaling) resize into
+                # the decode threads — the reference's own CPU placement — to
+                # cut host->device bytes on hosts with a thin transfer link.
+                # The device's fixed-point resize is bit-exact PIL, so the
+                # probabilities are unchanged. Skipped under stain
+                # normalization, which must see the un-resized patch first
+                # (reference order: decode -> stain -> transform).
+                host_resize = None
+                if (
+                    os.getenv("WSINSIGHT_HOST_RESIZE", "0") not in ("0", "")
+                    and not stain_normalization
+                    and engine.spec.size is not None
+                ):
+                    host_resize = engine.spec.size
                 try:
                     src = PatchBatchSource(
                         wsi_path=wsi_path,
@@ -431,6 +445,7 @@ def run_inference(
                         use_hdf5_images=use_hdf5_images,
                         batch_size=engine.pad_batch(batch_size),
                         num_threads=num_workers or 4,
+                        host_resize=host_resize,
                     )
                 except Exception as err:
                     logger.error(f"could not open patches for {wsi_path}", exc_info=err)
