@@ -214,6 +214,86 @@ def test_cellvit_end_to_end(tmp_path):
             )
 
 
+def test_streaming_engine_dispatch_end_to_end(tmp_path, monkeypatch):
+    """WSINSIGHT_STREAM_CELLS=1 routes run_cell_inference through the banded
+    streaming engine (engine/stream_cells.py) and produces the same instances
+    as the classic host-canvas path on the same slide."""
+    from wsinsight_tpu.engine.cells import CellEngine, run_cell_inference
+    from wsinsight_tpu.patchlib import segment_and_patch_one_slide
+    from wsinsight_tpu.uri_path import URIPath
+    from wsinsight_tpu.wsi.tiff import write_pyramidal_tiff
+    from wsinsight_tpu.zoo import load_local_model, make_random_local_model
+
+    img = np.zeros((512, 512, 3), np.uint8)
+    img[..., 0] = 160
+    img[..., 2] = 140
+    slide = tmp_path / "mini.tif"
+    write_pyramidal_tiff(str(slide), img, tile=(256, 256), compression="deflate", mpp=0.25)
+
+    cfg, weights = make_random_local_model(
+        "cellvit-256", 3, tmp_path / "m",
+        class_names=["Background", "TypeA", "TypeB"],
+        patch_size_pixels=256, spacing_um_px=0.25,
+    )
+    from wsinsight_tpu.models.convert import load_flax_params, save_flax_params
+
+    params = load_flax_params(weights)
+    head = params["nuclei_binary_map_decoder"]["decoder0_header.2"]
+    head["bias"] = np.asarray(head["bias"]) + np.array([-3.0, 3.0], np.float32)
+    hv_head = params["hv_map_decoder"]["decoder0_header.2"]
+    hv_head["kernel"] = np.zeros_like(np.asarray(hv_head["kernel"]))
+    hv_head["bias"] = np.zeros_like(np.asarray(hv_head["bias"]))
+    save_flax_params(params, weights)
+    model = load_local_model(cfg, weights)
+
+    results = tmp_path / "results"
+    segment_and_patch_one_slide(
+        slide_path=URIPath(str(slide)),
+        save_dir=URIPath(str(results)),
+        qupath_detection_dir=None,
+        qupath_geojson_detection_dir=None,
+        qupath_geojson_annotation_dir=None,
+        patch_size_px=256,
+        patch_spacing_um_px=0.25,
+        halo_size_px=46,
+        object_based=True,
+        object_detection="end2end",
+    )
+
+    engine = CellEngine(model, max_devices=1)
+    kw = dict(
+        wsi_path=URIPath(str(slide)),
+        patch_path=URIPath(str(results / "patches" / "mini.h5")),
+        use_hdf5_images=False,
+        slide_width=512,
+        slide_height=512,
+        mpp=0.25,
+        halo_size_px=46,
+        batch_size=4,
+        num_workers=2,
+        stitch_workers=2,
+    )
+    monkeypatch.delenv("WSINSIGHT_STREAM_CELLS", raising=False)
+    classic = run_cell_inference(engine, **kw)
+    # the dispatch must actually take the streaming path for this geometry
+    from wsinsight_tpu.engine.stream_cells import streaming_fits
+
+    assert streaming_fits(512, 3, 164)
+    monkeypatch.setenv("WSINSIGHT_STREAM_CELLS", "1")
+    streaming = run_cell_inference(engine, **kw)
+
+    # Same instances (band vs tile processing orders differ; sort by position)
+    ci, cp, _ = classic
+    si, sp, spoly = streaming
+    assert len(si) == len(ci)
+    assert len(spoly) == len(si)
+    co = np.lexsort((ci[:, 0], ci[:, 1]))
+    so = np.lexsort((si[:, 0], si[:, 1]))
+    np.testing.assert_array_equal(si[so], ci[co])
+    # classic quantizes transfers (uint8 default), streaming keeps bf16 maps
+    np.testing.assert_allclose(sp[so], cp[co], atol=0.02)
+
+
 def test_bf16_transfer_matches_f32_instances():
     """bfloat16 map transfer (the default) produces the same instances and
     near-identical class probabilities as float32 transfer."""
