@@ -214,29 +214,29 @@ def test_cellvit_end_to_end(tmp_path):
             )
 
 
-def test_streaming_engine_dispatch_end_to_end(tmp_path, monkeypatch):
-    """WSINSIGHT_STREAM_CELLS=1 routes run_cell_inference through the banded
-    streaming engine (engine/stream_cells.py) and produces the same instances
-    as the classic host-canvas path on the same slide."""
-    from wsinsight_tpu.engine.cells import CellEngine, run_cell_inference
+@pytest.fixture(scope="module")
+def cell_setup(tmp_path_factory):
+    """512^2 slide + biased random-weight CellViT-256 + planned halo grid."""
+    from wsinsight_tpu.models.convert import load_flax_params, save_flax_params
     from wsinsight_tpu.patchlib import segment_and_patch_one_slide
     from wsinsight_tpu.uri_path import URIPath
     from wsinsight_tpu.wsi.tiff import write_pyramidal_tiff
     from wsinsight_tpu.zoo import load_local_model, make_random_local_model
 
+    d = tmp_path_factory.mktemp("cell_e2e")
     img = np.zeros((512, 512, 3), np.uint8)
     img[..., 0] = 160
     img[..., 2] = 140
-    slide = tmp_path / "mini.tif"
+    slide = d / "mini.tif"
     write_pyramidal_tiff(str(slide), img, tile=(256, 256), compression="deflate", mpp=0.25)
 
     cfg, weights = make_random_local_model(
-        "cellvit-256", 3, tmp_path / "m",
+        "cellvit-256", 3, d / "m",
         class_names=["Background", "TypeA", "TypeB"],
         patch_size_pixels=256, spacing_um_px=0.25,
     )
-    from wsinsight_tpu.models.convert import load_flax_params, save_flax_params
-
+    # Bias the NP head so the random-weight model detects foreground; zero the
+    # HV head so random gradients don't shred the watershed markers.
     params = load_flax_params(weights)
     head = params["nuclei_binary_map_decoder"]["decoder0_header.2"]
     head["bias"] = np.asarray(head["bias"]) + np.array([-3.0, 3.0], np.float32)
@@ -246,7 +246,7 @@ def test_streaming_engine_dispatch_end_to_end(tmp_path, monkeypatch):
     save_flax_params(params, weights)
     model = load_local_model(cfg, weights)
 
-    results = tmp_path / "results"
+    results = d / "results"
     segment_and_patch_one_slide(
         slide_path=URIPath(str(slide)),
         save_dir=URIPath(str(results)),
@@ -259,8 +259,12 @@ def test_streaming_engine_dispatch_end_to_end(tmp_path, monkeypatch):
         object_based=True,
         object_detection="end2end",
     )
+    return slide, model, results
 
-    engine = CellEngine(model, max_devices=1)
+
+def _cell_kw(slide, results, **over):
+    from wsinsight_tpu.uri_path import URIPath
+
     kw = dict(
         wsi_path=URIPath(str(slide)),
         patch_path=URIPath(str(results / "patches" / "mini.h5")),
@@ -273,6 +277,19 @@ def test_streaming_engine_dispatch_end_to_end(tmp_path, monkeypatch):
         num_workers=2,
         stitch_workers=2,
     )
+    kw.update(over)
+    return kw
+
+
+def test_streaming_engine_dispatch_end_to_end(cell_setup, monkeypatch):
+    """WSINSIGHT_STREAM_CELLS=1 routes run_cell_inference through the banded
+    streaming engine (engine/stream_cells.py) and produces the same instances
+    as the classic host-canvas path on the same slide."""
+    from wsinsight_tpu.engine.cells import CellEngine, run_cell_inference
+
+    slide, model, results = cell_setup
+    engine = CellEngine(model, max_devices=1)
+    kw = _cell_kw(slide, results)
     monkeypatch.delenv("WSINSIGHT_STREAM_CELLS", raising=False)
     classic = run_cell_inference(engine, **kw)
     # the dispatch must actually take the streaming path for this geometry
@@ -292,6 +309,27 @@ def test_streaming_engine_dispatch_end_to_end(tmp_path, monkeypatch):
     np.testing.assert_array_equal(si[so], ci[co])
     # classic quantizes transfers (uint8 default), streaming keeps bf16 maps
     np.testing.assert_allclose(sp[so], cp[co], atol=0.02)
+
+
+def test_cell_shard_invariance(cell_setup):
+    """Same instances and class probabilities whether the CellViT batch
+    shards over 1 or 8 CPU devices (the engine's production mesh layout)."""
+    from wsinsight_tpu.engine.cells import CellEngine, run_cell_inference
+
+    slide, model, results = cell_setup
+    out = {}
+    for ndev in (1, 8):
+        engine = CellEngine(model, max_devices=ndev)
+        assert engine.n_devices == ndev
+        out[ndev] = run_cell_inference(engine, **_cell_kw(slide, results))
+    i1, p1, poly1 = out[1]
+    i8, p8, poly8 = out[8]
+    assert len(i8) == len(i1)
+    assert len(poly8) == len(poly1)
+    o1 = np.lexsort((i1[:, 0], i1[:, 1]))
+    o8 = np.lexsort((i8[:, 0], i8[:, 1]))
+    np.testing.assert_array_equal(i8[o8], i1[o1])
+    np.testing.assert_allclose(p8[o8], p1[o1], atol=1e-5)
 
 
 def test_bf16_transfer_matches_f32_instances():
