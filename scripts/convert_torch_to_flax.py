@@ -116,7 +116,13 @@ def main() -> None:
     print("torch-vs-flax parity on a random batch:")
     if isinstance(flax_out, dict):
         if isinstance(torch_out, (list, tuple)):
-            torch_out = dict(zip(sorted(flax_out), torch_out))
+            # A tuple-returning TorchScript graph carries no head names; pair
+            # positionally with the flax module's forward-return order (its
+            # dict insertion order), NOT alphabetically — e.g. CellViT returns
+            # (nuclei_binary_map, hv_map, nuclei_type_map, tissue_types).
+            heads = list(flax_out)
+            print(f"  (torch tuple output paired positionally as: {heads})")
+            torch_out = dict(zip(heads, torch_out))
         for key in flax_out:
             if isinstance(torch_out, dict) and key in torch_out:
                 _report(key, flax_out[key], torch_out[key])

@@ -541,3 +541,50 @@ def test_halo_aware_subgraph_sampler():
     interior_nodes = np.flatnonzero(lm > 0)
     border_nodes = np.flatnonzero((g.node_mask > 0) & (lm == 0))
     assert deg[interior_nodes].mean() > deg[border_nodes].mean()
+
+
+def test_subgraph_sampler_masks_edge_subsampled_nodes():
+    """Nodes whose incident edges were dropped by the max_edges subsample are
+    excluded from the DGI loss: every loss-masked node keeps its FULL original
+    degree inside the sample."""
+    from wsinsight_tpu.insightlib.gnn import sample_subgraph
+
+    n_side = 24
+    n = n_side * n_side
+    idx = np.arange(n).reshape(n_side, n_side)
+    pairs = np.concatenate(
+        [
+            np.stack([idx[:, :-1].ravel(), idx[:, 1:].ravel()], 1),
+            np.stack([idx[:-1, :].ravel(), idx[1:, :].ravel()], 1),
+        ]
+    )
+    edge_index = np.concatenate([pairs, pairs[:, ::-1]]).T.astype(np.int64)
+    x = np.random.default_rng(0).random((n, 5)).astype(np.float32)
+
+    # force the edge subsample: a 256-node grid ball induces ~900+ directed
+    # edges, so max_edges=600 drops a third of them
+    g = sample_subgraph(
+        x, edge_index, max_nodes=257, max_edges=600, rng=np.random.default_rng(3)
+    )
+    assert int(g.edge_mask.sum()) == 600
+
+    orig_deg = np.zeros(n, np.int64)
+    np.add.at(orig_deg, edge_index[0], 1)
+
+    # recover the selected-node original ids by matching features
+    sel_rows = np.flatnonzero(g.node_mask > 0)
+    feat_to_orig = {x[i].tobytes(): i for i in range(n)}
+    local_to_orig = {
+        int(r): feat_to_orig[g.x[r].tobytes()] for r in sel_rows
+    }
+
+    src = g.edges[0]
+    kept_deg = np.zeros(len(g.node_mask), np.int64)
+    np.add.at(kept_deg, src[g.edge_mask > 0], 1)
+
+    loss_nodes = np.flatnonzero(g.loss_mask > 0)
+    assert loss_nodes.size > 0
+    for r in loss_nodes:
+        assert kept_deg[r] == orig_deg[local_to_orig[int(r)]], (
+            f"loss-masked local node {r} lost incident edges"
+        )

@@ -51,11 +51,26 @@ def test_gdc_token_validated_eagerly(monkeypatch, tmp_path):
     import requests
 
     monkeypatch.setattr(requests, "head", fake_head)
-    with pytest.raises(RuntimeError, match="credential"):
+    with pytest.raises(RuntimeError, match="rejected"):
         URIPath(f"gdc-manifest://{manifest}")
     assert calls and calls[0][1]["X-Auth-Token"] == "bad-token"
 
+    # Non-auth 4xx (endpoint quirk, e.g. bare /data/ needing a UUID) must NOT
+    # kill the run — only 401/403 prove the token itself is bad.
+    _Resp.status_code = 400
+    URIPath(f"gdc-manifest://{manifest}")
+
+    # Unreachable API proves nothing about the token: warn and continue.
+    def down_head(url, headers=None, timeout=None):
+        raise ConnectionError("network down")
+
+    monkeypatch.setattr(requests, "head", down_head)
+    monkeypatch.setattr(up, "_CREDENTIALS_OK", set())
+    URIPath(f"gdc-manifest://{manifest}")
+
     # Good token: validated once, memoised across joins.
+    monkeypatch.setattr(requests, "head", fake_head)
+    monkeypatch.setattr(up, "_CREDENTIALS_OK", set())
     _Resp.status_code = 200
     p = URIPath(f"gdc-manifest://{manifest}")
     n_after_first = len(calls)

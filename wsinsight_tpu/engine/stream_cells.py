@@ -85,10 +85,22 @@ class BandedCellStitcher:
         self.buf_w = self.w + 2 * s
 
         self._bands: dict[int, tuple] = {}  # band index -> (np, hv, tp) device bufs
-        self._results: list[tuple] = []
-        self._next_id = 1
+        # band index -> [(box, mean, poly), ...]; filled by the flusher thread
+        self._band_results: dict[int, list] = {}
         self._jax = jax
         self._jnp = jnp
+        # One background flusher overlaps the sequential host tail (threshold,
+        # seeds, watershed, contours) with the main thread's forward/scatter
+        # dispatch — without it every band flush stalls the device. A single
+        # worker keeps per-band device traffic serialized and results
+        # deterministic (bands are merged in index order at finalize).
+        import queue
+        import threading
+
+        self._flush_q: "queue.Queue[tuple[int, tuple] | None]" = queue.Queue(maxsize=2)
+        self._flush_err: list[BaseException] = []
+        self._flusher = threading.Thread(target=self._flush_worker, daemon=True)
+        self._flusher.start()
         self._build_kernels()
 
     # -- devices kernels ----------------------------------------------------
@@ -136,38 +148,19 @@ class BandedCellStitcher:
 
         self._scatter = jax.jit(scatter, donate_argnums=(0, 1, 2))
 
-        # per-window energy + NP fetch (window shape is static per jit cache)
-        from ..ops.hv_device import _sobel_taps
+        # per-window energy + NP fetch (window shape is static per jit cache);
+        # the energy math is the shared numerically-pinned core so the
+        # streaming and classic device-ridge paths cannot drift apart.
+        from ..ops.hv_device import make_energy_core
 
-        deriv, smooth = _sobel_taps(21)
+        energy_core = make_energy_core(21)
 
         def window_stage(np_b, hv_b, r0, c0, wh, ww):
             np_win = jax.lax.dynamic_slice(np_b, (r0, c0), (wh, ww)).astype(jnp.float32)
             hv_win = jax.lax.dynamic_slice(hv_b, (r0, c0, 0), (wh, ww, 2)).astype(
                 jnp.float32
             )
-
-            def unit(x):
-                lo, hi = x.min(), x.max()
-                span = hi - lo
-                return jnp.where(span > 0, (x - lo) / jnp.where(span > 0, span, 1.0), 0.0)
-
-            def conv1d(x, taps, axis):
-                half = len(taps) // 2
-                pad = [(0, 0), (0, 0)]
-                pad[axis] = (half, half)
-                x = jnp.pad(x, pad, mode="reflect")
-                kern = jnp.asarray(taps, jnp.float32)
-                kern = kern.reshape(1, 1, 1, -1) if axis == 1 else kern.reshape(1, 1, -1, 1)
-                y = jax.lax.conv_general_dilated(
-                    x[None, None], kern, (1, 1), "VALID",
-                    dimension_numbers=("NCHW", "OIHW", "NCHW"),
-                )
-                return y[0, 0]
-
-            gh = conv1d(conv1d(unit(hv_win[..., 0]), deriv, 1), smooth, 0)
-            gv = conv1d(conv1d(unit(hv_win[..., 1]), smooth, 1), deriv, 0)
-            energy = jnp.maximum(1.0 - unit(gh), 1.0 - unit(gv))
+            energy = energy_core(hv_win)
             np_u8 = jnp.round(np_win * 255.0).astype(jnp.uint8)
             return np_u8, energy
 
@@ -259,14 +252,31 @@ class BandedCellStitcher:
             bufs = self._get_band(b)
             self._bands[b] = self._scatter(*bufs, *maps, rows, cols, valid)
 
-        # flush bands the sorted stream has fully passed
+        # hand bands the sorted stream has fully passed to the flusher thread
         for b in sorted(self._bands):
             if self._buffer_top(b) + self.buf_h <= max_y:
-                self._flush_band(b)
+                self._enqueue_flush(b)
 
     # -- streaming finalize ---------------------------------------------------
-    def _flush_band(self, b: int) -> None:
-        np_b, hv_b, tp_b = self._bands.pop(b)
+    def _enqueue_flush(self, b: int) -> None:
+        if self._flush_err:
+            raise self._flush_err[0]
+        self._flush_q.put((b, self._bands.pop(b)))
+
+    def _flush_worker(self) -> None:
+        while True:
+            job = self._flush_q.get()
+            try:
+                if job is None:
+                    return
+                self._flush_band(*job)
+            except BaseException as e:  # surfaced on the main thread
+                self._flush_err.append(e)
+            finally:
+                self._flush_q.task_done()
+
+    def _flush_band(self, b: int, bufs: tuple) -> None:
+        np_b, hv_b, tp_b = bufs
         jnp = self._jnp
         y0 = self._band_origin(b)
         y1 = min(y0 + self.band_h, self.h)
@@ -328,8 +338,9 @@ class BandedCellStitcher:
         counts[counts == 0] = 1.0
         means = (sums / counts[:, None]).astype(np.float32)
 
+        out = self._band_results.setdefault(b, [])
         for local_id, box, poly in band_records:
-            self._results.append(
+            out.append(
                 (
                     np.array([box[0], box[1], box[2], box[3]], np.int32).reshape(1, -1),
                     means[local_id - 1].reshape(1, -1),
@@ -339,14 +350,21 @@ class BandedCellStitcher:
 
     def finalize(self) -> tuple[List[np.ndarray], List[np.ndarray], List[np.ndarray]]:
         for b in sorted(self._bands):
-            self._flush_band(b)
-        if not self._results:
+            self._enqueue_flush(b)
+        self._flush_q.join()
+        if self._flush_err:
+            raise self._flush_err[0]
+        results = [r for b in sorted(self._band_results) for r in self._band_results[b]]
+        if not results:
             return [], [], []
-        inst, probs, polys = zip(*self._results)
+        inst, probs, polys = zip(*results)
         return list(inst), list(probs), list(polys)
 
     def close(self) -> None:
         self._bands.clear()
+        if self._flusher.is_alive():
+            self._flush_q.put(None)
+            self._flusher.join(timeout=30)
 
 
 def run_streaming_cell_inference(

@@ -342,6 +342,12 @@ def _leiden_partition(
     family the reference gets from igraph/leidenalg, reference:
     cme_generation.py:812-826); falls back to networkx Louvain when the
     native library is unavailable (different algorithm, logged).
+
+    Both paths deliberately report STANDARD (gamma=1) modularity regardless
+    of the optimisation resolution: the reference ranks resolutions by
+    leidenalg's ``part.modularity`` (cme_generation.py:826), which is the
+    gamma=1 modularity of the final partition, not the RB quality at gamma.
+    A common gamma keeps the cross-resolution ranking comparable.
     """
     from ..native import leiden_native
 

@@ -95,7 +95,7 @@ def hoptimus_extractor(batch_size: int = 128, device: str | None = None) -> Feat
     """
     import timm  # noqa: F401  (gated import; not bundled in all environments)
     import torch
-    from timm.data import create_transform
+    from timm.data import create_transform, resolve_data_config
 
     dev = device or ("cuda" if torch.cuda.is_available() else "cpu")
     model = (
@@ -103,7 +103,11 @@ def hoptimus_extractor(batch_size: int = 128, device: str | None = None) -> Feat
         .to(dev)
         .eval()
     )
-    pre = create_transform(**model.pretrained_cfg, is_training=False)
+    # pretrained_cfg carries hub metadata (url, hf_hub_id, ...) that
+    # create_transform does not accept; resolve_data_config filters it down
+    # to the input/normalisation keys the transform factory understands.
+    data_cfg = resolve_data_config(model=model)
+    pre = create_transform(**data_cfg, is_training=False)
 
     def extract(images_u8: np.ndarray) -> np.ndarray:
         from PIL import Image

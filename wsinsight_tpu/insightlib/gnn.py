@@ -200,8 +200,14 @@ def sample_subgraph(
     remap[selected] = np.arange(len(selected))
     keep = (remap[src] >= 0) & (remap[dst] >= 0)
     sub_edges = np.stack([remap[src[keep]], remap[dst[keep]]])
+    truncated_local = np.empty(0, np.int64)
     if sub_edges.shape[1] > max_edges:
         sel = rng.choice(sub_edges.shape[1], size=max_edges, replace=False)
+        dropped = np.ones(sub_edges.shape[1], bool)
+        dropped[sel] = False
+        # endpoints of subsampled-out edges also have clipped receptive
+        # fields — exclude them from the loss like boundary nodes
+        truncated_local = np.unique(sub_edges[:, dropped])
         sub_edges = sub_edges[:, sel]
 
     # interior = selected nodes with no lost neighbours (full receptive field)
@@ -209,6 +215,8 @@ def sample_subgraph(
     cut = (remap[src] >= 0) & (remap[dst] < 0)
     np.add.at(lost, src[cut], 1)
     interior = lost[selected] == 0
+    if truncated_local.size:
+        interior[truncated_local] = False
 
     g = pad_graph(x[selected], sub_edges, max_nodes, max_edges)
     lm = np.zeros_like(g.node_mask)

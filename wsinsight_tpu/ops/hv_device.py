@@ -40,8 +40,13 @@ def _sobel_taps(ksize: int = 21) -> tuple[np.ndarray, np.ndarray]:
         return deriv[:ksize], smooth
 
 
-def make_energy_fn(ksize: int = 21):
-    """Jitted (B, H, W, 2) HV -> (B, H, W) raw separation energy."""
+def make_energy_core(ksize: int = 21):
+    """Pure single-image (H, W, 2) HV -> (H, W) raw separation energy.
+
+    Traceable, so it composes inside other jitted programs (the streaming
+    band engine slices a window on device and applies this core in the same
+    kernel). The batched public entry point is ``make_energy_fn``.
+    """
     import jax
     import jax.numpy as jnp
 
@@ -49,27 +54,23 @@ def make_energy_fn(ksize: int = 21):
     half = ksize // 2
 
     def _conv1d(x, taps, axis):
-        # x: (B, H, W); correlate along `axis` with REFLECT_101 border
-        pad = [(0, 0), (0, 0), (0, 0)]
+        # x: (H, W); correlate along `axis` with REFLECT_101 border
+        pad = [(0, 0), (0, 0)]
         pad[axis] = (half, half)
         x = jnp.pad(x, pad, mode="reflect")
         k = jnp.asarray(taps, jnp.float32)
-        if axis == 2:
-            kernel = k.reshape(1, 1, 1, ksize)
-        else:
-            kernel = k.reshape(1, 1, ksize, 1)
+        kernel = k.reshape(1, 1, 1, ksize) if axis == 1 else k.reshape(1, 1, ksize, 1)
         y = jax.lax.conv_general_dilated(
-            x[:, None, :, :],
+            x[None, None],
             kernel,
             window_strides=(1, 1),
             padding="VALID",
             dimension_numbers=("NCHW", "OIHW", "NCHW"),
         )
-        return y[:, 0]
+        return y[0, 0]
 
     def _unit(x):
-        lo = x.min(axis=(1, 2), keepdims=True)
-        hi = x.max(axis=(1, 2), keepdims=True)
+        lo, hi = x.min(), x.max()
         span = hi - lo
         return jnp.where(span > 0, (x - lo) / jnp.where(span > 0, span, 1.0), 0.0)
 
@@ -78,11 +79,18 @@ def make_energy_fn(ksize: int = 21):
         h_dir = _unit(hv[..., 0])
         v_dir = _unit(hv[..., 1])
         # cv2.Sobel(dx=1): derivative along x (columns), smoothing along y
-        grad_h = _conv1d(_conv1d(h_dir, deriv, axis=2), smooth, axis=1)
-        grad_v = _conv1d(_conv1d(v_dir, smooth, axis=2), deriv, axis=1)
+        grad_h = _conv1d(_conv1d(h_dir, deriv, axis=1), smooth, axis=0)
+        grad_v = _conv1d(_conv1d(v_dir, smooth, axis=1), deriv, axis=0)
         return jnp.maximum(1.0 - _unit(grad_h), 1.0 - _unit(grad_v))
 
-    return jax.jit(energy)
+    return energy
+
+
+def make_energy_fn(ksize: int = 21):
+    """Jitted (B, H, W, 2) HV -> (B, H, W) raw separation energy."""
+    import jax
+
+    return jax.jit(jax.vmap(make_energy_core(ksize)))
 
 
 _ENERGY_FN = None

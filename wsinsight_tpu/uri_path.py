@@ -86,10 +86,14 @@ def _check_credentials(scheme: str, storage_options: dict, uri: str) -> None:
                 headers={"X-Auth-Token": token, "Accept": "application/octet-stream"},
                 timeout=8,
             )
-            if resp.status_code >= 400:
-                raise RuntimeError(f"GDC token rejected (status {resp.status_code})")
         except Exception as e:
-            raise RuntimeError(f"GDC credential check failed: {e!r}") from e
+            # Unreachable API proves nothing about the token; the download
+            # path retries with backoff and raises descriptively if it is a
+            # real outage. Only a definitive auth rejection is fatal here.
+            logger.warning(f"GDC credential pre-check skipped (API unreachable: {e!r})")
+            return
+        if resp.status_code in (401, 403):
+            raise RuntimeError(f"GDC token rejected (status {resp.status_code})")
         _CREDENTIALS_OK.add(key)
         return
 

@@ -155,14 +155,11 @@ class ModelHandle:
         model = create_model(self.config.architecture, self.config.num_classes)
         if hasattr(model, "halo_size") and self.config.halo_size_pixels is not None:
             model = model.clone(halo_size=self.config.halo_size_pixels)
-        p = self.config.patch_size_pixels
+        from ..ops.preprocess import TransformSpec
+
         # transform may resize; the template shape must match the model input
-        for t in self.config.transform or []:
-            name = t["name"] if isinstance(t, dict) else t.name
-            if name == "Resize":
-                args = (t.get("arguments") if isinstance(t, dict) else t.arguments) or {}
-                s = args.get("size")
-                p = s if isinstance(s, int) else int(s[0])
+        resize = TransformSpec.from_config(self.config.transform).size
+        p = int(resize[0]) if resize is not None else self.config.patch_size_pixels
         with jax.default_device(jax.devices("cpu")[0]):
             return model.init(
                 jax.random.PRNGKey(0), jnp.zeros((1, p, p, 3), jnp.float32)
