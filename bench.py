@@ -451,9 +451,21 @@ def main() -> None:
 
     headline = bench_resnet_device(fast)
 
+    def bench_sam_h(fast: bool) -> dict:
+        # BASELINE.md names CellViT-SAM-H explicitly; the 660M-param build +
+        # compile is too slow for CI smoke runs, so real runs only.
+        if fast:
+            raise RuntimeError("skipped in fast mode")
+        return bench_cellvit_cells(fast, variant="cellvit-sam-h")
+
     aux = []
     if run_aux:
-        for fn in (bench_e2e_input_pipeline, bench_cellvit_cells, bench_streaming_cells):
+        for fn in (
+            bench_e2e_input_pipeline,
+            bench_cellvit_cells,
+            bench_streaming_cells,
+            bench_sam_h,
+        ):
             try:
                 result = fn(fast)
                 aux.append(result)

@@ -290,13 +290,13 @@ def test_streaming_engine_dispatch_end_to_end(cell_setup, monkeypatch):
     slide, model, results = cell_setup
     engine = CellEngine(model, max_devices=1)
     kw = _cell_kw(slide, results)
-    monkeypatch.delenv("WSINSIGHT_STREAM_CELLS", raising=False)
+    monkeypatch.setenv("WSINSIGHT_STREAM_CELLS", "0")  # force classic
     classic = run_cell_inference(engine, **kw)
     # the dispatch must actually take the streaming path for this geometry
     from wsinsight_tpu.engine.stream_cells import streaming_fits
 
     assert streaming_fits(512, 3, 164)
-    monkeypatch.setenv("WSINSIGHT_STREAM_CELLS", "1")
+    monkeypatch.delenv("WSINSIGHT_STREAM_CELLS", raising=False)  # default: streaming
     streaming = run_cell_inference(engine, **kw)
 
     # Same instances (band vs tile processing orders differ; sort by position)

@@ -123,7 +123,12 @@ def run_cell_inference(
     slide_patch_size = int(round(model_output_size_px * cfg.spacing_um_px / mpp))
     slide_halo_size = int(round(halo_size_px * cfg.spacing_um_px / mpp))
 
-    if os.getenv("WSINSIGHT_STREAM_CELLS", "0") not in ("0", ""):
+    # Banded streaming is the default cell engine: maps stay HBM-resident and
+    # the host tail overlaps the forward stream (measured faster than the
+    # host-canvas path on the bench host). WSINSIGHT_STREAM_CELLS=0 forces
+    # the classic path; slides whose bands exceed the HBM budget fall back
+    # automatically.
+    if os.getenv("WSINSIGHT_STREAM_CELLS", "1") not in ("0", ""):
         from .stream_cells import run_streaming_cell_inference, streaming_fits
 
         if streaming_fits(slide_width, cfg.num_classes, slide_patch_size):
