@@ -487,3 +487,60 @@ def test_streaming_banded_stitcher_matches_classic(monkeypatch):
     )
     for a, b in zip(c_order, s_order):
         np.testing.assert_array_equal(cpoly[a], spoly[b])
+
+
+def test_streaming_flusher_error_surfaces_on_main_thread():
+    """An exception in the background band flusher (e.g. the per-band
+    instance cap) is re-raised to the caller, not swallowed."""
+    from wsinsight_tpu.engine.stream_cells import BandedCellStitcher
+
+    st = BandedCellStitcher(
+        n_classes=3, slide_width=256, slide_height=256, slide_patch_size=64,
+        slide_halo_size=0, slide_mpp=0.25, model_mpp=0.25,
+        tile_size=128, padding_size=32,
+    )
+    try:
+        boom = RuntimeError("flush boom")
+
+        def bad_flush(b, bufs):
+            raise boom
+
+        st._flush_band = bad_flush
+        s, k, eps = 64, 3, 1e-4
+        np_map = np.ones((s, s), np.float32) * 0.9
+        pred = {
+            "np": np.stack([np.log1p(-np_map + eps), np.log(np_map + eps)])[None],
+            "hv": np.zeros((1, 2, s, s), np.float32),
+            "tp": np.log(np.full((1, k, s, s), 1.0 / k, np.float32)),
+        }
+        st.accumulate_batch(pred, np.array([[0, 0, s, s]], np.int64))
+        with pytest.raises(RuntimeError, match="flush boom"):
+            st.finalize()
+    finally:
+        st.close()
+
+
+def test_streaming_capacity_error_falls_back_to_classic(cell_setup, monkeypatch):
+    """When a band exceeds the streaming engine's instance cap, the slide is
+    rerun on the classic host-canvas path instead of failing."""
+    import wsinsight_tpu.engine.stream_cells as sc
+    from wsinsight_tpu.engine.cells import CellEngine, run_cell_inference
+
+    slide, model, results = cell_setup
+    engine = CellEngine(model, max_devices=1)
+    kw = _cell_kw(slide, results)
+
+    monkeypatch.setenv("WSINSIGHT_STREAM_CELLS", "0")
+    classic = run_cell_inference(engine, **kw)
+    assert len(classic[0]) > 0
+
+    monkeypatch.delenv("WSINSIGHT_STREAM_CELLS", raising=False)
+    monkeypatch.setattr(sc, "_MAX_IDS", 2)  # force the cap on any real band
+    out = run_cell_inference(engine, **kw)
+
+    ci, _, _ = classic
+    si, _, spoly = out
+    assert len(si) == len(ci) and len(spoly) == len(si)
+    co = np.lexsort((ci[:, 0], ci[:, 1]))
+    so = np.lexsort((si[:, 0], si[:, 1]))
+    np.testing.assert_array_equal(si[so], ci[co])

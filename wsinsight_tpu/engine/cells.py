@@ -126,27 +126,43 @@ def run_cell_inference(
     # Banded streaming is the default cell engine: maps stay HBM-resident and
     # the host tail overlaps the forward stream (measured faster than the
     # host-canvas path on the bench host). WSINSIGHT_STREAM_CELLS=0 forces
-    # the classic path; slides whose bands exceed the HBM budget fall back
-    # automatically.
+    # the classic path; slides whose bands exceed the HBM budget — or the
+    # engine's per-band instance cap — fall back automatically.
     if os.getenv("WSINSIGHT_STREAM_CELLS", "1") not in ("0", ""):
-        from .stream_cells import run_streaming_cell_inference, streaming_fits
+        from .stream_cells import (
+            StreamingCapacityError,
+            pick_num_flushers,
+            run_streaming_cell_inference,
+            streaming_fits,
+        )
 
-        if streaming_fits(slide_width, cfg.num_classes, slide_patch_size):
-            return run_streaming_cell_inference(
-                engine,
-                wsi_path=wsi_path,
-                patch_path=patch_path,
-                use_hdf5_images=use_hdf5_images,
-                slide_width=slide_width,
-                slide_height=slide_height,
-                mpp=mpp,
-                halo_size_px=halo_size_px,
-                batch_size=batch_size,
-                num_workers=num_workers,
-                min_object_size=min_object_size,
-            )
-        logger.info("banded streaming requested but bands exceed the HBM budget;"
-                    " using the host-canvas path")
+        n_flushers = pick_num_flushers(stitch_workers)
+        if streaming_fits(
+            slide_width, cfg.num_classes, slide_patch_size, num_flushers=n_flushers
+        ):
+            try:
+                return run_streaming_cell_inference(
+                    engine,
+                    wsi_path=wsi_path,
+                    patch_path=patch_path,
+                    use_hdf5_images=use_hdf5_images,
+                    slide_width=slide_width,
+                    slide_height=slide_height,
+                    mpp=mpp,
+                    halo_size_px=halo_size_px,
+                    batch_size=batch_size,
+                    num_workers=num_workers,
+                    min_object_size=min_object_size,
+                    stitch_workers=stitch_workers,
+                )
+            except StreamingCapacityError as err:
+                logger.warning(
+                    f"streaming engine capacity exceeded ({err}); rerunning the"
+                    " slide on the host-canvas path"
+                )
+        else:
+            logger.info("banded streaming requested but bands exceed the HBM"
+                        " budget; using the host-canvas path")
 
     stitcher = TileRemapStitcher(
         n_classes=cfg.num_classes,
@@ -160,37 +176,43 @@ def run_cell_inference(
         transfer_dtype=None,  # bf16 default (see TileRemapStitcher); env-overridable
     )
 
-    src = PatchBatchSource(
-        wsi_path=wsi_path,
-        patch_path=patch_path,
-        use_hdf5_images=use_hdf5_images,
-        batch_size=engine.pad_batch(batch_size),
-        num_threads=num_workers or 4,
-    )
-    with tqdm.tqdm(total=src.num_batches, desc="Inference", position=1, leave=False) as qbar:
-        # One-deep software pipeline: jax dispatch is asynchronous, so the
-        # forward + device post-process of batch i+1 runs on the chip while
-        # batch i's resized maps transfer and scatter into the host canvases.
-        pending = None  # (device maps, coords, n_valid)
-        for batch in src:
-            pred = engine.run_batch(batch.images)
-            # Keep maps on device: the stitcher's jitted half (softmax, resize,
-            # HV scaling) consumes them there; only the resized maps cross to
-            # host, once per batch.
-            pred = {k: v for k, v in pred.items() if k != "tissue_types"}
-            maps = stitcher.device_postprocess(pred)
+    src = None
+    try:
+        src = PatchBatchSource(
+            wsi_path=wsi_path,
+            patch_path=patch_path,
+            use_hdf5_images=use_hdf5_images,
+            batch_size=engine.pad_batch(batch_size),
+            num_threads=num_workers or 4,
+        )
+        with tqdm.tqdm(
+            total=src.num_batches, desc="Inference", position=1, leave=False
+        ) as qbar:
+            # One-deep software pipeline: jax dispatch is asynchronous, so the
+            # forward + device post-process of batch i+1 runs on the chip while
+            # batch i's resized maps transfer and scatter into the host canvases.
+            pending = None  # (device maps, coords, n_valid)
+            for batch in src:
+                pred = engine.run_batch(batch.images)
+                # Keep maps on device: the stitcher's jitted half (softmax,
+                # resize, HV scaling) consumes them there; only the resized
+                # maps cross to host, once per batch.
+                pred = {k: v for k, v in pred.items() if k != "tissue_types"}
+                maps = stitcher.device_postprocess(pred)
+                if pending is not None:
+                    stitcher.scatter(*pending)
+                    qbar.update(1)
+                pending = (maps, batch.coords, batch.n_valid)
             if pending is not None:
                 stitcher.scatter(*pending)
                 qbar.update(1)
-            pending = (maps, batch.coords, batch.n_valid)
-        if pending is not None:
-            stitcher.scatter(*pending)
-            qbar.update(1)
-    src.close()
 
-    with tqdm.tqdm(desc="Stitching", position=1, leave=False) as qbar:
-        inst, probs, polys = stitcher.finalize(pbar=qbar, num_workers=stitch_workers)
-    stitcher.close()
+        with tqdm.tqdm(desc="Stitching", position=1, leave=False) as qbar:
+            inst, probs, polys = stitcher.finalize(pbar=qbar, num_workers=stitch_workers)
+    finally:
+        if src is not None:
+            src.close()
+        stitcher.close()
 
     if not inst:
         return np.zeros((0, 4), np.int32), np.zeros((0, cfg.num_classes), np.float32), []

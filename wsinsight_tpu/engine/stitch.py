@@ -28,6 +28,44 @@ import numpy as np
 from ..ops.hv_postproc import extract_instances
 
 
+def make_map_postprocess(slide_patch_size: int, alpha: float):
+    """Shared device half of the cell map pipeline (traceable core).
+
+    (B,2,h,w) NP logits, (B,2,h,w) HV, (B,K,h,w) TP logits — the model's
+    channel-first output contract (reference: tilefuse.py:222) — to
+    channel-LAST float32 slide-space maps: NP (B,s,s), HV (B,s,s,2) scaled by
+    alpha = model_mpp/slide_mpp, TP (B,s,s,K) renormalised per pixel.
+
+    Both the classic host-canvas stitcher and the banded streaming engine
+    build on this one function, so their numerics cannot drift apart (their
+    parity is asserted in tests/test_cells.py).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    s = slide_patch_size
+
+    def core(np_logits, hv, tp_logits):
+        np_prob = jax.nn.softmax(np_logits, axis=1)[:, 1, :, :]  # (B,h,w)
+        tp_prob = jax.nn.softmax(tp_logits, axis=1)
+
+        def resize(x, ch_shape):
+            # bilinear with half-pixel centers == F.interpolate(align_corners=False)
+            return jax.image.resize(x, ch_shape, method="bilinear")
+
+        b = np_prob.shape[0]
+        k = tp_prob.shape[1]
+        np_res = resize(np_prob, (b, s, s))
+        hv_res = jnp.transpose(resize(hv, (b, 2, s, s)) * alpha, (0, 2, 3, 1))
+        tp_res = resize(tp_prob, (b, k, s, s))
+        tp_res = jnp.transpose(
+            tp_res / (tp_res.sum(axis=1, keepdims=True) + 1e-8), (0, 2, 3, 1)
+        )
+        return np_res, hv_res, tp_res
+
+    return core
+
+
 class TileRemapStitcher:
     """Accumulate per-patch prediction maps into slide canvases, then extract
     nucleus instances tile by tile."""
@@ -107,27 +145,10 @@ class TileRemapStitcher:
         import jax
         import jax.numpy as jnp
 
-        s = self.slide_patch_size
-        alpha = self.alpha
+        core = make_map_postprocess(self.slide_patch_size, self.alpha)
 
         def step(np_logits, hv, tp_logits):
-            # np_logits (B,2,h,w); hv (B,2,h,w); tp_logits (B,K,h,w) — the
-            # model's channel-first output contract (tilefuse.py:222).
-            np_prob = jax.nn.softmax(np_logits, axis=1)[:, 1, :, :]  # (B,h,w)
-            tp_prob = jax.nn.softmax(tp_logits, axis=1)
-
-            def resize(x, ch_shape):
-                # bilinear with half-pixel centers == F.interpolate(align_corners=False)
-                return jax.image.resize(x, ch_shape, method="bilinear")
-
-            b = np_prob.shape[0]
-            k = tp_prob.shape[1]
-            np_res = resize(np_prob, (b, s, s))
-            hv_res = jnp.transpose(resize(hv, (b, 2, s, s)) * alpha, (0, 2, 3, 1))
-            tp_res = resize(tp_prob, (b, k, s, s))
-            tp_res = jnp.transpose(
-                tp_res / (tp_res.sum(axis=1, keepdims=True) + 1e-8), (0, 2, 3, 1)
-            )
+            np_res, hv_res, tp_res = core(np_logits, hv, tp_logits)
             if self.transfer_dtype == "quantized":
                 # Probabilities cross as uint8 (quantization step 1/255 —
                 # same order as bf16's relative error on [0,1]); HV keeps

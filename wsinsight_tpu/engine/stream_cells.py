@@ -44,7 +44,20 @@ from .data import PatchBatchSource
 
 logger = logging.getLogger(__name__)
 
-_MAX_IDS = 1 << 16  # per-band instance cap for the device segment-sum
+# One tiling geometry, shared by the stitcher, the HBM admission check, and
+# the engine dispatch — these must describe the SAME buffers.
+STREAM_TILE = 2048
+STREAM_PAD = 64
+
+# Per-band instance cap for the device segment-sum buffer ((cap, K) f32 —
+# 24 MB at K=6). ~1M instances per 2048-row band is beyond any real tissue
+# density; if it is ever hit, StreamingCapacityError reroutes the slide to
+# the classic host-canvas path (engine/cells.py).
+_MAX_IDS = 1 << 20
+
+
+class StreamingCapacityError(RuntimeError):
+    """The banded engine's static capacity was exceeded for this slide."""
 
 
 class BandedCellStitcher:
@@ -60,8 +73,9 @@ class BandedCellStitcher:
         slide_mpp: float,
         model_mpp: float,
         min_object_size: int = 20,
-        tile_size: int = 2048,
-        padding_size: int = 64,
+        tile_size: int = STREAM_TILE,
+        padding_size: int = STREAM_PAD,
+        num_flushers: int = 1,
     ):
         import jax
         import jax.numpy as jnp
@@ -89,18 +103,29 @@ class BandedCellStitcher:
         self._band_results: dict[int, list] = {}
         self._jax = jax
         self._jnp = jnp
-        # One background flusher overlaps the sequential host tail (threshold,
+        # Background flushers overlap the sequential host tail (threshold,
         # seeds, watershed, contours) with the main thread's forward/scatter
-        # dispatch — without it every band flush stalls the device. A single
-        # worker keeps per-band device traffic serialized and results
-        # deterministic (bands are merged in index order at finalize).
+        # dispatch — without them every band flush stalls the device. Results
+        # stay deterministic regardless of thread count: each band is flushed
+        # by exactly one worker into its own _band_results slot and bands are
+        # merged in index order at finalize. The bounded queue is the HBM
+        # backpressure: at most (num_flushers + queue size) popped band
+        # buffers are alive beyond the active set (see streaming_fits).
         import queue
         import threading
 
-        self._flush_q: "queue.Queue[tuple[int, tuple] | None]" = queue.Queue(maxsize=2)
+        self.num_flushers = max(1, int(num_flushers))
+        self._flush_q: "queue.Queue[tuple[int, tuple] | None]" = queue.Queue(
+            maxsize=self.num_flushers + 1
+        )
         self._flush_err: list[BaseException] = []
-        self._flusher = threading.Thread(target=self._flush_worker, daemon=True)
-        self._flusher.start()
+        self._closing = False
+        self._flushers = [
+            threading.Thread(target=self._flush_worker, daemon=True)
+            for _ in range(self.num_flushers)
+        ]
+        for t in self._flushers:
+            t.start()
         self._build_kernels()
 
     # -- devices kernels ----------------------------------------------------
@@ -108,20 +133,18 @@ class BandedCellStitcher:
         import jax
         import jax.numpy as jnp
 
-        s, k, alpha = self.s, self.k, self.alpha
+        s, k = self.s, self.k
+        from .stitch import make_map_postprocess
+
+        core = make_map_postprocess(s, self.alpha)
 
         def postprocess(np_logits, hv, tp_logits):
-            np_prob = jax.nn.softmax(np_logits, axis=1)[:, 1, :, :]
-            tp_prob = jax.nn.softmax(tp_logits, axis=1)
-            b = np_prob.shape[0]
-            np_res = jax.image.resize(np_prob, (b, s, s), method="bilinear")
-            hv_res = jax.image.resize(hv, (b, 2, s, s), method="bilinear") * alpha
-            tp_res = jax.image.resize(tp_prob, (b, k, s, s), method="bilinear")
-            tp_res = tp_res / (tp_res.sum(axis=1, keepdims=True) + 1e-8)
+            np_res, hv_res, tp_res = core(np_logits, hv, tp_logits)
+            # bands store bf16: half the HBM of f32 at ~1e-3 relative error
             return (
                 np_res.astype(jnp.bfloat16),
-                jnp.transpose(hv_res, (0, 2, 3, 1)).astype(jnp.bfloat16),
-                jnp.transpose(tp_res, (0, 2, 3, 1)).astype(jnp.bfloat16),
+                hv_res.astype(jnp.bfloat16),
+                tp_res.astype(jnp.bfloat16),
             )
 
         self._postprocess = jax.jit(postprocess)
@@ -269,7 +292,8 @@ class BandedCellStitcher:
             try:
                 if job is None:
                     return
-                self._flush_band(*job)
+                if not self._closing:  # close() abandons queued work
+                    self._flush_band(*job)
             except BaseException as e:  # surfaced on the main thread
                 self._flush_err.append(e)
             finally:
@@ -325,7 +349,7 @@ class BandedCellStitcher:
         if not band_records:
             return
         if local_next >= _MAX_IDS:
-            raise RuntimeError(
+            raise StreamingCapacityError(
                 f"band {b}: {local_next} instances exceeds the device segment cap"
             )
 
@@ -361,10 +385,13 @@ class BandedCellStitcher:
         return list(inst), list(probs), list(polys)
 
     def close(self) -> None:
+        self._closing = True  # workers drop queued jobs instead of flushing
         self._bands.clear()
-        if self._flusher.is_alive():
-            self._flush_q.put(None)
-            self._flusher.join(timeout=30)
+        for t in self._flushers:
+            if t.is_alive():
+                self._flush_q.put(None)
+        for t in self._flushers:
+            t.join(timeout=30)
 
 
 def run_streaming_cell_inference(
@@ -380,6 +407,7 @@ def run_streaming_cell_inference(
     batch_size: int,
     num_workers: int,
     min_object_size: int = 20,
+    stitch_workers: int | None = None,
 ) -> tuple[np.ndarray, np.ndarray, List[np.ndarray]]:
     """Banded streaming counterpart of engine.cells.run_cell_inference."""
     import tqdm
@@ -398,36 +426,66 @@ def run_streaming_cell_inference(
         slide_mpp=mpp,
         model_mpp=cfg.spacing_um_px,
         min_object_size=min_object_size,
+        num_flushers=pick_num_flushers(stitch_workers),
     )
-    src = PatchBatchSource(
-        wsi_path=wsi_path,
-        patch_path=patch_path,
-        use_hdf5_images=use_hdf5_images,
-        batch_size=engine.pad_batch(batch_size),
-        num_threads=num_workers or 4,
-        order_by_y=True,  # banding needs the stream sorted by slide row
-    )
-    with tqdm.tqdm(total=src.num_batches, desc="Inference", position=1, leave=False) as bar:
-        for batch in src:
-            pred = engine.run_batch(batch.images)
-            pred = {k: v for k, v in pred.items() if k != "tissue_types"}
-            stitcher.accumulate_batch(pred, batch.coords, n_valid=batch.n_valid)
-            bar.update(1)
-    src.close()
-    inst, probs, polys = stitcher.finalize()
-    stitcher.close()
+    src = None
+    try:
+        src = PatchBatchSource(
+            wsi_path=wsi_path,
+            patch_path=patch_path,
+            use_hdf5_images=use_hdf5_images,
+            batch_size=engine.pad_batch(batch_size),
+            num_threads=num_workers or 4,
+            order_by_y=True,  # banding needs the stream sorted by slide row
+        )
+        with tqdm.tqdm(
+            total=src.num_batches, desc="Inference", position=1, leave=False
+        ) as bar:
+            for batch in src:
+                pred = engine.run_batch(batch.images)
+                pred = {k: v for k, v in pred.items() if k != "tissue_types"}
+                stitcher.accumulate_batch(pred, batch.coords, n_valid=batch.n_valid)
+                bar.update(1)
+        inst, probs, polys = stitcher.finalize()
+    finally:
+        # On any failure (including StreamingCapacityError rerouting to the
+        # classic path) the producer thread must stop and the flushers must
+        # exit so the HBM band buffers are actually released.
+        if src is not None:
+            src.close()
+        stitcher.close()
 
     if not inst:
         return np.zeros((0, 4), np.int32), np.zeros((0, cfg.num_classes), np.float32), []
     return np.concatenate(inst, axis=0), np.concatenate(probs, axis=0), polys
 
 
+def pick_num_flushers(stitch_workers: int | None) -> int:
+    """Flusher thread count: the caller's stitch-worker knob, bounded.
+
+    More flushers pin more popped band buffers in HBM (streaming_fits
+    accounts for this), so the cap stays small; on a many-core host the
+    watershed tail parallelises across bands.
+    """
+    import os
+
+    if stitch_workers is None:
+        return min(4, max(1, (os.cpu_count() or 1) // 2))
+    return max(1, min(int(stitch_workers), 8))
+
+
 def streaming_fits(
     slide_width: int, n_classes: int, slide_patch_size: int,
-    tile_size: int = 2048, padding: int = 64,
+    tile_size: int = STREAM_TILE, padding: int = STREAM_PAD,
     budget_bytes: int | None = None,
+    num_flushers: int = 1,
 ) -> bool:
-    """Whether ~3 band buffers fit the HBM budget (bf16 channels)."""
+    """Whether the engine's peak band working set fits the HBM budget.
+
+    Peak device-resident band buffers = ~3 active bands (the write window of
+    the sorted stream) + the flush queue (num_flushers + 1) + num_flushers
+    in-flight flushes, all in bf16 channels.
+    """
     import os
 
     if budget_bytes is None:
@@ -435,4 +493,5 @@ def streaming_fits(
     buf_h = tile_size + 2 * padding + 2 * slide_patch_size
     buf_w = slide_width + 2 * slide_patch_size
     per_band = buf_h * buf_w * (3 + n_classes) * 2
-    return 3 * per_band <= budget_bytes
+    peak_bands = 3 + (num_flushers + 1) + num_flushers
+    return peak_bands * per_band <= budget_bytes
