@@ -325,11 +325,12 @@ def bench_cellvit_cells(fast: bool, variant: str | None = None) -> dict:
 def bench_streaming_cells(fast: bool) -> dict:
     """Streaming pipeline throughput with controlled nucleus content.
 
-    Drives postprocess -> banded scatter -> per-tile energy/watershed ->
-    label round-trip -> device class sums with synthetic logits whose
-    softmax paints nuclei at realistic density (~5 per patch), then adds the
-    separately-timed real CellViT-256 forward; production overlaps the two,
-    so the summed time is conservative.
+    One timed loop drives the REAL CellViT-256 forward on device and, in the
+    same iteration, accumulates synthetic logits (softmax paints nuclei at
+    realistic density, ~5 per patch) into the banded stitcher — the
+    production shape, where the flusher thread's watershed tail overlaps the
+    next batches' forward. Reported cells/s is wall-clock over the whole
+    overlapped pipeline including finalize.
     """
     import jax
 
@@ -368,13 +369,8 @@ def bench_streaming_cells(fast: bool) -> dict:
     jax.block_until_ready(out)
     n_grid = side // out_px
     n_patches = n_grid * n_grid
-    t0 = time.perf_counter()
-    for _ in range(0, n_patches, batch_size):
-        out = fwd(params, batch_u8)
-    jax.block_until_ready(out)
-    t_forward = time.perf_counter() - t0
 
-    # -- timed streaming pipeline on controlled content ---------------------
+    # -- synthetic per-patch logits (controlled nucleus content) ------------
     eps = 1e-4
     s = out_px
     np_map = np.zeros((s, s), np.float32)
@@ -406,35 +402,43 @@ def bench_streaming_cells(fast: bool) -> dict:
     ).astype(np.int64)
     coords = np.concatenate([coords, np.full((len(coords), 2), patch_px, np.int64)], 1)
 
-    def run_stream():
+    def run_pipeline(with_forward: bool):
         st = BandedCellStitcher(
             n_classes=n_classes, slide_width=side, slide_height=side,
             slide_patch_size=s, slide_halo_size=halo_px, slide_mpp=mpp, model_mpp=mpp,
         )
+        last = None
         for i0 in range(0, n_patches, batch_size):
+            if with_forward:
+                last = fwd(params, batch_u8)  # real device compute in the loop
             sel = coords[i0 : i0 + batch_size]
             st.accumulate_batch(pred, sel, n_valid=len(sel))
+        if last is not None:
+            jax.block_until_ready(last)
         inst, probs, polys = st.finalize()
         st.close()
         return inst
 
-    run_stream()  # warm (compiles)
+    run_pipeline(True)  # warm (compiles)
     t1 = time.perf_counter()
-    inst = run_stream()
-    t_stream = time.perf_counter() - t1
+    inst = run_pipeline(True)
+    t_total = time.perf_counter() - t1
+    t2 = time.perf_counter()
+    run_pipeline(False)
+    t_stream = time.perf_counter() - t2
 
-    total = t_forward + t_stream
     n_cells = len(inst)
     return {
         "metric": "cellvit_256_streaming_cells_per_sec",
-        "value": round(n_cells / total, 2),
+        "value": round(n_cells / t_total, 2),
         "unit": "cells/s",
         "cells_found": int(n_cells),
         "cells_painted": int(n_per_patch * n_patches),
-        "patches_per_sec_stream_only": round(n_patches / t_stream, 2),
-        "forward_sec": round(t_forward, 3),
-        "stream_sec": round(t_stream, 3),
-        "note": "banded HBM-resident maps; labels round-trip for device class sums",
+        "patches_per_sec_pipeline": round(n_patches / t_total, 2),
+        "stream_only_sec": round(t_stream, 3),
+        "total_sec": round(t_total, 3),
+        "note": "overlapped pipeline: real forward + banded scatter + threaded"
+                " watershed tail + device class sums, one wall-clock",
     }
 
 
@@ -458,14 +462,22 @@ def main() -> None:
             raise RuntimeError("skipped in fast mode")
         return bench_cellvit_cells(fast, variant="cellvit-sam-h")
 
+    # WSINSIGHT_BENCH_ONLY=e2e,streaming (comma list) narrows the aux set for
+    # quick iteration; unset runs everything.
+    only = {
+        t for t in os.getenv("WSINSIGHT_BENCH_ONLY", "").split(",") if t.strip()
+    }
+    aux_benches = {
+        "e2e": bench_e2e_input_pipeline,
+        "cellvit": bench_cellvit_cells,
+        "streaming": bench_streaming_cells,
+        "samh": bench_sam_h,
+    }
     aux = []
     if run_aux:
-        for fn in (
-            bench_e2e_input_pipeline,
-            bench_cellvit_cells,
-            bench_streaming_cells,
-            bench_sam_h,
-        ):
+        for name, fn in aux_benches.items():
+            if only and name not in only:
+                continue
             try:
                 result = fn(fast)
                 aux.append(result)
@@ -473,7 +485,7 @@ def main() -> None:
             except Exception as e:  # aux failures never break the headline
                 print(f"aux-bench {fn.__name__} failed: {e!r}", file=sys.stderr)
 
-    if not fast:  # CI smoke runs must not clobber the real-chip artifact
+    if not fast and not only:  # partial/smoke runs must not clobber the artifact
         detail = {"fast": fast, "headline": headline, "aux": aux}
         try:
             (Path(__file__).parent / "BENCH_DETAIL.json").write_text(

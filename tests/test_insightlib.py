@@ -588,3 +588,97 @@ def test_subgraph_sampler_masks_edge_subsampled_nodes():
         assert kept_deg[r] == orig_deg[local_to_orig[int(r)]], (
             f"loss-masked local node {r} lost incident edges"
         )
+
+
+@pytest.mark.slow
+def test_cme_resume_realigns_pairs_after_skipped_slide(purple_slide, tmp_path):
+    """A slide skipped during the cached graph build must stay excluded on
+    resume: slides[i] and pairs[i] line up, outputs land under the right stem."""
+    import shutil
+
+    from wsinsight_tpu.insightlib import cme_generation
+    from wsinsight_tpu.uri_path import URIPath
+
+    bad_slide = tmp_path / "aaa_bad.tif"
+    shutil.copy(purple_slide, bad_slide)
+
+    results = tmp_path / "results"
+    (results / "model-outputs-csv").mkdir(parents=True)
+    _grid_cells(n=12).to_csv(results / "model-outputs-csv" / "purple.csv", index=False)
+    # two far-apart cells: every cell is isolated under the edge cap -> skipped
+    pd.DataFrame(
+        {
+            "minx": [0, 5000], "miny": [0, 5000], "width": [8, 8], "height": [8, 8],
+            "prob_tumor": [0.9, 0.1], "prob_immune": [0.05, 0.8],
+            "prob_other": [0.05, 0.1],
+        }
+    ).to_csv(results / "model-outputs-csv" / "aaa_bad.csv", index=False)
+
+    kwargs = dict(
+        wsi_dir=None,
+        results_dir=URIPath(str(results)),
+        max_edge_len_um=4.0,
+        max_cell_radius_um=3.0,
+        k_hops=1,
+        epochs=2,
+        cme_cellular=True,
+        cme_annotation=False,
+        cme_clustering_k=2,
+    )
+    # bad slide FIRST so any index misalignment shifts every output
+    wsi_paths = [URIPath(str(bad_slide)), URIPath(str(purple_slide))]
+    cme_generation(wsi_paths=wsi_paths, **kwargs)
+
+    cells_dir = results / "cme-outputs-csv" / "cells"
+    first = pd.read_csv(cells_dir / "purple.csv")
+    assert not (cells_dir / "aaa_bad.csv").exists()
+    assert (results / "slide-graphs.joblib").exists()
+
+    # Resume with warm caches: phase 4 recomputes from the cached graphs.
+    shutil.rmtree(results / "cme-outputs-csv")
+    cme_generation(wsi_paths=wsi_paths, **kwargs)
+    second = pd.read_csv(cells_dir / "purple.csv")
+    assert not (cells_dir / "aaa_bad.csv").exists()
+    # KMeans labels are non-deterministic across runs; the alignment proof is
+    # the deterministic per-cell features built from slides[i]:
+    feat_cols = [c for c in first.columns if c.startswith("feature_raw_")]
+    assert feat_cols
+    pd.testing.assert_frame_equal(first[feat_cols], second[feat_cols])
+
+
+def test_hplot_worker_crash_does_not_abort_cohort(purple_slide, tmp_path):
+    """A degenerate slide (collinear centers -> QhullError in Delaunay) is
+    recorded as failed; the cohort outputs for the good slides still land."""
+    import shutil
+
+    from wsinsight_tpu.insightlib import hplot_generation
+    from wsinsight_tpu.uri_path import URIPath
+
+    bad_slide = tmp_path / "aaa_line.tif"
+    shutil.copy(purple_slide, bad_slide)
+
+    results = tmp_path / "results"
+    (results / "model-outputs-csv").mkdir(parents=True)
+    _grid_cells(n=14).to_csv(results / "model-outputs-csv" / "purple.csv", index=False)
+    # 6 collinear cells: scipy Delaunay raises QhullError inside the worker
+    pd.DataFrame(
+        {
+            "minx": np.arange(6) * 10.0, "miny": np.zeros(6),
+            "width": 8, "height": 8,
+            "prob_tumor": 0.9, "prob_immune": 0.05, "prob_other": 0.05,
+        }
+    ).to_csv(results / "model-outputs-csv" / "aaa_line.csv", index=False)
+
+    failed = hplot_generation(
+        wsi_dir=None,
+        wsi_paths=[URIPath(str(bad_slide)), URIPath(str(purple_slide))],
+        results_dir=URIPath(str(results)),
+        base_type_list=["tumor"],
+        target_type_list=["immune"],
+        max_neighbor_distance_um=4.0,
+        num_workers=1,
+    )
+    assert failed == ["aaa_line"]
+    assert (results / "hplot-outputs-csv" / "cells" / "purple.csv").exists()
+    cohort = pd.read_csv(results / "hplot-outputs.csv")
+    assert (cohort["id"] == "purple").all()

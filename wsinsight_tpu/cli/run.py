@@ -134,7 +134,9 @@ def run(ctx: click.Context, *, qupath: bool, **params) -> None:
         from ..writers import make_qupath_project
 
         click.echo("Creating QuPath project with results")
-        make_qupath_project(wsi_dir, params["results_dir"])
+        make_qupath_project(
+            wsi_dir, params["results_dir"], slide_paths=params.get("slide_paths")
+        )
 
     results_dir = params["results_dir"]
     model_name = params.get("model_name")

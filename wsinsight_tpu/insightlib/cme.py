@@ -307,8 +307,18 @@ def train_dgi_multi(
         lm = np.stack(
             [g.loss_mask if g.loss_mask is not None else g.node_mask for g in padded]
         )
-        # Corruption: per-graph node-feature row shuffle (DGI convention).
-        perm = np.stack([rng.permutation(max_nodes) for _ in range(n_graphs)])
+        # Corruption: per-graph node-feature row shuffle (DGI convention),
+        # restricted to the REAL rows — shuffling the zero padding into real
+        # node slots would make the negatives trivially separable for graphs
+        # much smaller than max_nodes.
+        perms = []
+        for g in padded:
+            p = np.arange(max_nodes)
+            n_real = int(g.node_mask.sum())
+            if n_real > 1:
+                p[:n_real] = rng.permutation(n_real)
+            perms.append(p)
+        perm = np.stack(perms)
         xc = np.take_along_axis(x, perm[:, :, None], axis=1)
         if batch != n_graphs:  # pad the graph batch by repetition
             reps = [i % n_graphs for i in range(batch)]
@@ -549,7 +559,29 @@ def cme_generation(
     # Phase 1: slide graphs (joblib cache).
     if cme_slide_graph_file.exists():
         print(f"Phase 1/5: load cached slide graphs: {cme_slide_graph_file}")
-        slides = joblib.load(cme_slide_graph_file)
+        cached = joblib.load(cme_slide_graph_file)
+        if isinstance(cached, dict):
+            slides = cached["slides"]
+            # Re-align pairs with the cached cohort: slides[i] must describe
+            # pairs[i] in Phases 4/5, and the cached build may have skipped
+            # bad slides that are still present in the directory listing.
+            by_stem = {p[0].stem: p for p in pairs}
+            try:
+                pairs = [by_stem[stem] for stem in cached["stems"]]
+            except KeyError as missing:
+                raise errors.WsinsightException(
+                    f"cached slide graphs reference slide {missing} which is"
+                    f" no longer in the inputs; delete {cme_slide_graph_file}"
+                    " to rebuild"
+                ) from None
+        else:  # legacy cache: a bare list, only safe if nothing was skipped
+            slides = cached
+            if len(slides) != len(pairs):
+                raise errors.WsinsightException(
+                    f"cached slide graphs ({len(slides)}) do not match the"
+                    f" current inputs ({len(pairs)});"
+                    f" delete {cme_slide_graph_file} to rebuild"
+                )
     else:
         print("Phase 1/5: build slide graphs")
         slides = []
@@ -591,10 +623,11 @@ def cme_generation(
                     )
                 )
                 good_pairs.append((wsi_path, csv_path))
-            except ValueError as err:
-                # One bad slide (e.g. all cells isolated under the edge cap —
-                # typical for tile-level inputs) should not kill the cohort.
-                print(f"Skipping {wsi_path.stem}: {err}")
+            except Exception as err:
+                # One bad slide (isolated cells under the edge cap, collinear
+                # centers raising QhullError, malformed CSV columns, ...)
+                # should not kill the cohort.
+                print(f"Skipping {wsi_path.stem}: {err!r}")
         pairs = good_pairs
         if not slides:
             raise errors.WsinsightException(
@@ -609,12 +642,24 @@ def cme_generation(
         scaler = StandardScaler(with_mean=True, with_std=True).fit(x_all)
         for s in slides:
             s["X_normalized"] = scaler.transform(s["X"]).astype(np.float32)
-        joblib.dump(slides, cme_slide_graph_file, compress=3)
+        # stems pin slides[i] <-> pairs[i] across resumed runs (the build may
+        # have skipped slides that a later run would otherwise re-include)
+        joblib.dump(
+            {"slides": slides, "stems": [p[0].stem for p in pairs]},
+            cme_slide_graph_file,
+            compress=3,
+        )
 
     # Phase 2: DGI embeddings (joblib cache).
     if cme_dgi_embeddings_file.exists():
         print(f"Phase 2/5: load cached DGI embeddings: {cme_dgi_embeddings_file}")
         z_list = joblib.load(cme_dgi_embeddings_file)
+        if len(z_list) != len(slides):
+            raise errors.WsinsightException(
+                f"cached DGI embeddings ({len(z_list)}) do not match the slide"
+                f" graphs ({len(slides)}); delete {cme_dgi_embeddings_file}"
+                " to retrain"
+            )
     else:
         print("Phase 2/5: train shared DGI encoder")
         _, z_list = train_dgi_multi(slides, hidden=hidden, out_dim=out_dim, epochs=epochs)
@@ -635,6 +680,10 @@ def cme_generation(
         print(f"Phase 3/5: KMeans with k={cme_clustering_k}")
         from sklearn.cluster import KMeans
 
+        # Per-slide KMeans mirrors the reference exactly
+        # (cme_generation.py:1240-1244): with a user-given k, cluster ids are
+        # per-slide and NOT comparable across slides; the sweep path (k=None)
+        # is the one that clusters the concatenated cohort globally.
         labels_list = [
             KMeans(n_clusters=min(cme_clustering_k, len(z)), n_init="auto")
             .fit_predict(z)

@@ -238,13 +238,18 @@ def compute_hplot(df_with_distances: pd.DataFrame, filtered_edges_df: pd.DataFra
         lo = np.minimum(src_layer, dst_layer)
         hi = np.maximum(src_layer, dst_layer)
         lengths = filtered_edges_df["length"].to_numpy()
-        rank = {v: i for i, v in enumerate(unique_distances)}
+        # lo/hi hold values drawn from unique_distances itself, so their rank
+        # is an exact searchsorted into the sorted unique array — adjacency is
+        # one vectorised comparison over all edges (million-cell slides have
+        # millions of Delaunay edges; a per-edge Python loop dominates the
+        # worker runtime).
+        ud = np.asarray(unique_distances, np.float64)
         mask = np.isfinite(lo) & np.isfinite(hi)
         adjacent = np.zeros(len(lo), bool)
-        for i in np.flatnonzero(mask):
-            ri, rj = rank.get(lo[i]), rank.get(hi[i])
-            if ri is not None and rj is not None and rj == ri + 1:
-                adjacent[i] = True
+        idx = np.flatnonzero(mask)
+        ri = np.searchsorted(ud, lo[idx])
+        rj = np.searchsorted(ud, hi[idx])
+        adjacent[idx] = rj == ri + 1
         pairs = pd.DataFrame({"lo": lo[adjacent], "length": lengths[adjacent]})
         avg_between = pairs.groupby("lo")["length"].mean().to_dict()
     else:
@@ -254,6 +259,10 @@ def compute_hplot(df_with_distances: pd.DataFrame, filtered_edges_df: pd.DataFra
         for i in range(len(unique_distances) - 1)
     }
 
+    # Gap semantics mirror the reference exactly (insight_helpers.py:769-781):
+    # a layer with no edge to its neighbour gets NaN (dropped downstream), and
+    # `current` is NOT advanced across the gap — the next connected layer
+    # continues from the pre-gap total.
     cumulative = {0.0: 0.0}
     current = 0.0
     for sd in sorted(unique_distances):

@@ -12,6 +12,7 @@ wsinsight/insightlib/hplot_generation.py:29-331) with SURVEY.md §2.11 fixes:
 from __future__ import annotations
 
 import json
+import logging
 import multiprocessing
 from concurrent.futures import ProcessPoolExecutor, as_completed
 from pathlib import Path
@@ -22,6 +23,8 @@ import pandas as pd
 from tqdm import tqdm
 
 from .. import errors
+
+logger = logging.getLogger(__name__)
 from ..uri_path import URIPath
 from ..wsi import _validate_wsi_directory, get_avg_mpp
 from .helpers import (
@@ -237,10 +240,20 @@ def hplot_generation(
 
     ctx = multiprocessing.get_context("spawn")
     with ProcessPoolExecutor(max_workers=max(1, num_workers), mp_context=ctx) as ex:
-        futures = [ex.submit(_worker, *args) for args in jobs]
+        futures = {ex.submit(_worker, *args): args[0] for args in jobs}
         pbar = tqdm(total=len(futures), desc="H-Plot")
         for f in as_completed(futures):
-            image_id, df, hm = f.result()
+            try:
+                image_id, df, hm = f.result()
+            except Exception as err:
+                # A degenerate slide (e.g. QhullError on collinear centers,
+                # missing prob_* columns) must not abort the cohort — record
+                # it and keep aggregating the slides that succeeded.
+                image_id = Path(futures[f]).stem
+                logger.error(f"H-plot worker failed for {image_id}: {err!r}")
+                failed_generation.append(image_id)
+                pbar.update(1)
+                continue
             if df is None or hm is None:
                 failed_generation.append(image_id)
                 pbar.update(1)

@@ -44,8 +44,11 @@ int64_t lzw_decode(const uint8_t* data, int64_t n, uint8_t* out, int64_t out_cap
     }
     stack[sp++] = static_cast<uint8_t>(c);
     *first_byte = static_cast<uint8_t>(c);
-    if (out_pos + sp > out_cap) sp = static_cast<int>(out_cap - out_pos);
-    for (int i = sp - 1; i >= 0; --i) out[out_pos++] = stack[i];
+    // stack[sp-1] is the entry's FIRST byte; when the caller's buffer can't
+    // hold the whole entry, emit a prefix of it (not the tail).
+    int keep = sp;
+    if (out_pos + keep > out_cap) keep = static_cast<int>(out_cap - out_pos);
+    for (int i = 0; i < keep; ++i) out[out_pos++] = stack[sp - 1 - i];
     return true;
   };
 

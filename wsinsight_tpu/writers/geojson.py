@@ -30,6 +30,7 @@ import pandas as pd
 from tqdm.auto import tqdm
 
 from ..uri_path import URIPath
+from .common import iter_files, shrunk_boxes
 from .wkt import wkt_to_geojson_geometry
 
 PathLike = Union[Path, URIPath]
@@ -88,18 +89,7 @@ def _dataframe_to_geojson_box_fast(
     """Vectorize CSV tile boxes into a GeoJSON FeatureCollection."""
     df = df.dropna(subset=[c for c in prob_cols if c.startswith(prefix)])
 
-    xywh = df[["minx", "miny", "width", "height"]].to_numpy(dtype=np.int64, copy=False)
-    minx, miny, w, h = xywh.T
-
-    pw = np.rint(w * (1.0 - overlap)).astype(np.int64)
-    ph = np.rint(h * (1.0 - overlap)).astype(np.int64)
-    pmx = np.rint((w - pw) * 0.5).astype(np.int64)
-    pmy = np.rint((h - ph) * 0.5).astype(np.int64)
-
-    minx2 = minx + pmx
-    miny2 = miny + pmy
-    maxx2 = minx2 + pw
-    maxy2 = miny2 + ph
+    minx2, miny2, maxx2, maxy2 = shrunk_boxes(df, overlap)
 
     # Closed ring (N, 5, 2), vertex order matching the reference exactly.
     coords = np.stack(
@@ -236,14 +226,7 @@ def _build_geojson_dict_from_csv(
     return out_path, geojson
 
 
-def _iter_files(path: PathLike, *, suffix: Optional[str] = None):
-    if isinstance(path, URIPath):
-        iterator = path.iterdir(files_only=True)
-    else:
-        iterator = (child for child in path.iterdir() if child.is_file())
-    for child in iterator:
-        if suffix is None or child.suffix == suffix:
-            yield child
+_iter_files = iter_files
 
 
 def _write_geojson_bytes(out_path: PathLike, payload: bytes, atomic: bool = True) -> None:

@@ -21,6 +21,7 @@ import pandas as pd
 from tqdm.auto import tqdm
 
 from ..uri_path import URIPath
+from .common import iter_files, shrunk_boxes
 
 PathLike = Union[Path, URIPath]
 
@@ -101,18 +102,7 @@ def make_omecsv(
         raise KeyError(f"Did not find any columns with '{full_prefix}' prefix.")
     df = df.dropna(subset=prob_cols)
 
-    xywh = df[["minx", "miny", "width", "height"]].to_numpy(dtype=np.int64, copy=False)
-    minx, miny, w, h = xywh.T
-
-    pw = np.rint(w * (1.0 - overlap)).astype(np.int64)
-    ph = np.rint(h * (1.0 - overlap)).astype(np.int64)
-    pmx = np.rint((w - pw) * 0.5).astype(np.int64)
-    pmy = np.rint((h - ph) * 0.5).astype(np.int64)
-
-    minx2 = minx + pmx
-    miny2 = miny + pmy
-    maxx2 = minx2 + pw
-    maxy2 = miny2 + ph
+    minx2, miny2, maxx2, maxy2 = shrunk_boxes(df, overlap)
 
     omecsv = _dataframe_to_omecsv(
         df, prob_cols, minx2, miny2, maxx2, maxy2, class_prefix=full_prefix
@@ -122,14 +112,7 @@ def make_omecsv(
     _write_gzip_bytes(out_path, omecsv.encode("utf-8"))
 
 
-def _iter_files(path: PathLike, *, suffix: Optional[str] = None):
-    if isinstance(path, URIPath):
-        iterator = path.iterdir(files_only=True)
-    else:
-        iterator = (child for child in path.iterdir() if child.is_file())
-    for child in iterator:
-        if suffix is None or child.suffix == suffix:
-            yield child
+_iter_files = iter_files
 
 
 def _write_gzip_bytes(out_path: PathLike, payload: bytes) -> None:

@@ -41,8 +41,18 @@ def add_image_and_geojson(qupath_proj, *, image_path, geojson_path) -> None:
         print(f"Failed to run load_geojson function with error:: {e}")
 
 
-def make_qupath_project(wsi_dir: str | URIPath | None, results_dir: Path) -> None:
-    """Materialize a QuPath project from CSV+GeoJSON outputs."""
+def make_qupath_project(
+    wsi_dir: str | URIPath | None,
+    results_dir: Path,
+    slide_paths=None,
+) -> None:
+    """Materialize a QuPath project from CSV+GeoJSON outputs.
+
+    Images pair with CSV stems from `slide_paths` when given (any suffix);
+    otherwise from `wsi_dir/<stem>.svs` like the reference (qupath.py:48-88).
+    With neither, there is nothing to pair against — fail fast instead of
+    TypeError-ing after the whole pipeline already ran.
+    """
     if not HAS_PAQUO:
         print(
             """Cannot find QuPath.
@@ -56,13 +66,22 @@ If QuPath is not installed, please install it from https://qupath.github.io/."""
     print("Found QuPath successfully!")
     qupath_project_directory = results_dir / "model-outputs-qupath"
 
+    if wsi_dir is None and not slide_paths:
+        raise ValueError(
+            "make_qupath_project needs wsi_dir or slide_paths to locate images"
+        )
+    by_stem = {p.stem: p for p in slide_paths} if slide_paths else {}
+
     csv_files = list((results_dir / "model-outputs-csv").glob("*.csv"))
     slides_and_geojsons = []
     for csv_file in csv_files:
         file_name = csv_file.stem
         json_file = results_dir / "model-outputs-geojson" / (file_name + ".geojson")
-        image_file = wsi_dir / (file_name + ".svs")
-        if json_file.exists() and image_file.exists():
+        if by_stem:
+            image_file = by_stem.get(file_name)
+        else:
+            image_file = wsi_dir / (file_name + ".svs")
+        if image_file is not None and json_file.exists() and image_file.exists():
             slides_and_geojsons.append((image_file, json_file))
         else:
             print(f"Skipping CSV: {csv_file.name} (No corresponding JSON)")
