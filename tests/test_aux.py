@@ -26,20 +26,50 @@ def test_throttle_returns_quickly_when_idle():
     throttle_when_busy(target_cpu_util=1.01, target_mem_util=1.01, reserve_mem_bytes=0)
 
 
-def test_stardist_ray_polygons_and_nms():
-    from wsinsight_tpu.models.stardist import _nms, _ray_polygons
+def test_stardist_ray_candidates_and_nms():
+    from wsinsight_tpu.models.stardist import _nms, _ray_candidates, _rays_to_polys
 
     prob = np.zeros((64, 64), np.float32)
     prob[20, 20] = 0.95
     prob[20, 22] = 0.8  # overlapping duplicate, should be suppressed
     prob[50, 50] = 0.9
     dist = np.full((64, 64, 32), 5.0, np.float32)
-    scores, centers, polys = _ray_polygons(prob, dist, 0.5)
+    scores, centers, rays = _ray_candidates(prob, dist, 0.5)
     assert len(scores) == 3
-    kept = _nms(scores, centers, polys, nms_thresh=0.4)
+    kept = _nms(scores, centers, rays, nms_thresh=0.4)
     assert len(kept) == 2
     # polygons have 32 vertices around their centers
-    assert polys.shape[1:] == (32, 2)
+    polys = _rays_to_polys(centers[kept], rays[kept])
+    assert polys.shape == (2, 32, 2)
+    np.testing.assert_allclose(polys[0].mean(axis=0), centers[kept[0]], atol=1e-4)
+
+
+def test_stardist_binned_nms_matches_allpairs_greedy():
+    """The spatially binned NMS makes the same decisions as the O(N^2)
+    all-pairs greedy scan on a dense random candidate set."""
+    from wsinsight_tpu.models.stardist import _nms
+
+    rng = np.random.default_rng(0)
+    n = 600
+    centers = rng.uniform(0, 400, size=(n, 2)).astype(np.float32)
+    rays = rng.uniform(3.0, 14.0, size=(n, 32)).astype(np.float32)
+    scores = rng.uniform(0.5, 1.0, size=n).astype(np.float32)
+
+    def nms_allpairs(scores, centers, rays, nms_thresh=0.4):
+        order = np.argsort(-scores, kind="stable")
+        mean_r = np.maximum(rays.mean(axis=1), 1.0)
+        kept = []
+        for i in order:
+            c, r = centers[i], mean_r[i]
+            if all(
+                np.hypot(c[0] - centers[j, 0], c[1] - centers[j, 1])
+                >= nms_thresh * (r + mean_r[j])
+                for j in kept
+            ):
+                kept.append(int(i))
+        return kept
+
+    assert _nms(scores, centers, rays) == nms_allpairs(scores, centers, rays)
 
 
 def test_stardist_predict_instances_big_random_weights():

@@ -279,3 +279,28 @@ def test_svs_style_mpp_description(tmp_path):
     )
     with TiffFile(str(path)) as tf:
         assert tf.mpp() == (0.2527, 0.2527)
+
+
+def test_svs_like_page_order_keeps_pyramid_levels(tmp_path):
+    """Aperio SVS puts a STRIPPED thumbnail at IFD1 between the baseline and
+    the tiled 4x/16x levels; level detection must skip it and keep the real
+    pyramid (and not misread the thumbnail as a level)."""
+    from wsinsight_tpu.wsi.slide import TpuSlide
+    from wsinsight_tpu.wsi.tiff import TiffWriter
+
+    rng = np.random.default_rng(0)
+    base = rng.integers(0, 255, (512, 512, 3), np.uint8)
+    quarter = base[::2, ::2]
+    thumb = base[::4, ::4]
+
+    path = tmp_path / "svslike.tif"
+    with TiffWriter(path) as tw:
+        tw.write(base, tile=(256, 256), compression="deflate")
+        tw.write(thumb, tile=None, compression="deflate")  # stripped thumbnail
+        tw.write(quarter, tile=(256, 256), compression="deflate")
+
+    slide = TpuSlide(str(path))
+    assert slide.level_count == 2
+    assert slide.level_dimensions == ((512, 512), (256, 256))
+    region = np.asarray(slide.read_region((0, 0), 1, (64, 64)))
+    np.testing.assert_array_equal(region, quarter[:64, :64])

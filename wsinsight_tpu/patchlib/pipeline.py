@@ -194,14 +194,19 @@ def segment_and_patch_one_slide(
             xs = np.rint(qpdet_df["Centroid X µm"] / mpp - half_patch_size).astype(np.int32)
             ys = np.rint(qpdet_df["Centroid Y µm"] / mpp - half_patch_size).astype(np.int32)
             coords = np.column_stack([xs, ys])
+            # Ring = the patch extent [x, x+2h) around the centroid. The
+            # reference re-subtracts half from the already-top-left x/y
+            # (pipeline.py:195-203), shifting every polygon half a patch off
+            # its own box — a self-inconsistent-output defect we deliberately
+            # do not reproduce (SURVEY.md §2.11 spirit).
             polygons = [
                 np.asarray(
                     [
-                        [x - half_patch_size, y - half_patch_size],
-                        [x - half_patch_size, y + half_patch_size],
-                        [x + half_patch_size, y + half_patch_size],
-                        [x + half_patch_size, y - half_patch_size],
-                        [x - half_patch_size, y - half_patch_size],
+                        [x, y],
+                        [x, y + 2 * half_patch_size],
+                        [x + 2 * half_patch_size, y + 2 * half_patch_size],
+                        [x + 2 * half_patch_size, y],
+                        [x, y],
                     ],
                     dtype=np.float32,
                 )
@@ -226,6 +231,11 @@ def segment_and_patch_one_slide(
             tile_dim = None
         else:
             feats = _geojson_features(slide_geojson)
+            # Reference parity (pipeline.py:227-259): centroids are converted
+            # to pixels but rings stay in the GeoJSON's native units, and
+            # multi-part geometries are exploded — so /polygons rows do NOT
+            # pair 1:1 with /coords rows in this mode. Consumers of this mode
+            # (references-dir overlay) only use the coords.
             cxs, cys = [], []
             polygons = []
             for feat in feats:
@@ -279,7 +289,13 @@ def segment_and_patch_one_slide(
         # Mode 4: StarDist pre-detection (reference: pipeline.py:299-355).
         from ..models.stardist import predict_nuclei_big
 
-        img = slide.read_region_array((0, 0), 0, slide.dimensions)
+        # read_region_array is TpuSlide-only; tiffslide/openslide backends
+        # return PIL (same guard as patchlib/io.py and engine/data.py)
+        reader = getattr(slide, "read_region_array", None)
+        if reader is not None:
+            img = reader((0, 0), 0, slide.dimensions)
+        else:
+            img = np.asarray(slide.read_region((0, 0), 0, slide.dimensions))[:, :, :3]
         polys = predict_nuclei_big(
             img,
             pmin=stardist_normalization_pmin,

@@ -98,8 +98,11 @@ def _get_mpp_tpu(slide_path) -> tuple[float, float]:
 
 def _get_mpp_tiffslide(slide_path) -> tuple[float, float]:
     slide = tiffslide.TiffSlide(slide_path)  # type: ignore[name-defined]
-    mppx = slide.properties.get(tiffslide.PROPERTY_NAME_MPP_X)  # type: ignore[name-defined]
-    mppy = slide.properties.get(tiffslide.PROPERTY_NAME_MPP_Y)  # type: ignore[name-defined]
+    try:
+        mppx = slide.properties.get(tiffslide.PROPERTY_NAME_MPP_X)  # type: ignore[name-defined]
+        mppy = slide.properties.get(tiffslide.PROPERTY_NAME_MPP_Y)  # type: ignore[name-defined]
+    finally:
+        slide.close()
     if mppx is None or mppy is None:
         raise CannotReadSpacing(str(slide_path))
     return float(mppx), float(mppy)
@@ -107,9 +110,12 @@ def _get_mpp_tiffslide(slide_path) -> tuple[float, float]:
 
 def _get_mpp_openslide(slide_path) -> tuple[float, float]:
     slide = openslide.OpenSlide(slide_path)  # type: ignore[name-defined]
-    props = slide.properties
-    mppx = props.get(openslide.PROPERTY_NAME_MPP_X)  # type: ignore[name-defined]
-    mppy = props.get(openslide.PROPERTY_NAME_MPP_Y)  # type: ignore[name-defined]
+    try:
+        props = slide.properties
+        mppx = props.get(openslide.PROPERTY_NAME_MPP_X)  # type: ignore[name-defined]
+        mppy = props.get(openslide.PROPERTY_NAME_MPP_Y)  # type: ignore[name-defined]
+    finally:
+        slide.close()
     if mppx is not None and mppy is not None:
         return float(mppx), float(mppy)
     raise CannotReadSpacing(str(slide_path))

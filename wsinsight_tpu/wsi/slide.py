@@ -33,13 +33,22 @@ class TpuSlide:
     def __init__(self, path: str | os.PathLike, tile_cache_mb: int = 256):
         self.path = str(path)
         self._tf = TiffFile(path)
-        # Treat successive pages with monotonically decreasing area as pyramid
-        # levels; other pages (labels/macros) are ignored.
+        # Pyramid levels: the baseline plus every TILED page strictly smaller
+        # than the previous kept level. Aperio SVS interleaves non-pyramid
+        # pages — IFD1 is a STRIPPED thumbnail, and label/macro pages are
+        # stripped too (Aperio format spec) — so requiring tiling keeps the
+        # real 4x/16x levels that follow the thumbnail instead of stopping at
+        # it. Purely stripped single-level TIFFs still work: page 0 is always
+        # level 0 regardless of layout.
         pages = self._tf.pages
         levels: list[TiffPage] = [pages[0]]
         for p in pages[1:]:
             prev = levels[-1]
-            if p.width < prev.width and p.height < prev.height and p.width > 0:
+            if (
+                p.is_tiled
+                and 0 < p.width < prev.width
+                and 0 < p.height < prev.height
+            ):
                 levels.append(p)
         self._levels = levels
         self._lock = threading.Lock()
@@ -179,8 +188,13 @@ class TpuSlide:
         if page.width * page.height > 256_000_000 and page.is_tiled:
             arr = self._streamed_thumbnail(page, size)
         else:
-            arr = page.asarray()[:, :, :3]
-        img = Image.fromarray(arr, "RGB")
+            arr = page.asarray()
+            if arr.ndim == 2:
+                arr = arr[:, :, None]
+            if arr.shape[2] == 1:  # grayscale -> RGB, like _get_segment
+                arr = np.repeat(arr, 3, axis=2)
+            arr = arr[:, :, :3]
+        img = Image.fromarray(np.ascontiguousarray(arr), "RGB")
         img.thumbnail(size, Image.Resampling.LANCZOS)
         return img
 

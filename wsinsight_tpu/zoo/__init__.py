@@ -140,7 +140,7 @@ class ModelHandle:
         )
 
         path = self._resolve_weights()
-        if path.suffix in (".msgpack", ".flax", ".npz"):
+        if path.suffix in (".msgpack", ".flax"):
             return load_flax_params(path)
         # Torch checkpoint: convert against the architecture's own init tree,
         # which drives nesting + leaf naming and verifies full coverage.
@@ -284,6 +284,13 @@ def make_random_local_model(
     out_dir.mkdir(parents=True, exist_ok=True)
     is_cell = architecture.lower().replace("-", "_").startswith(("cellvit", "hovernet"))
     if is_cell:
+        if patch_size_pixels == 350:  # classifier default: use the cell default
+            patch_size_pixels = 256
+        if patch_size_pixels % 16:
+            raise ValueError(
+                f"cell architectures need patch_size_pixels divisible by 16"
+                f" (ViT patch embed + decoder upsampling), got {patch_size_pixels}"
+            )
         halo = 46
         cfg = ModelConfiguration(
             architecture=architecture,
