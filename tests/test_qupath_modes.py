@@ -244,3 +244,129 @@ def test_qupath_malformed_tsv_fails_one_slide_not_cohort(purple_slide, tmp_path)
     )
     assert failed == ["purple"]
     assert not (results / "model-outputs-csv" / "purple.csv").exists()
+
+
+def test_qupath_tsv_probs_stay_row_aligned_past_annotations(purple_slide, tmp_path):
+    """A non-Detection row in the TSV must not shift every later cell's class.
+
+    The reference indexes the Detection/Cell SUBSET but scatters its
+    positions into the full-length probs array (run_inference.py:342-353),
+    so an 'Annotation' row silently reassigns all following classes — a
+    defect we do not reproduce.
+    """
+    mpp = 0.25
+    qdir = tmp_path / "qp"
+    qdir.mkdir()
+    pd.DataFrame(
+        {
+            "Object type": ["Annotation", "Detection", "Cell"],
+            "Name": ["Region A", "Tumor cell", "Immune cell"],
+            "Classification": ["RegionA", "Tumor", "Immune"],
+            "Centroid X µm": [50.0 * mpp, 100.0 * mpp, 500.0 * mpp],
+            "Centroid Y µm": [60.0 * mpp, 120.0 * mpp, 540.0 * mpp],
+            "Parent": ["ROI", "ROI", "ROI"],
+        }
+    ).to_csv(qdir / "purple.txt", sep="\t", index=False)
+
+    results = tmp_path / "results"
+    segment_and_patch_one_slide(
+        slide_path=URIPath(str(purple_slide)),
+        save_dir=URIPath(str(results)),
+        qupath_detection_dir=URIPath(str(qdir)),
+        qupath_geojson_detection_dir=None,
+        qupath_geojson_annotation_dir=None,
+        patch_size_px=56,
+        patch_spacing_um_px=0.25,
+        object_based=True,
+    )
+    cfg = ModelConfiguration(
+        architecture="qupath.detection",
+        num_classes=2,
+        class_names=["tumor", "immune"],
+        patch_size_pixels=56,
+        spacing_um_px=0.25,
+        transform=[],
+    )
+    model = ModelHandle(name="qupath.detection", config=cfg)
+    _, failed_inference = run_inference(
+        wsi_dir=None,
+        slide_paths=None,
+        results_dir=URIPath(str(results)),
+        qupath_detection_dir=URIPath(str(qdir)),
+        model_info=model,
+        object_based=True,
+    )
+    assert failed_inference == []
+    df = pd.read_csv(results / "model-outputs-csv" / "purple.csv")
+    # row 0 (Annotation): all-zero probs; rows 1-2 keep their OWN classes
+    np.testing.assert_array_equal(df["prob_tumor"], [0.0, 1.0, 0.0])
+    np.testing.assert_array_equal(df["prob_immune"], [0.0, 0.0, 1.0])
+
+
+def test_qupath_geojson_annotation_pseudo_model(purple_slide, tmp_path):
+    """The annotation-dir mode (reference declares it but left the
+    run_inference branch an empty stub) produces one one-hot row per
+    annotation region."""
+    import json as _json
+
+    qdir = tmp_path / "qa"
+    qdir.mkdir()
+
+    def region(cx, cy, r, name):
+        ring = [
+            [cx - r, cy - r], [cx - r, cy + r], [cx + r, cy + r],
+            [cx + r, cy - r], [cx - r, cy - r],
+        ]
+        return {
+            "type": "Feature",
+            "geometry": {"type": "Polygon", "coordinates": [ring]},
+            "properties": {
+                "objectType": "annotation",
+                "classification": {"name": name},
+            },
+        }
+
+    (qdir / "purple.geojson").write_text(
+        _json.dumps(
+            {
+                "type": "FeatureCollection",
+                "features": [region(25.0, 30.0, 10.0, "Stroma"),
+                             region(125.0, 135.0, 10.0, "Tumor")],
+            }
+        )
+    )
+    results = tmp_path / "results"
+    segment_and_patch_one_slide(
+        slide_path=URIPath(str(purple_slide)),
+        save_dir=URIPath(str(results)),
+        qupath_detection_dir=None,
+        qupath_geojson_detection_dir=None,
+        qupath_geojson_annotation_dir=URIPath(str(qdir)),
+        patch_size_px=56,
+        patch_spacing_um_px=0.25,
+        object_based=False,
+    )
+    cfg = ModelConfiguration(
+        architecture="qupath.geojson",
+        num_classes=2,
+        class_names=["stroma", "tumor"],
+        patch_size_pixels=56,
+        spacing_um_px=0.25,
+        transform=[],
+    )
+    model = ModelHandle(name="qupath.geojson", config=cfg)
+    _, failed_inference = run_inference(
+        wsi_dir=None,
+        slide_paths=None,
+        results_dir=URIPath(str(results)),
+        qupath_geojson_annotation_dir=URIPath(str(qdir)),
+        model_info=model,
+        object_based=False,
+    )
+    assert failed_inference == []
+    df = pd.read_csv(results / "model-outputs-csv" / "purple.csv")
+    assert len(df) == 2
+    np.testing.assert_array_equal(df["prob_stroma"], [1.0, 0.0])
+    np.testing.assert_array_equal(df["prob_tumor"], [0.0, 1.0])
+    # coords are centroid-centred patch boxes in pixels
+    assert (df["width"] == 56).all()

@@ -24,8 +24,16 @@ def _num_cpus() -> int:
 
 
 def default_infer_workers() -> int:
-    """min(cpu, 2*accelerators) (reference: cli/infer.py:63-90)."""
+    """min(cpu, 2*accelerators) (reference: cli/infer.py:63-90).
+
+    Calling jax.devices() initialises the backend, so WSINFER_FORCE_CPU must
+    be applied first — and this must only ever run inside a command body,
+    never at import/decorator time.
+    """
     try:
+        from ..parallel.mesh import force_cpu_if_requested
+
+        force_cpu_if_requested()
         import jax
 
         n_acc = max(1, len(jax.devices()))
@@ -50,8 +58,13 @@ def default_stitch_workers() -> int:
 @opt.model_options
 @click.option("-b", "--batch-size", type=click.IntRange(min=1), default=32, show_default=True)
 @click.option(
-    "-n", "--num-workers", type=click.IntRange(min=0), default=default_infer_workers(),
-    show_default=True, help="Number of patch-decode worker threads.",
+    # Default resolved lazily inside the command: calling jax.devices() at
+    # decorator time would initialise (and lock) the accelerator backend on
+    # EVERY CLI invocation — before WSINFER_FORCE_CPU or
+    # jax.distributed.initialize() can take effect.
+    "-n", "--num-workers", type=click.IntRange(min=0), default=None,
+    show_default="min(cpu, 2*accelerators)",
+    help="Number of patch-decode worker threads.",
 )
 @click.option(
     "--export-workers", type=click.IntRange(min=0), default=default_export_workers(),
@@ -141,6 +154,10 @@ def infer(
         qupath_geojson_annotation_dir,
     )
     opt.validate_model_args(model_name, config, model_path, qupath_dirs)
+
+    if num_workers is None:
+        num_workers = default_infer_workers()
+        ctx.params["num_workers"] = num_workers
 
     print_system_info()
     print("\nCommand line arguments")

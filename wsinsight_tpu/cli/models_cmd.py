@@ -23,6 +23,9 @@ def models_cmd() -> None:
                 ",".join(map(str, cfg.get("class_names", []))),
             )
         )
+    if not rows:
+        click.echo("No models registered.")
+        return
     w0 = max(len(r[0]) for r in rows)
     w1 = max(len(r[1]) for r in rows)
     w2 = max(len(r[2]) for r in rows)

@@ -192,25 +192,27 @@ class PatchBatchSource:
             for i in range(0, len(self._order), self.batch_size)
         ]
 
+        def put_or_stop(item) -> bool:
+            # Bounded put that honors close(): an abandoned iterator (e.g.
+            # the one-batch stain sample) must not leave this thread blocked
+            # forever — on ANY put, including the terminal None/error.
+            while not self._stop.is_set():
+                try:
+                    q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
+
         def producer() -> None:
             try:
                 with ThreadPoolExecutor(max_workers=self.num_threads) as pool:
                     for indices in splits:
-                        batch = self._make_batch(pool, indices)
-                        # Bounded put that honors close(): an abandoned
-                        # iterator (e.g. the one-batch stain sample) must not
-                        # leave this thread blocked forever.
-                        while not self._stop.is_set():
-                            try:
-                                q.put(batch, timeout=0.1)
-                                break
-                            except queue.Full:
-                                continue
-                        if self._stop.is_set():
+                        if not put_or_stop(self._make_batch(pool, indices)):
                             return
-                q.put(None)
+                put_or_stop(None)
             except BaseException as err:  # propagate to consumer
-                q.put(err)
+                put_or_stop(err)
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()

@@ -166,6 +166,35 @@ def _norm_names(series: pd.Series) -> pd.Series:
     return series.str.strip().str.replace(" ", "_").str.lower()
 
 
+def _parse_geojson_rows(slide_geojson, qupath_name_as_class: bool):
+    """(centroid, class-name, objectType) per polygon feature of a QuPath
+    GeoJSON export; multi-part geometries use their first exterior ring."""
+    from ..geometry import polygon_centroid
+
+    feats = json.loads(slide_geojson.read_text()).get("features", [])
+    rows, names, obj_types = [], [], []
+    for feat in feats:
+        geom = feat.get("geometry") or {}
+        props = feat.get("properties") or {}
+        coords_list = geom.get("coordinates") or []
+        if geom.get("type") == "Polygon" and coords_list:
+            ring = np.asarray(coords_list[0], dtype=np.float64)
+        elif geom.get("type") == "MultiPolygon" and coords_list:
+            ring = np.asarray(coords_list[0][0], dtype=np.float64)
+        else:
+            continue
+        cx, cy = polygon_centroid(ring)
+        rows.append((cx, cy))
+        cls = props.get("classification")
+        names.append(
+            props.get("name")
+            if qupath_name_as_class
+            else (cls.get("name") if isinstance(cls, dict) else cls)
+        )
+        obj_types.append(props.get("objectType", ""))
+    return rows, names, obj_types
+
+
 def run_inference(
     wsi_dir: URIPath | None,
     slide_paths: List[URIPath] | None,
@@ -285,9 +314,17 @@ def run_inference(
                         qpdet_df["Object type"] == "Cell"
                     )
                     col = "Name" if qupath_name_as_class else "Classification"
+                    # Index over ALL rows, masking non-detections to -1, so
+                    # probs stay row-aligned with coords. The reference
+                    # indexes the det_mask SUBSET but scatters its positions
+                    # into the full-length probs (run_inference.py:342-353),
+                    # shifting every class one row up past a non-Detection
+                    # row — silent output corruption we do not reproduce
+                    # (same rule as the GeoJSON branch below).
                     indexer = pd.Index(cfg.class_names).get_indexer(
-                        _norm_names(qpdet_df[det_mask][col])
+                        _norm_names(qpdet_df[col])
                     )
+                    indexer = np.where(det_mask.to_numpy(), indexer, -1)
                     probs_arr = _one_hot_probs(indexer, len(qpdet_df), len(cfg.class_names))
                     slide_superior_structure = qpdet_df["Parent"]
                 except Exception as err:
@@ -310,32 +347,10 @@ def run_inference(
                     failed_inference.append(wsi_path.stem)
                     pbar.update(1)
                     continue
-                feats = json.loads(slide_geojson.read_text()).get("features", [])
-                from ..geometry import polygon_centroid
-
                 half = round(cfg.patch_size_pixels / 2)
-                rows = []
-                names = []
-                obj_types = []
-                for feat in feats:
-                    geom = feat.get("geometry") or {}
-                    props = feat.get("properties") or {}
-                    coords_list = geom.get("coordinates") or []
-                    if geom.get("type") == "Polygon" and coords_list:
-                        ring = np.asarray(coords_list[0], dtype=np.float64)
-                    elif geom.get("type") == "MultiPolygon" and coords_list:
-                        ring = np.asarray(coords_list[0][0], dtype=np.float64)
-                    else:
-                        continue
-                    cx, cy = polygon_centroid(ring)
-                    rows.append((cx, cy))
-                    cls = props.get("classification")
-                    names.append(
-                        props.get("name")
-                        if qupath_name_as_class
-                        else (cls.get("name") if isinstance(cls, dict) else cls)
-                    )
-                    obj_types.append(props.get("objectType", ""))
+                rows, names, obj_types = _parse_geojson_rows(
+                    slide_geojson, qupath_name_as_class
+                )
                 if not rows:
                     failed_inference.append(wsi_path.stem)
                     pbar.update(1)
@@ -349,6 +364,47 @@ def run_inference(
                 name_series = pd.Series([n if n is not None else "" for n in names])
                 indexer = pd.Index(cfg.class_names).get_indexer(_norm_names(name_series))
                 keep = np.isin(np.array(obj_types), ["detection", "cell"])
+                indexer = np.where(keep, indexer, -1)
+                probs_arr = _one_hot_probs(indexer, len(centers), len(cfg.class_names))
+
+            elif qupath_geojson_annotation_dir is not None:
+                # QuPath GeoJSON ANNOTATION pseudo-model: one row per
+                # annotation region, one-hot by its class name. The reference
+                # declares this mode (cli/infer.py:967-1024 builds the pseudo
+                # model with object_based=False) but its run_inference branch
+                # is an empty stub (run_inference.py:419-429) that falls
+                # through to the CSV writer with unbound/stale arrays — we
+                # complete the branch with the detection-GeoJSON semantics,
+                # filtered to annotation features.
+                cfg = model_info.config
+                slide_geojson = (
+                    URIPath(qupath_geojson_annotation_dir)
+                    / wsi_path.with_suffix(".geojson").name
+                )
+                if not slide_geojson.exists():
+                    failed_inference.append(wsi_path.stem)
+                    pbar.update(1)
+                    continue
+                half = round(cfg.patch_size_pixels / 2)
+                rows, names, obj_types = _parse_geojson_rows(
+                    slide_geojson, qupath_name_as_class
+                )
+                if not rows:
+                    failed_inference.append(wsi_path.stem)
+                    pbar.update(1)
+                    continue
+                centers = np.asarray(rows)
+                x = np.rint(centers[:, 0] / mpp - half).astype(np.int32)
+                y = np.rint(centers[:, 1] / mpp - half).astype(np.int32)
+                coords_arr = np.column_stack(
+                    [x, y, np.full_like(x, cfg.patch_size_pixels),
+                     np.full_like(y, cfg.patch_size_pixels)]
+                )
+                name_series = pd.Series([n if n is not None else "" for n in names])
+                indexer = pd.Index(cfg.class_names).get_indexer(_norm_names(name_series))
+                # QuPath exports annotations with objectType "annotation";
+                # accept missing objectType for hand-rolled files.
+                keep = np.isin(np.array(obj_types), ["annotation", ""])
                 indexer = np.where(keep, indexer, -1)
                 probs_arr = _one_hot_probs(indexer, len(centers), len(cfg.class_names))
 

@@ -125,19 +125,23 @@ class MultiPolygon:
     @property
     def area(self) -> float:
         """Even-odd area: rings at odd nesting depth subtract."""
+        if not self.rings:
+            return 0.0
+        # Probe point: the first vertex of each ring; vertices of nested cv2
+        # rings never touch their parents, so strict containment in the OTHER
+        # rings gives the nesting depth. One single-ring polygon per ring and
+        # one vectorised containment test over all probes keeps this O(R)
+        # structure builds (a fragmented segmentation has hundreds of rings —
+        # a per-pair build would be O(R^2)).
+        probes = np.asarray([r[0] for r in self.rings], dtype=np.float64)
+        depth = np.zeros(len(self.rings), dtype=np.int64)
+        for j, other in enumerate(self.rings):
+            inside = MultiPolygon([other]).contains_points(probes)
+            inside[j] = False  # own boundary never nests itself
+            depth += inside
         total = 0.0
-        for i, r in enumerate(self.rings):
-            depth = 0
-            # Probe point: first vertex nudged toward the ring interior is
-            # unnecessary; count strict containment of the vertex itself in the
-            # OTHER rings (vertices of nested cv2 rings never touch parents).
-            probe = r[0]
-            for j, other in enumerate(self.rings):
-                if i == j:
-                    continue
-                if MultiPolygon([other]).contains_points(probe[None, :])[0]:
-                    depth += 1
-            sign = -1.0 if depth % 2 else 1.0
+        for r, d in zip(self.rings, depth):
+            sign = -1.0 if d % 2 else 1.0
             total += sign * abs(polygon_area(r))
         return total
 

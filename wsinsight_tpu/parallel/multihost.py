@@ -35,8 +35,18 @@ def maybe_initialize_distributed() -> bool:
     if os.getenv("JAX_COORDINATOR_ADDRESS"):
         try:
             jax.distributed.initialize()
-        except RuntimeError:
-            pass  # already initialized
+        except RuntimeError as err:
+            # "already initialized" is fine (idempotent callers); anything
+            # else means every host would silently fall back to running the
+            # WHOLE cohort (process_count 1) and race the shared results dir
+            # — that must be loud, not a pass.
+            if "already initialized" not in str(err).lower():
+                raise RuntimeError(
+                    "jax.distributed.initialize() failed with a coordinator"
+                    f" configured (JAX_COORDINATOR_ADDRESS set): {err}. Refusing"
+                    " to degrade to independent single-host runs against a"
+                    " shared results directory."
+                ) from err
     return jax.process_count() > 1
 
 

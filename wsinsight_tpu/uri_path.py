@@ -396,7 +396,7 @@ class URIPath:
         finally:
             if os.path.exists(tmp_name):
                 os.unlink(tmp_name)
-        weakref.finalize(self, _cleanup_cached, str(target))
+        _register_materialized(str(target))
         return target
 
     def _gdc_download(self, dest: Path) -> None:
@@ -428,6 +428,23 @@ class URIPath:
                 if md5_expected and md5.hexdigest() != md5_expected:
                     raise IOError(f"MD5 mismatch for {fname}")
                 return
+            except requests.HTTPError as err:
+                status = getattr(err.response, "status_code", None)
+                if status in (401, 403, 404):
+                    # Definitive: an expired/absent token or a bad UUID never
+                    # recovers on retry. 31s x N slides of backoff would hide
+                    # the real cause for hours on a large manifest.
+                    hint = (
+                        " (check GDC_TOKEN: controlled-access file rejected)"
+                        if status in (401, 403)
+                        else ""
+                    )
+                    raise IOError(
+                        f"GDC download failed for {self._uri}: HTTP {status}{hint}"
+                    ) from err
+                last_err = err
+                time.sleep(delay)
+                delay = min(delay * 2, 16.0)
             except Exception as err:
                 last_err = err
                 time.sleep(delay)
@@ -497,6 +514,33 @@ def _cleanup_cached(path: str) -> None:
             os.rmdir(parent)
     except OSError:
         pass
+
+
+# Materialized cache files are cleaned up once, at PROCESS EXIT — not per
+# URIPath GC like the reference (uri_path.py:753-805), whose finalizers can
+# delete a file the moment a loop-local URIPath goes out of scope while a
+# worker still holds the returned Path. WSINSIGHT_KEEP_REMOTE_CACHE=1 keeps
+# the content-hashed cache across processes (e.g. patch stage then infer
+# stage over the same TCGA slides downloads once).
+_MATERIALIZED: set = set()
+_ATEXIT_REGISTERED = False
+
+
+def _register_materialized(path: str) -> None:
+    global _ATEXIT_REGISTERED
+    _MATERIALIZED.add(path)
+    if not _ATEXIT_REGISTERED:
+        import atexit
+
+        atexit.register(_cleanup_materialized_at_exit)
+        _ATEXIT_REGISTERED = True
+
+
+def _cleanup_materialized_at_exit() -> None:
+    if os.getenv("WSINSIGHT_KEEP_REMOTE_CACHE", "0") not in ("0", ""):
+        return
+    for p in list(_MATERIALIZED):
+        _cleanup_cached(p)
 
 
 class URIPathType(click.ParamType):

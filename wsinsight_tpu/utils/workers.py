@@ -109,12 +109,13 @@ def pick_workers_safe(
     budget = min(cpu_budget, ram_budget, usable_cores, max_workers)
     if budget <= 0:
         # Host is saturated. With a known footprint, still honour the hard
-        # RAM cap so min_workers can't overcommit memory; otherwise trust
-        # min_workers (the caller's liveness floor).
+        # RAM cap so min_workers can't overcommit memory — but never go
+        # below 1: callers hand the result straight to pool constructors,
+        # which reject max_workers=0, and one worker is the liveness floor.
         if footprint:
-            return int(max(0, min(spendable // footprint, min_workers)))
-        return min_workers
-    return max(min_workers, int(budget))
+            return int(max(1, min(spendable // footprint, min_workers)))
+        return max(1, min_workers)
+    return max(1, min_workers, int(budget))
 
 
 def throttle_when_busy(
