@@ -682,3 +682,28 @@ def test_hplot_worker_crash_does_not_abort_cohort(purple_slide, tmp_path):
     assert (results / "hplot-outputs-csv" / "cells" / "purple.csv").exists()
     cohort = pd.read_csv(results / "hplot-outputs.csv")
     assert (cohort["id"] == "purple").all()
+
+
+def test_capped_voronoi_handles_near_collinear_points():
+    """Near-degenerate point sets (cells along a vessel) must not silently
+    lose their regions: the half-plane construction yields a valid cell for
+    every point regardless of configuration."""
+    from wsinsight_tpu.insightlib.voronoi_exact import (
+        capped_voronoi_cells,
+        ring_area,
+    )
+
+    pts = np.array([[0.0, 0.0], [100.0, 0.1], [200.0, -0.1]])
+    cells = capped_voronoi_cells(pts, radius=10.0)
+    assert all(c is not None for c in cells)
+    for c, p in zip(cells, pts):
+        # disjoint disks -> each cell is (approximately) the full 64-gon disk
+        assert abs(ring_area(c) - 313.65) < 1.0
+        assert np.hypot(*(c.mean(axis=0) - p)) < 1.0
+
+    # exactly collinear, overlapping disks: bisectors split the line evenly
+    pts = np.array([[0.0, 0.0], [8.0, 0.0], [16.0, 0.0]])
+    cells = capped_voronoi_cells(pts, radius=10.0)
+    assert all(c is not None for c in cells)
+    mid = cells[1]
+    assert mid[:, 0].min() >= 4.0 - 1e-9 and mid[:, 0].max() <= 12.0 + 1e-9

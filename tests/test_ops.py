@@ -139,3 +139,43 @@ def test_estimate_stains_degenerate_batches_fall_back():
         assert np.isfinite(w).all()
         assert abs(np.linalg.det(w)) > 1e-6
         np.testing.assert_allclose(w, default_target_stains())
+
+
+def test_stain_normalization_is_identity_on_target_stains():
+    """Normalizing an image ALREADY rendered in the target stain space must be
+    (near) a no-op — in particular hematoxylin and eosin must not swap (the
+    concentration-to-target mapping is positional, so column identity
+    matters)."""
+    import jax.numpy as jnp
+
+    from wsinsight_tpu.ops.stain import (
+        color_convolution,
+        deconvolution_based_normalization,
+        default_target_stains,
+        estimate_stains_from_batch,
+    )
+
+    rng = np.random.default_rng(0)
+    w_def = default_target_stains()
+    conc = np.zeros((64, 64, 3), np.float32)
+    conc[..., 0] = rng.uniform(0, 80, (64, 64))   # eosin
+    conc[..., 1] = rng.uniform(0, 120, (64, 64))  # hematoxylin
+    img = np.clip(
+        np.asarray(color_convolution(jnp.asarray(conc), jnp.asarray(w_def))), 0, 255
+    ).astype(np.uint8)
+
+    w_est = estimate_stains_from_batch(img[None])
+    out = np.asarray(
+        deconvolution_based_normalization(
+            jnp.asarray(img, jnp.float32), jnp.asarray(w_est), jnp.asarray(w_def)
+        )
+    )
+    assert np.abs(out - img.astype(np.float32)).mean() < 3.0
+    # a hematoxylin-blue pixel stays blue (no H/E swap)
+    px = np.array([[[47.0, 40.0, 119.0]]], np.float32)
+    outpx = np.asarray(
+        deconvolution_based_normalization(
+            jnp.asarray(px), jnp.asarray(w_est), jnp.asarray(w_def)
+        )
+    )[0, 0]
+    assert outpx[2] > outpx[0], f"blue pixel turned {outpx}"

@@ -123,21 +123,28 @@ class Deconv2DBlock(nn.Module):
 class UpsamplingBranch(nn.Module):
     def __init__(self, dim, out_channels):
         super().__init__()
-        self.bottleneck_upsampler = nn.ConvTranspose2d(dim, 512, 2, stride=2)
-        self.decoder3 = nn.Sequential(Deconv2DBlock(dim, 512))
+        # widths/counts follow upstream CellViT _create_upsampling_branch
+        if dim < 512:  # ViT-256 encoder
+            bott, s11, s12 = 312, 256, 128
+        else:  # SAM encoders
+            bott, s11, s12 = 512, 512, 256
+        self.bottleneck_upsampler = nn.ConvTranspose2d(dim, bott, 2, stride=2)
+        self.decoder3 = nn.Sequential(Deconv2DBlock(dim, bott))
         self.decoder3_upsampler = nn.Sequential(
-            Conv2DBlock(1024, 512), Conv2DBlock(512, 512),
-            nn.ConvTranspose2d(512, 256, 2, stride=2),
+            Conv2DBlock(bott * 2, bott), Conv2DBlock(bott, bott), Conv2DBlock(bott, bott),
+            nn.ConvTranspose2d(bott, 256, 2, stride=2),
         )
-        self.decoder2 = nn.Sequential(Deconv2DBlock(dim, 512), Deconv2DBlock(512, 256))
+        self.decoder2 = nn.Sequential(Deconv2DBlock(dim, s11), Deconv2DBlock(s11, 256))
         self.decoder2_upsampler = nn.Sequential(
-            Conv2DBlock(512, 256), nn.ConvTranspose2d(256, 128, 2, stride=2)
+            Conv2DBlock(512, 256), Conv2DBlock(256, 256),
+            nn.ConvTranspose2d(256, 128, 2, stride=2),
         )
         self.decoder1 = nn.Sequential(
-            Deconv2DBlock(dim, 512), Deconv2DBlock(512, 256), Deconv2DBlock(256, 128)
+            Deconv2DBlock(dim, s11), Deconv2DBlock(s11, s12), Deconv2DBlock(s12, 128)
         )
         self.decoder1_upsampler = nn.Sequential(
-            Conv2DBlock(256, 128), nn.ConvTranspose2d(128, 64, 2, stride=2)
+            Conv2DBlock(256, 128), Conv2DBlock(128, 128),
+            nn.ConvTranspose2d(128, 64, 2, stride=2),
         )
         self.decoder0 = nn.Sequential(Conv2DBlock(3, 32), Conv2DBlock(32, 64))
         self.decoder0_header = nn.Sequential(
@@ -222,7 +229,7 @@ class HoverDenseUnit(nn.Module):
         self.bn1 = nn.BatchNorm2d(cin)
         self.conv1 = nn.Conv2d(cin, 128, 1, bias=False)
         self.bn2 = nn.BatchNorm2d(128)
-        self.conv2 = nn.Conv2d(128, growth, 3, padding=1, bias=False)
+        self.conv2 = nn.Conv2d(128, growth, 5, padding=2, groups=4, bias=False)
 
     def forward(self, x):
         y = self.conv1(torch.relu(self.bn1(x)))
@@ -230,37 +237,30 @@ class HoverDenseUnit(nn.Module):
         return torch.cat([x, y], dim=1)
 
 
-class _U3(nn.Module):
-    def __init__(self, cin):
+def _up2(x):
+    return nn.functional.interpolate(x, scale_factor=2, mode="nearest")
+
+
+class _HoverU(nn.Module):
+    """uN stage: conva 5x5 -> dense units -> bn/relu -> convf 1x1."""
+
+    def __init__(self, cin, mid, n_dense, cout):
         super().__init__()
-        self.conva = nn.Conv2d(cin, 256, 5, padding=2, bias=False)
-        for i in range(4):
-            setattr(self, f"dense{i}", HoverDenseUnit(256 + 32 * i))
-        self.convf = nn.Conv2d(256 + 128, 512, 1, bias=False)
+        self.conva = nn.Conv2d(cin, mid, 5, padding=2, bias=False)
+        for i in range(n_dense):
+            setattr(self, f"dense{i}", HoverDenseUnit(mid + 32 * i))
+        self.n_dense = n_dense
+        self.bna = nn.BatchNorm2d(mid + 32 * n_dense)
+        self.convf = nn.Conv2d(mid + 32 * n_dense, cout, 1, bias=False)
 
     def forward(self, x):
         x = self.conva(x)
-        for i in range(4):
+        for i in range(self.n_dense):
             x = getattr(self, f"dense{i}")(x)
-        return self.convf(x)
+        return self.convf(torch.relu(self.bna(x)))
 
 
-class _U2(nn.Module):
-    def __init__(self, cin):
-        super().__init__()
-        self.conva = nn.Conv2d(cin, 128, 5, padding=2, bias=False)
-        for i in range(4):
-            setattr(self, f"dense{i}", HoverDenseUnit(128 + 32 * i))
-        self.convf = nn.Conv2d(128 + 128, 256, 1, bias=False)
-
-    def forward(self, x):
-        x = self.conva(x)
-        for i in range(4):
-            x = getattr(self, f"dense{i}")(x)
-        return self.convf(x)
-
-
-class _U1(nn.Module):
+class _HoverU1(nn.Module):
     def __init__(self):
         super().__init__()
         self.conva = nn.Conv2d(256, 64, 5, padding=2, bias=False)
@@ -269,36 +269,32 @@ class _U1(nn.Module):
         return self.conva(x)
 
 
-class _U0(nn.Module):
-    def __init__(self, cin):
+class _HoverU0(nn.Module):
+    def __init__(self, out_channels):
         super().__init__()
-        self.bn = nn.BatchNorm2d(cin)
-        self.conv = nn.Conv2d(cin, 64, 3, padding=1, bias=False)
+        self.bn = nn.BatchNorm2d(64)
+        self.conv = nn.Conv2d(64, out_channels, 1, bias=True)
 
     def forward(self, x):
-        return torch.relu(self.conv(torch.relu(self.bn(x))))
-
-
-def _up2(x):
-    return nn.functional.interpolate(x, scale_factor=2, mode="nearest")
+        return self.conv(torch.relu(self.bn(x)))
 
 
 class TorchHoverDecoder(nn.Module):
+    """Mirrors wsinsight_tpu HoverDecoder: additive skips, 8+4 dense units,
+    bn-relu stack tails, bn-relu-1x1 head (hover_net fast topology)."""
+
     def __init__(self, out_channels):
         super().__init__()
-        self.u3 = _U3(2048 + 1024)
-        self.u2 = _U2(512 + 512)
-        self.u1 = _U1()
-        self.u0 = _U0(64 + 64)
-        self.head = nn.Conv2d(64, out_channels, 1, bias=True)
+        self.u3 = _HoverU(1024, 256, 8, 512)
+        self.u2 = _HoverU(512, 128, 4, 256)
+        self.u1 = _HoverU1()
+        self.u0 = _HoverU0(out_channels)
 
     def forward(self, d0, d1, d2, d3):
-        x = self.u3(torch.cat([_up2(d3), d2], dim=1))
-        x = self.u2(torch.cat([_up2(x), d1], dim=1))
-        x = self.u1(_up2(x))
-        x = _up2(x)
-        x = self.u0(torch.cat([x, d0], dim=1))
-        return self.head(x)
+        x = self.u3(_up2(d3) + d2)
+        x = self.u2(_up2(x) + d1)
+        x = self.u1(_up2(x) + d0)
+        return self.u0(x)
 
 
 class TorchHoVerNetFast(nn.Module):
@@ -317,6 +313,7 @@ class TorchHoVerNetFast(nn.Module):
                 stage.append(PreActBottleneck(cin, wd, stride))
                 cin = wd * 4
             setattr(self, f"res{si}", nn.Sequential(*stage))
+        self.conv_bot = nn.Conv2d(2048, 1024, 1, bias=False)
         self.decoder = nn.ModuleDict(
             {
                 "np": TorchHoverDecoder(2),
@@ -326,13 +323,14 @@ class TorchHoVerNetFast(nn.Module):
         )
 
     def forward(self, x):
-        d0 = torch.relu(self.bn0(self.conv0(x)))
-        y = nn.functional.max_pool2d(d0, 3, stride=2, padding=1)
+        y = torch.relu(self.bn0(self.conv0(x)))
+        # no stem pooling: d0 at full resolution, d3 at H/8
         stages = []
         for si in range(4):
             y = getattr(self, f"res{si}")(y)
             stages.append(y)
-        d1, d2, d3 = stages[1], stages[2], stages[3]
+        d0, d1, d2, d3 = stages
+        d3 = self.conv_bot(d3)
         out = {}
         h = self.halo
         for key, name in (

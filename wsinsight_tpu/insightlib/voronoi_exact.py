@@ -7,9 +7,10 @@ reference builds per-cell Voronoi polygons with shapely, caps each with
 with unary_union plus iterative snapped-edge repair. This module does the
 same construction without GEOS, exactly:
 
-* ``capped_voronoi_cells`` — scipy Voronoi diagram, infinite ridges
-  finite-ified along their perpendicular directions, each convex cell clipped
-  against a 64-gon disk (Sutherland–Hodgman; convex ∩ convex is exact).
+* ``capped_voronoi_cells`` — each point's 64-gon disk clipped against the
+  bisector half-plane of every neighbour within 2r (Sutherland–Hodgman per
+  half-plane; the capped Voronoi cell by definition, robust for collinear
+  and near-degenerate point sets).
 * ``union_cells`` — union of an edge-sharing cell collection by split-and-
   cancel: every polygon edge is split at every vertex that lies on it, then
   interior edges (traversed once in each direction by the two adjacent CCW
@@ -40,147 +41,65 @@ def disk_polygon(center: np.ndarray, radius: float, n_segments: int = 64) -> np.
     )
 
 
-def clip_convex(subject: np.ndarray, clip_poly: np.ndarray) -> np.ndarray:
-    """Sutherland–Hodgman clip of a polygon against a convex CCW clip polygon."""
-    output = list(map(np.asarray, subject))
-    m = len(clip_poly)
-    for i in range(m):
-        a, b = clip_poly[i], clip_poly[(i + 1) % m]
-        edge = b - a
-        if not output:
-            break
-        inputs = output
-        output = []
-
-        def inside(p):
-            return edge[0] * (p[1] - a[1]) - edge[1] * (p[0] - a[0]) >= 0.0
-
-        def intersect(p, q):
-            # line a-b with segment p-q
-            r = q - p
-            denom = edge[0] * r[1] - edge[1] * r[0]
-            t = ((a[0] - p[0]) * edge[1] - (a[1] - p[1]) * edge[0]) / -denom
-            return p + t * r
-
-        prev = inputs[-1]
-        prev_in = inside(prev)
-        for cur in inputs:
-            cur_in = inside(cur)
-            if cur_in:
-                if not prev_in:
-                    output.append(intersect(prev, cur))
-                output.append(cur)
-            elif prev_in:
-                output.append(intersect(prev, cur))
-            prev, prev_in = cur, cur_in
-    return np.asarray(output) if output else np.zeros((0, 2))
-
-
-def _order_ccw(points: np.ndarray) -> np.ndarray:
-    c = points.mean(axis=0)
-    ang = np.arctan2(points[:, 1] - c[1], points[:, 0] - c[0])
-    return points[np.argsort(ang)]
-
-
-def finite_voronoi_polygons(points: np.ndarray, reach: float) -> List[np.ndarray | None]:
-    """Convex Voronoi cell polygon per input point, infinite cells closed off
-    at distance `reach` (must exceed the cap radius so clipping is exact).
-
-    Returns None for a point when the diagram is degenerate for it.
-    """
-    from scipy.spatial import Voronoi
-
-    points = np.asarray(points, np.float64)
-    n = len(points)
-    if n == 1:
-        # whole plane -> the disk cap decides; return a huge square
-        r = reach
-        c = points[0]
-        return [np.array([[c[0] - r, c[1] - r], [c[0] + r, c[1] - r],
-                          [c[0] + r, c[1] + r], [c[0] - r, c[1] + r]])]
-    if n == 2:
-        # two half-planes; synthesise by clipping huge squares with the bisector
-        out: List[np.ndarray | None] = []
-        mid = points.mean(axis=0)
-        d = points[1] - points[0]
-        nrm = np.linalg.norm(d)
-        if nrm == 0:
-            return [None, None]
-        d = d / nrm
-        t = np.array([-d[1], d[0]])
-        for i, sign in ((0, -1.0), (1, 1.0)):
-            c = points[i]
-            big = np.array([[c[0] - reach, c[1] - reach], [c[0] + reach, c[1] - reach],
-                            [c[0] + reach, c[1] + reach], [c[0] - reach, c[1] + reach]])
-            # half-plane containing points[i]: CCW clip polygon along bisector
-            a = mid + t * reach * 4
-            b = mid - t * reach * 4
-            if sign < 0:
-                a, b = b, a
-            half = np.array([a, b, b + d * sign * reach * 8, a + d * sign * reach * 8])
-            out.append(clip_convex(big, _order_ccw(half)))
-        return out
-
-    vor = Voronoi(points)
-    center = points.mean(axis=0)
-
-    ridges_of: dict[int, list] = {}
-    for (p1, p2), (v1, v2) in zip(vor.ridge_points, vor.ridge_vertices):
-        ridges_of.setdefault(int(p1), []).append((int(p2), int(v1), int(v2)))
-        ridges_of.setdefault(int(p2), []).append((int(p1), int(v1), int(v2)))
-
-    polys: List[np.ndarray | None] = []
-    for p in range(n):
-        region = vor.regions[vor.point_region[p]]
-        if not region:
-            polys.append(None)
-            continue
-        if -1 not in region:
-            polys.append(vor.vertices[region])
-            continue
-        # open cell: keep finite vertices, extend each infinite ridge outward
-        verts = [vor.vertices[v] for v in region if v >= 0]
-        for q, v1, v2 in ridges_of.get(p, []):
-            if v1 >= 0 and v2 >= 0:
-                continue
-            vfin = v2 if v2 >= 0 else v1
-            if vfin < 0:
-                continue
-            tangent = points[q] - points[p]
-            tn = np.linalg.norm(tangent)
-            if tn == 0:
-                continue
-            tangent = tangent / tn
-            normal = np.array([-tangent[1], tangent[0]])
-            midpoint = (points[p] + points[q]) / 2.0
-            direction = np.sign(np.dot(midpoint - center, normal)) * normal
-            if not direction.any():
-                direction = normal
-            verts.append(vor.vertices[vfin] + direction * reach)
-        if len(verts) < 3:
-            polys.append(None)
-            continue
-        polys.append(_order_ccw(np.asarray(verts)))
-    return polys
+def clip_halfplane(subject: np.ndarray, origin: np.ndarray, normal: np.ndarray) -> np.ndarray:
+    """Sutherland-Hodgman clip against one half-plane: keep (v-origin).n >= 0."""
+    if len(subject) == 0:
+        return subject
+    out: list[np.ndarray] = []
+    prev = subject[-1]
+    fprev = float((prev - origin) @ normal)
+    for cur in subject:
+        fcur = float((cur - origin) @ normal)
+        if fcur >= 0.0:
+            if fprev < 0.0:
+                t = fprev / (fprev - fcur)
+                out.append(prev + t * (cur - prev))
+            out.append(cur)
+        elif fprev >= 0.0:
+            t = fprev / (fprev - fcur)
+            out.append(prev + t * (cur - prev))
+        prev, fprev = cur, fcur
+    return np.asarray(out) if out else np.zeros((0, 2))
 
 
 def capped_voronoi_cells(
     points: np.ndarray, radius: float, n_segments: int = 64
 ) -> List[np.ndarray | None]:
-    """Each point's Voronoi cell intersected with its disk of `radius`."""
+    """Each point's Voronoi cell intersected with its disk of `radius`.
+
+    Built by clipping the point's disk polygon against the bisector
+    half-plane of every neighbour within 2*radius (a point farther away
+    cannot influence the disk region). This is the capped Voronoi cell by
+    definition and involves NO Voronoi vertex geometry, so collinear and
+    near-degenerate point sets — where finite-ifying scipy's open ridges
+    puts vertices astronomically far away and silently loses cells — are
+    handled exactly like any other configuration. Bisector lines are
+    computed canonically per unordered pair, so the two adjacent cells clip
+    against the identical line and union_cells' snapped edges cancel.
+    """
     points = np.asarray(points, np.float64)
-    span = float(np.ptp(points, axis=0).max()) if len(points) > 1 else 0.0
-    reach = 4.0 * radius + span + 1.0
-    cells = finite_voronoi_polygons(points, reach)
+    from scipy.spatial import cKDTree
+
+    tree = cKDTree(points)
     out: List[np.ndarray | None] = []
-    for p, cell in zip(points, cells):
-        if cell is None or len(cell) < 3:
-            out.append(None)
-            continue
-        if ring_area(cell) < 0:  # normalize to CCW (union relies on it)
-            cell = cell[::-1]
-        clipped = clip_convex(cell, disk_polygon(p, radius, n_segments))
-        out.append(clipped if len(clipped) >= 3 else None)
+    for i, p in enumerate(points):
+        cell = disk_polygon(p, radius, n_segments)
+        for j in tree.query_ball_point(p, 2.0 * radius):
+            if j == i:
+                continue
+            lo, hi = (i, j) if i < j else (j, i)
+            a, b = points[lo], points[hi]
+            d = b - a
+            nrm = float(np.linalg.norm(d))
+            if nrm == 0.0:  # coincident points split the plane arbitrarily
+                continue
+            d = d / nrm
+            mid = (a + b) / 2.0
+            inward = -d if i == lo else d  # toward p's side of the bisector
+            cell = clip_halfplane(cell, mid, inward)
+            if len(cell) < 3:
+                break
+        out.append(cell if len(cell) >= 3 else None)
     return out
 
 

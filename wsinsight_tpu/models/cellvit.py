@@ -60,7 +60,15 @@ class Deconv2DBlock(nn.Module):
 
 
 class UpsamplingBranch(nn.Module):
-    """One decoder branch: z4..z1 skips + input image -> (B, H, W, out)."""
+    """One decoder branch: z4..z1 skips + input image -> (B, H, W, out).
+
+    Layer layout and widths follow upstream CellViT exactly (TIO-IKIM
+    CellViT ``_create_upsampling_branch``): bottleneck/skip widths depend on
+    the encoder embed dim (512/512/256 for the SAM encoders, 312/256/128 for
+    the ViT-256 encoder), the three upsamplers carry 3/2/2 Conv2DBlocks, and
+    terminal widths (256/128/64) are fixed — otherwise released checkpoints
+    cannot map onto the module.
+    """
 
     out_channels: int
     embed_dim: int
@@ -69,31 +77,38 @@ class UpsamplingBranch(nn.Module):
     @nn.compact
     def __call__(self, img, z1, z2, z3, z4):
         dt = self.dtype
+        if self.embed_dim < 512:  # ViT-256 encoder
+            bottleneck, skip11, skip12 = 312, 256, 128
+        else:  # SAM encoders
+            bottleneck, skip11, skip12 = 512, 512, 256
         # bottleneck: 16 -> 32
-        b4 = nn.ConvTranspose(512, (2, 2), strides=(2, 2), padding="VALID", dtype=dt,
-                              name="bottleneck_upsampler")(z4)
+        b4 = nn.ConvTranspose(bottleneck, (2, 2), strides=(2, 2), padding="VALID",
+                              dtype=dt, name="bottleneck_upsampler")(z4)
         # skip 3: 16 -> 32
-        b3 = Deconv2DBlock(512, dtype=dt, name="decoder3.0")(z3)
+        b3 = Deconv2DBlock(bottleneck, dtype=dt, name="decoder3.0")(z3)
         y = jnp.concatenate([b3, b4], axis=-1)
-        y = Conv2DBlock(512, dtype=dt, name="decoder3_upsampler.0")(y)
-        y = Conv2DBlock(512, dtype=dt, name="decoder3_upsampler.1")(y)
+        y = Conv2DBlock(bottleneck, dtype=dt, name="decoder3_upsampler.0")(y)
+        y = Conv2DBlock(bottleneck, dtype=dt, name="decoder3_upsampler.1")(y)
+        y = Conv2DBlock(bottleneck, dtype=dt, name="decoder3_upsampler.2")(y)
         y = nn.ConvTranspose(256, (2, 2), strides=(2, 2), padding="VALID", dtype=dt,
-                             name="decoder3_upsampler.2")(y)  # 32 -> 64
+                             name="decoder3_upsampler.3")(y)  # 32 -> 64
         # skip 2: 16 -> 64
-        b2 = Deconv2DBlock(512, dtype=dt, name="decoder2.0")(z2)
+        b2 = Deconv2DBlock(skip11, dtype=dt, name="decoder2.0")(z2)
         b2 = Deconv2DBlock(256, dtype=dt, name="decoder2.1")(b2)
         y = jnp.concatenate([b2, y], axis=-1)
         y = Conv2DBlock(256, dtype=dt, name="decoder2_upsampler.0")(y)
+        y = Conv2DBlock(256, dtype=dt, name="decoder2_upsampler.1")(y)
         y = nn.ConvTranspose(128, (2, 2), strides=(2, 2), padding="VALID", dtype=dt,
-                             name="decoder2_upsampler.1")(y)  # 64 -> 128
+                             name="decoder2_upsampler.2")(y)  # 64 -> 128
         # skip 1: 16 -> 128
-        b1 = Deconv2DBlock(512, dtype=dt, name="decoder1.0")(z1)
-        b1 = Deconv2DBlock(256, dtype=dt, name="decoder1.1")(b1)
+        b1 = Deconv2DBlock(skip11, dtype=dt, name="decoder1.0")(z1)
+        b1 = Deconv2DBlock(skip12, dtype=dt, name="decoder1.1")(b1)
         b1 = Deconv2DBlock(128, dtype=dt, name="decoder1.2")(b1)
         y = jnp.concatenate([b1, y], axis=-1)
         y = Conv2DBlock(128, dtype=dt, name="decoder1_upsampler.0")(y)
+        y = Conv2DBlock(128, dtype=dt, name="decoder1_upsampler.1")(y)
         y = nn.ConvTranspose(64, (2, 2), strides=(2, 2), padding="VALID", dtype=dt,
-                             name="decoder1_upsampler.1")(y)  # 128 -> 256
+                             name="decoder1_upsampler.2")(y)  # 128 -> 256
         # image-level features
         b0 = Conv2DBlock(32, dtype=dt, name="decoder0.0")(img)
         b0 = Conv2DBlock(64, dtype=dt, name="decoder0.1")(b0)

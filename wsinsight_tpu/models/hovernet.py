@@ -1,15 +1,28 @@
 """HoVer-Net (fast/PanNuke) in flax.
 
 Serves the `hovernet_fast_pannuke` single-cell model (reference:
-README.md:217 — ResNet50 backbone, dual-branch decoders predicting nuclear
-masks + horizontal/vertical distance maps; executed as TorchScript through the
-same stitcher contract as CellViT, modellib/tilefuse.py:220-278).
+README.md:217 — executed as TorchScript through the same stitcher contract
+as CellViT, modellib/tilefuse.py:220-278).
 
-Structure: pre-activation ResNet50 encoder with skip features at 4 scales,
-three upsampling decoders with dense conv units (NP 2ch / HV 2ch / TP Kch),
-outputs center-cropped to patch - 2*halo (fast mode: 256 -> 164). Checkpoint
-key mapping will be finalized against the released weights; the forward
-contract (dict of channel-first maps) is what the engine consumes.
+The graph follows the released hover_net "fast" topology so checkpoint
+tensors map 1:1:
+
+* pre-activation ResNet50 encoder — 7x7/1 stem, NO stem pooling, stages of
+  3/4/6/3 bottlenecks with widths 64/128/256/512 (stage outputs 256/512/
+  1024/2048 at H, H/2, H/4, H/8), then ``conv_bot`` 1x1 2048->1024,
+* per-branch decoder (np/hv/tp) with ADDITIVE skips: u3 = up2(d3')+d2 ->
+  conva 5x5 (1024->256) -> 8 grouped dense units (+32 each) -> bn/relu ->
+  convf 1x1 (512->512); u2 = up2+d1 -> conva (512->128) -> 4 dense units ->
+  convf (256->256); u1 = up2+d0 -> conva (256->64); u0 head =
+  bn-relu-conv1x1,
+* dense unit: bn-relu-conv1x1(128) -> bn-relu-conv5x5(32, groups=4).
+
+Deliberate deviation: upstream uses VALID 5x5 convolutions with
+crop-to-shape bookkeeping (fast mode crops the d0/d1 skips by 92/36 px);
+this module uses SAME padding and crops only the final halo (46 px), so all
+weight SHAPES are identical while spatial semantics differ in a border band
+the halo discards. Outputs are channel-first maps cropped to
+patch - 2*halo (fast mode: 256 -> 164).
 """
 
 from __future__ import annotations
@@ -20,7 +33,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from .layers import EvalBN, TorchConv, max_pool_torch
+from .layers import EvalBN, TorchConv
 
 Dtype = Any
 
@@ -51,8 +64,8 @@ class PreActBottleneck(nn.Module):
 
 
 class DenseUnit(nn.Module):
-    """HoVer-Net dense decoder unit: bn-relu-conv1x1 -> bn-relu-conv3x3(grouped
-    in the original; plain here), concatenated to the input."""
+    """hover_net dense decoder unit: bn-relu-conv1x1(128) ->
+    bn-relu-conv5x5(growth, groups=4), concatenated onto the stack."""
 
     growth: int = 32
     dtype: Dtype = jnp.float32
@@ -63,38 +76,40 @@ class DenseUnit(nn.Module):
         y = nn.relu(EvalBN(x.shape[-1], name="bn1")(x))
         y = TorchConv(128, (1, 1), use_bias=False, dtype=dt, name="conv1")(y)
         y = nn.relu(EvalBN(128, name="bn2")(y))
-        y = TorchConv(self.growth, (3, 3), padding=(1, 1), use_bias=False, dtype=dt, name="conv2")(y)
+        y = TorchConv(self.growth, (5, 5), padding=(2, 2), use_bias=False, groups=4,
+                      dtype=dt, name="conv2")(y)
         return jnp.concatenate([x, y], axis=-1)
 
 
 class HoverDecoder(nn.Module):
+    """One branch: additive-skip upsampling chain u3 -> u2 -> u1 -> u0."""
+
     out_channels: int
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, d0, d1, d2, d3):
         dt = self.dtype
-        # H/16 -> H/8, merge with d2, dense x4
-        x = jnp.concatenate([_up2(d3), d2], axis=-1)
+        # u3: H/8 -> H/4, add d2 (both 1024 ch)
+        x = _up2(d3) + d2
         x = TorchConv(256, (5, 5), padding=(2, 2), use_bias=False, dtype=dt, name="u3.conva")(x)
-        for i in range(4):
+        for i in range(8):
             x = DenseUnit(dtype=dt, name=f"u3.dense{i}")(x)
+        x = nn.relu(EvalBN(x.shape[-1], name="u3.bna")(x))
         x = TorchConv(512, (1, 1), use_bias=False, dtype=dt, name="u3.convf")(x)
-        # H/8 -> H/4, merge with d1, dense x4
-        x = jnp.concatenate([_up2(x), d1], axis=-1)
+        # u2: H/4 -> H/2, add d1 (both 512 ch)
+        x = _up2(x) + d1
         x = TorchConv(128, (5, 5), padding=(2, 2), use_bias=False, dtype=dt, name="u2.conva")(x)
         for i in range(4):
             x = DenseUnit(dtype=dt, name=f"u2.dense{i}")(x)
+        x = nn.relu(EvalBN(x.shape[-1], name="u2.bna")(x))
         x = TorchConv(256, (1, 1), use_bias=False, dtype=dt, name="u2.convf")(x)
-        # H/4 -> H/2 -> H, merge with d0
-        x = _up2(x)
+        # u1: H/2 -> H, add d0 (both 256 ch)
+        x = _up2(x) + d0
         x = TorchConv(64, (5, 5), padding=(2, 2), use_bias=False, dtype=dt, name="u1.conva")(x)
-        x = _up2(x)
-        x = jnp.concatenate([x, d0], axis=-1)
-        x = nn.relu(EvalBN(x.shape[-1], name="u0.bn")(x))
-        x = TorchConv(64, (3, 3), padding=(1, 1), use_bias=False, dtype=dt, name="u0.conv")(x)
-        x = nn.relu(x)
-        return TorchConv(self.out_channels, (1, 1), use_bias=True, dtype=dt, name="head")(x)
+        # u0 head
+        x = nn.relu(EvalBN(64, name="u0.bn")(x))
+        return TorchConv(self.out_channels, (1, 1), use_bias=True, dtype=dt, name="u0.conv")(x)
 
 
 def _up2(x):
@@ -111,9 +126,10 @@ class HoVerNetFast(nn.Module):
     def __call__(self, x: jax.Array) -> dict[str, jax.Array]:
         dt = self.dtype
         x = x.astype(dt)
-        d0 = TorchConv(64, (7, 7), (1, 1), (3, 3), use_bias=False, dtype=dt, name="conv0")(x)
-        d0 = nn.relu(EvalBN(64, name="bn0")(d0))
-        y = max_pool_torch(d0, (3, 3), (2, 2), (1, 1))
+        y = TorchConv(64, (7, 7), (1, 1), (3, 3), use_bias=False, dtype=dt, name="conv0")(x)
+        y = nn.relu(EvalBN(64, name="bn0")(y))
+        # hover_net has NO stem pooling: stage d0 runs at full resolution and
+        # d1..d3 downsample, so the deepest features sit at H/8 (not H/16).
         stages = []
         widths = (64, 128, 256, 512)
         blocks = (3, 4, 6, 3)
@@ -122,8 +138,8 @@ class HoVerNetFast(nn.Module):
                 stride = 2 if (bi == 0 and si > 0) else 1
                 y = PreActBottleneck(wd, stride, dtype=dt, name=f"res{si}.{bi}")(y)
             stages.append(y)
-        # d0 @H (stem), stages: res0 @H/2, res1 @H/4, res2 @H/8, res3 @H/16
-        d1, d2, d3 = stages[1], stages[2], stages[3]
+        d0, d1, d2, d3 = stages  # 256@H, 512@H/2, 1024@H/4, 2048@H/8
+        d3 = TorchConv(1024, (1, 1), use_bias=False, dtype=dt, name="conv_bot")(d3)
 
         out = {}
         for key, ch, name in (

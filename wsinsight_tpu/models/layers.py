@@ -33,6 +33,7 @@ class TorchConv(nn.Module):
     strides: tuple[int, int] = (1, 1)
     padding: tuple[int, int] = (0, 0)
     use_bias: bool = True
+    groups: int = 1
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -42,7 +43,7 @@ class TorchConv(nn.Module):
         kernel = self.param(
             "kernel",
             nn.initializers.kaiming_normal(),
-            (kh, kw, in_ch, self.features),
+            (kh, kw, in_ch // self.groups, self.features),
             jnp.float32,
         )
         y = jax.lax.conv_general_dilated(
@@ -51,6 +52,7 @@ class TorchConv(nn.Module):
             window_strides=self.strides,
             padding=[(self.padding[0], self.padding[0]), (self.padding[1], self.padding[1])],
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            feature_group_count=self.groups,
             preferred_element_type=jnp.float32,
         )
         if self.use_bias:

@@ -79,8 +79,6 @@ def pil_resize_batch(
         return x
     wh_np = _pil_bilinear_weights(h, oh)  # (oh, h)
     ww_np = _pil_bilinear_weights(w, ow)  # (ow, w)
-    wh = jnp.asarray(wh_np)
-    ww = jnp.asarray(ww_np)
 
     if exact and emulate_uint8:
         prec = 1 << 22
@@ -95,6 +93,8 @@ def pil_resize_batch(
         return y.astype(jnp.float32)
 
     # Horizontal pass first (PIL resizes width then height).
+    wh = jnp.asarray(wh_np)
+    ww = jnp.asarray(ww_np)
     y = jnp.einsum("ow,bhwc->bhoc", ww, x, preferred_element_type=jnp.float32)
     if emulate_uint8:
         y = jnp.clip(jnp.floor(y + 0.5), 0.0, 255.0)  # PIL rounds half away from zero
@@ -162,7 +162,9 @@ def make_preprocess_fn(
             mn = jnp.min(x, axis=(1, 2, 3), keepdims=True)
             x = x - mn
             mx = jnp.max(x, axis=(1, 2, 3), keepdims=True)
-            x = x / mx
+            # guarded div: a constant patch (blank glass) would otherwise
+            # emit NaN for the whole image and poison its CSV row
+            x = x / jnp.maximum(mx, 1e-8)
             x = x * (upper - lower) + lower
         if spec.mean is not None:
             mean = jnp.asarray(spec.mean, jnp.float32)

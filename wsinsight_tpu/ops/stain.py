@@ -106,15 +106,12 @@ def macenko_stain_matrix(
 
     v1 = angle_to_vector(a_min)
     v2 = angle_to_vector(a_max)
-    # Order stains: hematoxylin (more blue-absorbing / higher first component
-    # of OD in red channel) first — htk orders by projection extremes; keep
-    # (v1, v2) ordering stable by red-channel OD.
-    swap = v1[0] < v2[0]
-    s1 = jnp.where(swap, v2, v1)
-    s2 = jnp.where(swap, v1, v2)
-    s3 = jnp.cross(s1, s2)
+    # Column ORDER here is by projection extreme, not by stain identity —
+    # estimate_stains_from_batch reorders columns by color similarity so
+    # concentrations line up with the target matrix (see _match_stain_order).
+    s3 = jnp.cross(v1, v2)
     s3 = s3 / jnp.maximum(jnp.linalg.norm(s3), EPSILON)
-    return jnp.stack([s1, s2, s3], axis=1)  # columns = stains
+    return jnp.stack([v1, v2, s3], axis=1)  # columns = stains
 
 
 def color_deconvolution(im_rgb: jax.Array, w: jax.Array, i_0: float = I_0) -> jax.Array:
@@ -141,6 +138,34 @@ def deconvolution_based_normalization(
     return color_convolution(conc, w_target, i_0)
 
 
+def _match_stain_order(w: np.ndarray) -> np.ndarray:
+    """Reorder the two estimated stain columns to (eosin, hematoxylin).
+
+    Concentrations are re-rendered positionally against the target matrix
+    (columns eosin, hematoxylin, null — the reference's order,
+    run_inference.py:263-264), so the SOURCE columns must carry the same
+    identities: pick the pairing whose columns are most cosine-similar to the
+    canonical stain colors. Without this, hematoxylin concentrations get
+    eosin's color and vice versa — an H/E swap on every normalized patch.
+    """
+    w = np.array(w, dtype=np.float32)
+
+    def unit(v):
+        v = np.asarray(v, np.float32)
+        return v / max(float(np.linalg.norm(v)), EPSILON)
+
+    e_ref = unit(STAIN_COLOR_MAP["eosin"])
+    h_ref = unit(STAIN_COLOR_MAP["hematoxylin"])
+    c0, c1 = unit(w[:, 0]), unit(w[:, 1])
+    keep = float(c0 @ e_ref + c1 @ h_ref)
+    swapped = float(c1 @ e_ref + c0 @ h_ref)
+    if swapped > keep:
+        w = w[:, [1, 0, 2]]
+    # re-derive the residual column for the (possibly) new ordering
+    w[:, 2] = np.cross(w[:, 0], w[:, 1])
+    return w
+
+
 def estimate_stains_from_batch(batch_u8: np.ndarray, max_pixels: int = 1 << 20) -> np.ndarray:
     """Host helper: estimate W_est from a (B,H,W,3) uint8 sample batch
     (reference samples one shuffled 256-patch batch, run_inference.py:259-261).
@@ -155,7 +180,8 @@ def estimate_stains_from_batch(batch_u8: np.ndarray, max_pixels: int = 1 << 20) 
         idx = np.random.default_rng(0).choice(len(pixels), max_pixels, replace=False)
         pixels = pixels[idx]
     w = macenko_stain_matrix(jnp.asarray(pixels))
-    w = complement_stain_matrix(np.asarray(w))
+    w = _match_stain_order(np.asarray(w))
+    w = complement_stain_matrix(w)
     if not np.isfinite(w).all() or abs(float(np.linalg.det(w))) < 1e-6:
         import logging
 

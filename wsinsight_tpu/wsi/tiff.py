@@ -308,6 +308,11 @@ class TiffPage:
                 stream = b"\xff\xd8" + tables + body
         else:
             stream = raw
+        if self.samples == 1:
+            arr = cv2.imdecode(np.frombuffer(stream, np.uint8), cv2.IMREAD_GRAYSCALE)
+            if arr is None:
+                raise TiffError("cv2 failed to decode JPEG tile")
+            return arr[:, :, None]
         arr = cv2.imdecode(np.frombuffer(stream, np.uint8), cv2.IMREAD_COLOR)
         if arr is None:
             raise TiffError("cv2 failed to decode JPEG tile")
@@ -343,14 +348,20 @@ class TiffPage:
             row0 = index * self.rows_per_strip
             seg_h = min(self.rows_per_strip, self.height - row0)
 
+        if not raw:
+            # Sparse/unwritten segment (offset 0, bytecount 0 — produced by
+            # libtiff writers for never-touched tiles): blank, like
+            # tiffslide/openslide, instead of a decompressor error.
+            return np.zeros((seg_h, seg_w, self.samples), np.uint8)
+
         if self.compression in (COMPRESSION_JPEG, COMPRESSION_JPEG_OLD):
             arr = self._jpeg_decode(raw)
             # JPEG tiles may decode smaller/larger than nominal size at edges.
             if arr.shape[0] != seg_h or arr.shape[1] != seg_w:
-                out = np.zeros((seg_h, seg_w, 3), np.uint8)
+                out = np.zeros((seg_h, seg_w, arr.shape[2]), np.uint8)
                 h = min(seg_h, arr.shape[0])
                 w = min(seg_w, arr.shape[1])
-                out[:h, :w] = arr[:h, :w, :3]
+                out[:h, :w] = arr[:h, :w]
                 arr = out
             return arr
 
@@ -506,7 +517,9 @@ class TiffFile:
         p.compression = int(get(TAG_COMPRESSION, COMPRESSION_NONE))
         p.photometric = int(get(TAG_PHOTOMETRIC, 2))
         p.predictor = int(get(TAG_PREDICTOR, 1))
-        spp = get(TAG_SAMPLES_PER_PIXEL, 3)
+        # TIFF spec default for SamplesPerPixel is 1; infer 3 only when the
+        # photometric interpretation says the page is chromatic (RGB/YCbCr).
+        spp = get(TAG_SAMPLES_PER_PIXEL, 3 if p.photometric in (2, 6) else 1)
         p.samples = int(spp if not isinstance(spp, list) else spp[0])
         bits = get(TAG_BITS_PER_SAMPLE, 8)
         p.bits = int(bits[0] if isinstance(bits, list) else bits)
