@@ -31,6 +31,8 @@ class PatchEmbed(nn.Module):
 
 
 class Mlp(nn.Module):
+    """SAM-style naming (lin1/lin2)."""
+
     def __init__(self, dim, hidden):
         super().__init__()
         self.lin1 = nn.Linear(dim, hidden)
@@ -38,6 +40,18 @@ class Mlp(nn.Module):
 
     def forward(self, x):
         return self.lin2(nn.functional.gelu(self.lin1(x)))
+
+
+class MlpTimm(nn.Module):
+    """DINO/HIPT (timm) naming (fc1/fc2) — the CellViT-256 encoder lineage."""
+
+    def __init__(self, dim, hidden):
+        super().__init__()
+        self.fc1 = nn.Linear(dim, hidden)
+        self.fc2 = nn.Linear(hidden, dim)
+
+    def forward(self, x):
+        return self.fc2(nn.functional.gelu(self.fc1(x)))
 
 
 class Attention(nn.Module):
@@ -64,7 +78,7 @@ class Block(nn.Module):
         self.norm1 = nn.LayerNorm(dim, eps=1e-6)
         self.attn = Attention(dim, heads)
         self.norm2 = nn.LayerNorm(dim, eps=1e-6)
-        self.mlp = Mlp(dim, int(dim * mlp_ratio))
+        self.mlp = MlpTimm(dim, int(dim * mlp_ratio))
 
     def forward(self, x):
         x = x + self.attn(self.norm1(x))
@@ -78,6 +92,7 @@ class ViT256Encoder(nn.Module):
         self.cls_token = nn.Parameter(torch.zeros(1, 1, dim))
         self.pos_embed = nn.Parameter(torch.zeros(1, n_tokens, dim))
         self.blocks = nn.Sequential(*[Block(dim, heads) for _ in range(depth)])
+        self.norm = nn.LayerNorm(dim, eps=1e-6)
         self.extract = extract
 
     def forward(self, x):
@@ -91,7 +106,7 @@ class ViT256Encoder(nn.Module):
             if (i + 1) in self.extract:
                 grid = tokens[:, 1:, :].transpose(1, 2).reshape(b, -1, gh, gw)
                 skips.append(grid)
-        return skips, tokens[:, 0, :]
+        return skips, self.norm(tokens)[:, 0, :]
 
 
 # ---------------------------------------------------------------------------

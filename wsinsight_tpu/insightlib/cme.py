@@ -740,6 +740,10 @@ def cme_generation(
                 cme_clustering_k=cme_clustering_k,
                 mpp=mpp,
                 max_radius_um=max_cell_radius_um,
+                # edges_df above is remapped with THIS run's kept mask; pass
+                # the same index space rather than re-deriving it from the
+                # (possibly resumed/stale) cell CSV's cme_ columns
+                kept_idx=np.asarray(slides[i]["kept_idx"], int),
             )
             with cme_csv.open("w") as fh:
                 region_df.to_csv(fh, index=False)

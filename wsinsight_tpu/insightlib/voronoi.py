@@ -18,6 +18,7 @@ cme_0..cme_{K-1}, polygon_wkt, area.
 
 from __future__ import annotations
 
+import logging
 import os
 from typing import List, Tuple
 
@@ -27,6 +28,8 @@ import pandas as pd
 
 from ..writers.wkt import polygon_wkt
 from .helpers import compute_cell_center_points
+
+logger = logging.getLogger(__name__)
 
 
 def remap_edges_to_valid_indices(edges_df: pd.DataFrame, valid_mask: np.ndarray) -> pd.DataFrame:
@@ -73,12 +76,18 @@ def merge_same_label_by_shared_edges_iterative(
     max_radius_um: float,
     raster_um_per_px: float = 2.0,
     method: str | None = None,
+    kept_idx: np.ndarray | None = None,
 ) -> pd.DataFrame:
     """Merge same-label capped-Voronoi cells into region polygons.
 
     method: "exact" (default; polygon construction, voronoi_exact.py) or
     "raster"; also settable via WSINSIGHT_VORONOI_METHOD. Exact falls back
-    to raster when the diagram is degenerate.
+    to raster when the construction fails (logged).
+
+    kept_idx: when given, the caller's kept-cell positions — the SAME index
+    space its edges_df uses. Deriving it from the cme_ columns only works
+    when the cell CSV was written by the same run; a stale/resumed CSV would
+    silently misalign labels with edges.
     Returns DataFrame[cme_0..cme_{K-1}, polygon_wkt, area] (area in slide px^2).
     """
     cme_cols = [c for c in cme_detection_df.columns if c.startswith("cme_")]
@@ -87,11 +96,13 @@ def merge_same_label_by_shared_edges_iterative(
     df = compute_cell_center_points(cme_detection_df.copy())
     cme_mat = df[cme_cols].to_numpy(float)
     cme_mat = np.nan_to_num(cme_mat, nan=0.0)
-    valid = cme_mat.sum(axis=1) > 0
     labels_full = cme_mat.argmax(axis=1)
 
     centers = df[["center_x", "center_y"]].to_numpy(np.float64)
-    valid_idx = np.flatnonzero(valid)
+    if kept_idx is not None:
+        valid_idx = np.asarray(kept_idx, np.int64)
+    else:
+        valid_idx = np.flatnonzero(cme_mat.sum(axis=1) > 0)
     if valid_idx.size == 0:
         return pd.DataFrame(columns=[f"cme_{i}" for i in range(cme_clustering_k)] + ["polygon_wkt", "area"])
 
@@ -115,14 +126,20 @@ def merge_same_label_by_shared_edges_iterative(
     out_cme_cols = [f"cme_{i}" for i in range(cme_clustering_k)]
 
     method = (method or os.getenv("WSINSIGHT_VORONOI_METHOD", "exact")).lower()
+    if method not in ("exact", "raster"):
+        raise ValueError(f"unknown Voronoi method {method!r} (use 'exact' or 'raster')")
     capped_cells = None
     if method == "exact":
         try:
             from .voronoi_exact import capped_voronoi_cells
 
             capped_cells = capped_voronoi_cells(kept_centers, max_radius_px)
-        except Exception:
-            capped_cells = None  # degenerate diagram -> raster fallback
+        except Exception as err:
+            # The half-plane construction has no degenerate-geometry failure
+            # modes, so anything here is unexpected — degrade to raster but
+            # say so (outputs change resolution).
+            logger.warning(f"exact Voronoi failed ({err!r}); using the raster fallback")
+            capped_cells = None
 
     if capped_cells is not None:
         from .voronoi_exact import ring_area, union_cells
@@ -156,10 +173,23 @@ def merge_same_label_by_shared_edges_iterative(
         y0 = pts[:, 1].min() - pad
         x1 = pts[:, 0].max() + pad
         y1 = pts[:, 1].max() + pad
-        w = int(np.ceil((x1 - x0) / scale)) + 1
-        h = int(np.ceil((y1 - y0) / scale)) + 1
-        if w <= 1 or h <= 1 or w * h > 64_000_000:
+        comp_scale = scale
+        w = int(np.ceil((x1 - x0) / comp_scale)) + 1
+        h = int(np.ceil((y1 - y0) / comp_scale)) + 1
+        if w <= 1 or h <= 1:
             continue
+        # A giant component must not silently vanish: coarsen its raster
+        # until the working grid fits, and say so.
+        while w * h > 64_000_000:
+            comp_scale *= 2.0
+            w = int(np.ceil((x1 - x0) / comp_scale)) + 1
+            h = int(np.ceil((y1 - y0) / comp_scale)) + 1
+        if comp_scale != scale:
+            logger.warning(
+                f"raster Voronoi component of {len(comp)} cells exceeds the"
+                f" 64 Mpx grid; coarsened to {comp_scale * mpp:.2f} um/px"
+            )
+        scale_local = comp_scale
 
         # Seeds: ALL valid cells inside the bbox (the Voronoi partition is
         # against every cell, not only the component's).
@@ -171,8 +201,8 @@ def merge_same_label_by_shared_edges_iterative(
         )
         bbox_idx = np.flatnonzero(in_bbox)
         seed_img = np.full((h, w), 255, np.uint8)
-        sx = np.clip(((kept_centers[bbox_idx, 0] - x0) / scale).astype(int), 0, w - 1)
-        sy = np.clip(((kept_centers[bbox_idx, 1] - y0) / scale).astype(int), 0, h - 1)
+        sx = np.clip(((kept_centers[bbox_idx, 0] - x0) / scale_local).astype(int), 0, w - 1)
+        sy = np.clip(((kept_centers[bbox_idx, 1] - y0) / scale_local).astype(int), 0, h - 1)
         seed_img[sy, sx] = 0
         dist, lab = cv2.distanceTransformWithLabels(
             seed_img, cv2.DIST_L2, 5, labelType=cv2.DIST_LABEL_PIXEL
@@ -185,7 +215,7 @@ def merge_same_label_by_shared_edges_iterative(
 
         comp_set = np.zeros(n_kept, bool)
         comp_set[comp] = True
-        mask = comp_set[nearest_cell] & (dist * scale <= max_radius_px)
+        mask = comp_set[nearest_cell] & (dist * scale_local <= max_radius_px)
         mask_u8 = mask.astype(np.uint8)
         if mask_u8.sum() == 0:
             continue
@@ -197,8 +227,8 @@ def merge_same_label_by_shared_edges_iterative(
             poly = cnt.squeeze(1).astype(np.float64)
             if poly.ndim != 2 or poly.shape[0] < 3:
                 continue
-            poly_slide = poly * scale + np.array([x0, y0])
-            area = float(cv2.contourArea(cnt)) * scale * scale
+            poly_slide = poly * scale_local + np.array([x0, y0])
+            area = float(cv2.contourArea(cnt)) * scale_local * scale_local
             row = {name: float(v) for name, v in zip(out_cme_cols, one_hot)}
             row["polygon_wkt"] = polygon_wkt([poly_slide])
             row["area"] = area

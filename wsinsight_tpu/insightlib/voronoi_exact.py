@@ -91,7 +91,13 @@ def capped_voronoi_cells(
             a, b = points[lo], points[hi]
             d = b - a
             nrm = float(np.linalg.norm(d))
-            if nrm == 0.0:  # coincident points split the plane arbitrarily
+            if nrm == 0.0:
+                # Coincident points (duplicate detection rows) would get two
+                # identical cells, whose union double-traces the boundary —
+                # keep only the lowest-index duplicate's cell.
+                if i == hi:
+                    cell = np.zeros((0, 2))
+                    break
                 continue
             d = d / nrm
             mid = (a + b) / 2.0
@@ -141,8 +147,15 @@ def union_cells(polys: Sequence[np.ndarray]) -> List[np.ndarray]:
     # (resolves the partial-overlap segments created by per-cell disk caps)
     all_keys = list(vert_xy.keys())
     all_pts = np.array([vert_xy[k] for k in all_keys])
-    # coarse spatial buckets to keep the split test near-linear
-    cell = max(_SNAP * 16, 1.0)
+    # coarse spatial buckets to keep the split test near-linear; bucket size
+    # tracks the median edge length so a typical edge's bbox touches O(1)
+    # buckets (a fixed 1 px bucket makes the sweep quadratic in the cap
+    # radius: a 400 px diagonal edge would scan ~160k buckets)
+    sample = raw_edges[:: max(1, len(raw_edges) // 256)]
+    med_len = float(
+        np.median([np.linalg.norm(vert_xy[b] - vert_xy[a]) for a, b in sample])
+    )
+    cell = max(1.0, med_len)
     buckets: dict[tuple[int, int], list[int]] = {}
     for i, pt in enumerate(all_pts):
         buckets.setdefault((int(pt[0] // cell), int(pt[1] // cell)), []).append(i)

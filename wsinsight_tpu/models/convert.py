@@ -48,6 +48,20 @@ def _strip_wrapper_prefixes(sd: Mapping[str, np.ndarray]) -> dict[str, np.ndarra
     return dict(sd)
 
 
+def _is_deconv_path(mod: str) -> bool:
+    """Torch-naming heuristic for ConvTranspose modules.
+
+    Matches explicit 'deconv'/'*upsampler' leaves AND an indexed position
+    directly inside an upsampler Sequential (e.g. 'decoder3_upsampler.3',
+    the terminal ConvTranspose) — but NOT the regular convs nested deeper
+    (e.g. 'decoder3_upsampler.0.conv').
+    """
+    parts = mod.split(".")
+    if "deconv" in parts[-1] or "upsampler" in parts[-1]:
+        return True
+    return parts[-1].isdigit() and len(parts) >= 2 and "upsampler" in parts[-2]
+
+
 def convert_torch_state_dict(sd: Mapping[str, np.ndarray]) -> dict:
     """Build the flax `params` tree from torch-named numpy arrays."""
     sd = _strip_wrapper_prefixes({k: np.asarray(v) for k, v in sd.items()})
@@ -68,7 +82,7 @@ def convert_torch_state_dict(sd: Mapping[str, np.ndarray]) -> dict:
         else:
             w = leaves.get("weight")
             if w is not None:
-                if w.ndim == 4 and ("deconv" in mod or "upsampler" in mod.rsplit(".", 1)[-1]):
+                if w.ndim == 4 and _is_deconv_path(mod):
                     # ConvTranspose2d weight (in, out, kh, kw) -> (kh, kw, in, out)
                     # PLUS a spatial flip: torch computes the gradient-of-conv
                     # (cross-correlation transposed), while lax.conv_transpose
@@ -153,7 +167,7 @@ def convert_with_template(
                     deconv_fits = as_deconv.shape == want
                     if conv_fits and deconv_fits:
                         # I == O: both layouts fit; decide by torch naming
-                        is_deconv = "deconv" in mod or "upsampler" in mod.rsplit(".", 1)[-1]
+                        is_deconv = _is_deconv_path(mod)
                         place(mod, "kernel", as_deconv if is_deconv else as_conv)
                     elif deconv_fits:
                         place(mod, "kernel", as_deconv)

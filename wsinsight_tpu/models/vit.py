@@ -14,7 +14,6 @@ from typing import Any
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from flax import linen as nn
 
 Dtype = Any
@@ -32,6 +31,10 @@ class ViTConfig:
     use_rel_pos: bool = False  # SAM decomposed relative positions
     use_cls_token: bool = True  # standard ViT; SAM has none
     extract_layers: tuple = ()
+    # torch leaf naming of the block MLP: SAM exports lin1/lin2, DINO/HIPT
+    # (the CellViT-256 encoder lineage) exports fc1/fc2 — the names must
+    # match the released checkpoint's keys for template conversion.
+    mlp_naming: tuple = ("mlp.lin1", "mlp.lin2")
 
 
 SAM_VIT_B = ViTConfig(768, 12, 12, use_rel_pos=True, use_cls_token=False,
@@ -41,7 +44,8 @@ SAM_VIT_L = ViTConfig(1024, 24, 16, use_rel_pos=True, use_cls_token=False,
 SAM_VIT_H = ViTConfig(1280, 32, 16, use_rel_pos=True, use_cls_token=False,
                       global_attn_indexes=(7, 15, 23, 31), extract_layers=(8, 16, 24, 32))
 VIT_256 = ViTConfig(384, 12, 6, use_rel_pos=False, use_cls_token=True,
-                    window_size=0, extract_layers=(3, 6, 9, 12))
+                    window_size=0, extract_layers=(3, 6, 9, 12),
+                    mlp_naming=("mlp.fc1", "mlp.fc2"))
 
 
 def _get_rel_pos(q_size: int, k_size: int, rel_pos: jax.Array) -> jax.Array:
@@ -63,7 +67,6 @@ class Attention(nn.Module):
     dim: int
     num_heads: int
     use_rel_pos: bool = False
-    input_size: tuple[int, int] | None = None
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -133,6 +136,7 @@ class Block(nn.Module):
     mlp_ratio: float
     window_size: int
     use_rel_pos: bool
+    mlp_naming: tuple = ("mlp.lin1", "mlp.lin2")
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -161,9 +165,9 @@ class Block(nn.Module):
         x = shortcut + y
         y = nn.LayerNorm(epsilon=1e-6, name="norm2")(x)
         hidden = int(self.dim * self.mlp_ratio)
-        y = nn.Dense(hidden, dtype=self.dtype, name="mlp.lin1")(y)
+        y = nn.Dense(hidden, dtype=self.dtype, name=self.mlp_naming[0])(y)
         y = nn.gelu(y, approximate=False)
-        y = nn.Dense(self.dim, dtype=self.dtype, name="mlp.lin2")(y)
+        y = nn.Dense(self.dim, dtype=self.dtype, name=self.mlp_naming[1])(y)
         return x + y
 
 
@@ -217,7 +221,7 @@ class ViTEncoder(nn.Module):
                 tokens = tokens.reshape(b, 1, gh * gw + 1, cfg.embed_dim)
                 tokens = Block(
                     cfg.embed_dim, cfg.num_heads, cfg.mlp_ratio, 0, False,
-                    dtype=self.dtype, name=f"blocks.{i}",
+                    mlp_naming=cfg.mlp_naming, dtype=self.dtype, name=f"blocks.{i}",
                 )(tokens)
                 tokens = tokens.reshape(b, gh * gw + 1, cfg.embed_dim)
                 cls_tok = tokens[:, :1, :]
@@ -225,9 +229,14 @@ class ViTEncoder(nn.Module):
             else:
                 grid = Block(
                     cfg.embed_dim, cfg.num_heads, cfg.mlp_ratio, window, cfg.use_rel_pos,
-                    dtype=self.dtype, name=f"blocks.{i}",
+                    mlp_naming=cfg.mlp_naming, dtype=self.dtype, name=f"blocks.{i}",
                 )(grid)
             if (i + 1) in cfg.extract_layers:
                 skips.append(grid)
+
+        if cfg.use_cls_token:
+            # Standard (DINO/HIPT) ViT applies a final LayerNorm before the
+            # head; skips stay pre-norm (CellViT extracts them per block).
+            cls_tok = nn.LayerNorm(epsilon=1e-6, name="norm")(cls_tok)
 
         return grid, skips, (cls_tok[:, 0, :] if cls_tok is not None else grid.mean(axis=(1, 2)))
