@@ -158,6 +158,10 @@ def validate_model_args(model_name, config, model_path, qupath_dirs) -> None:
         raise click.UsageError(
             "--qupath-* directories are mutually exclusive with --model/--config/--model-path."
         )
+    if sum(d is not None for d in qupath_dirs) > 1:
+        # patch resolves detection-first while infer resolves annotation-first;
+        # allowing a combo silently produces inconsistent patch/infer stages
+        raise click.UsageError("pass at most ONE --qupath-* directory.")
 
 
 def resolve_model(model_name, config, model_path) -> ModelHandle:
@@ -247,8 +251,16 @@ def qupath_pseudo_model(
             with f.open("r", encoding="utf-8") as fp:
                 df = pd.read_csv(fp, delimiter="\t")
             col = "Name" if name_as_class else "Classification"
+            # dropna: unclassified detections read as NaN, which would make
+            # sorted(set(...)) raise on str<float comparison
             class_names.extend(
-                df[col].str.strip().str.replace(" ", "_", regex=False).str.lower().unique().tolist()
+                df[col]
+                .dropna()
+                .str.strip()
+                .str.replace(" ", "_", regex=False)
+                .str.lower()
+                .unique()
+                .tolist()
             )
     class_names = sorted(set(class_names))
     cfg = ModelConfiguration(

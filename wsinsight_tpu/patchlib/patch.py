@@ -37,12 +37,11 @@ def get_multipolygon_from_binary_arr(
     contours, hierarchy = cv.findContours(arr, cv.RETR_CCOMP, cv.CHAIN_APPROX_SIMPLE)
     if hierarchy is None:
         return None
-    hierarchy = hierarchy.squeeze(0)
     logger.info(f"Detected {len(contours)} contours")
 
     rings = rings_from_contours(contours, scale=scale)
     polygon = MultiPolygon(rings)
-    return polygon, contours, hierarchy[np.newaxis]
+    return polygon, contours, hierarchy
 
 
 def get_patch_coordinates_within_polygon(
@@ -61,6 +60,14 @@ def get_patch_coordinates_within_polygon(
         raise ValueError(f"overlap must be in (-inf, 1) but got {overlap}")
 
     step_size = round((1 - overlap) * patch_size)
+    if step_size < 1:
+        # overlap ~1 (e.g. a sub-pixel --patch-size-px) would make np.arange
+        # raise ZeroDivisionError per slide, swallowed by the per-slide guard
+        # into a misleading "no patches created" message
+        raise ValueError(
+            f"patch step rounds to {step_size} px (patch_size={patch_size},"
+            f" overlap={overlap:.6f}); increase the patch size or reduce overlap"
+        )
     logger.info(f"Patches are {patch_size} px, with step size of {step_size} px.")
 
     xs = np.arange(half_patch_size, slide_width, step_size, dtype=np.int64)

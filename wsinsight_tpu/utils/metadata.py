@@ -19,10 +19,14 @@ from typing import Any
 
 
 def _get_git_info() -> dict[str, Any] | None:
+    # Provenance of the PIPELINE CODE, not of wherever the user happens to
+    # invoke the CLI from — so probe the installed package's directory.
+    code_dir = str(Path(__file__).resolve().parent)
+
     def run(*args: str) -> str | None:
         try:
             out = subprocess.run(
-                ["git", *args], capture_output=True, timeout=5, cwd=os.getcwd()
+                ["git", *args], capture_output=True, timeout=5, cwd=code_dir
             )
             if out.returncode != 0:
                 return None
@@ -33,11 +37,13 @@ def _get_git_info() -> dict[str, Any] | None:
     inside = run("rev-parse", "--is-inside-work-tree")
     if inside != "true":
         return None
+    status = run("status", "--porcelain")
     return {
         "git_remote_url": run("config", "--get", "remote.origin.url"),
         "git_branch": run("rev-parse", "--abbrev-ref", "HEAD"),
         "git_commit": run("rev-parse", "HEAD"),
-        "git_dirty": bool(run("status", "--porcelain")),
+        # None = unknown (git call failed), not "clean"
+        "git_dirty": bool(status) if status is not None else None,
     }
 
 
@@ -51,6 +57,12 @@ def _in_container() -> bool:
 
 
 def get_runtime_info() -> dict[str, Any]:
+    # WSINFER_FORCE_CPU must be applied before the first jax import touches
+    # the backend: the system banner runs before the engine, and an
+    # initialised accelerator backend can't be forced to CPU afterwards.
+    from ..parallel.mesh import force_cpu_if_requested
+
+    force_cpu_if_requested()
     import jax
 
     from .._version import __version__

@@ -48,7 +48,6 @@ def multipolygon_wkt(polys: list[list[np.ndarray]]) -> str:
     return "MULTIPOLYGON (" + ", ".join(parts) + ")"
 
 
-_NUM = r"[-+]?\d*\.?\d+(?:[eE][-+]?\d+)?"
 
 
 def _parse_ring(text: str) -> np.ndarray:

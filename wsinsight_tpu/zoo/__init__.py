@@ -238,7 +238,12 @@ def load_registry(registry_file: Path | str | None = None) -> Registry:
     """Load the model registry, honoring WSINFER_ZOO_REGISTRY_PATH."""
     if registry_file is None:
         env = os.getenv("WSINFER_ZOO_REGISTRY_PATH")
-        if env and Path(env).exists():
+        if env:
+            if not Path(env).exists():
+                # a typo'd override must not silently run the bundled registry
+                raise FileNotFoundError(
+                    f"WSINFER_ZOO_REGISTRY_PATH points to a missing file: {env}"
+                )
             registry_file = env
         else:
             registry_file = _BUNDLED_REGISTRY
