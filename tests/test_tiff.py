@@ -304,3 +304,25 @@ def test_svs_like_page_order_keeps_pyramid_levels(tmp_path):
     assert slide.level_dimensions == ((512, 512), (256, 256))
     region = np.asarray(slide.read_region((0, 0), 1, (64, 64)))
     np.testing.assert_array_equal(region, quarter[:64, :64])
+
+
+def test_sparse_zero_bytecount_tile_decodes_blank(tmp_path):
+    """libtiff writers emit offset=0/bytecount=0 for never-written tiles;
+    they must decode as blank instead of a decompressor error."""
+    from wsinsight_tpu.wsi.tiff import TiffFile, write_pyramidal_tiff
+
+    img = np.full((512, 512, 3), 200, np.uint8)
+    path = tmp_path / "sparse.tif"
+    write_pyramidal_tiff(str(path), img, tile=(256, 256), compression="deflate")
+
+    with TiffFile(path) as tf:
+        page = tf.pages[0]
+        page.bytecounts[0] = 0
+        page.offsets[0] = 0
+        seg = page.decode_segment(0)
+        assert seg.shape == (256, 256, 3)
+        assert (seg == 0).all()
+        # untouched tiles still decode normally
+        assert (page.decode_segment(1) == 200).all()
+        full = page.asarray()
+        assert (full[:256, :256] == 0).all() and (full[256:, 256:] == 200).all()
