@@ -31,6 +31,36 @@ def test_graft_entry_multichip_dryrun():
 
 
 @pytest.mark.slow
+def test_graft_entry_multichip_dryrun_default_platform():
+    """Reproduce the DRIVER's environment: default platform left alone, no
+    forced host device count — so jax sees 1 default device (< 8) and the
+    dryrun must self-heal via the pinned-CPU subprocess re-exec
+    (MULTICHIP_r01/r02 both failed exactly here)."""
+    import os
+
+    env = {
+        k: v
+        for k, v in os.environ.items()
+        if k not in ("JAX_PLATFORMS", "XLA_FLAGS", "_WSINSIGHT_DRYRUN_CHILD")
+    }
+    res = subprocess.run(
+        [
+            sys.executable,
+            "-c",
+            "import sys; sys.path.insert(0, '.'); "
+            "from __graft_entry__ import dryrun_multichip; dryrun_multichip(8)",
+        ],
+        capture_output=True,
+        text=True,
+        timeout=600,
+        env=env,
+        cwd=".",
+    )
+    assert res.returncode == 0, res.stderr[-2000:]
+    assert "inference + DGI train step OK" in res.stdout
+
+
+@pytest.mark.slow
 def test_bench_emits_single_json_line():
     """bench.py prints exactly one JSON object with the required keys."""
     env = dict(
