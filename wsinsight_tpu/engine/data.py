@@ -116,7 +116,10 @@ class PatchBatchSource:
         self._images = None
         self._slide = None
         self._h5_lock = threading.Lock()
+        self._h5_tls = threading.local()
+        self._tls_files: list[h5py.File] = []
         self._stop = threading.Event()
+        self._producers: list[threading.Thread] = []
         self._open_sources()
 
     def _open_sources(self) -> None:
@@ -143,10 +146,34 @@ class PatchBatchSource:
     def num_batches(self) -> int:
         return -(-len(self.coords) // self.batch_size)
 
+    def _thread_images(self):
+        """Per-thread /images dataset (own h5py handle, no shared lock).
+
+        A single shared handle serializes all decode threads on one lock —
+        exactly when the /images cache should be fastest. The reference gets
+        the same isolation from per-worker handles in worker_init (reference:
+        modellib/data.py:198-236).
+        """
+        tl = self._h5_tls
+        ds = getattr(tl, "images", None)
+        if ds is None:
+            p = self.patch_path
+            local = p.materialize() if isinstance(p, URIPath) else p
+            f = h5py.File(local, "r")
+            ds = f["/images"]
+            tl.file = f
+            tl.images = ds
+            with self._h5_lock:
+                self._tls_files.append(f)
+        return ds
+
     def _fetch_one(self, idx: int) -> np.ndarray:
         if self._use_hdf5_images:
-            with self._h5_lock:  # h5py datasets are not thread-safe
-                arr = self._images[idx]
+            try:
+                arr = self._thread_images()[idx]
+            except Exception:
+                with self._h5_lock:  # fallback: shared handle, serialized
+                    arr = self._images[idx]
             if arr.shape[0] == 3 and arr.shape[-1] != 3:
                 arr = np.transpose(arr, (1, 2, 0))
             arr = np.ascontiguousarray(arr[:, :, :3], dtype=np.uint8)
@@ -177,12 +204,62 @@ class PatchBatchSource:
 
     def _make_batch(self, pool: ThreadPoolExecutor, indices: np.ndarray) -> Batch:
         ih, iw = self.image_hw
-        images = np.zeros((self.batch_size, ih, iw, 3), np.uint8)
-        for slot, arr in zip(range(len(indices)), pool.map(self._fetch_one, indices)):
-            images[slot] = arr
+        native = self._fetch_batch_native(pool, indices)
+        if native is not None and len(indices) == self.batch_size:
+            images = native  # full batch decoded straight into its buffer
+        else:
+            images = np.zeros((self.batch_size, ih, iw, 3), np.uint8)
+            if native is not None:
+                images[: len(indices)] = native
+            else:
+                for slot, arr in zip(
+                    range(len(indices)), pool.map(self._fetch_one, indices)
+                ):
+                    images[slot] = arr
         coords = np.zeros((self.batch_size, 4), np.int64)
         coords[: len(indices)] = self.coords[indices]
         return Batch(images=images, coords=coords, n_valid=len(indices))
+
+    def _fetch_batch_native(
+        self, pool: ThreadPoolExecutor, indices: np.ndarray
+    ) -> np.ndarray | None:
+        """Whole-batch decode via GIL-free native calls, when available.
+
+        The batch is sharded across the decode pool: each native call
+        releases the GIL and writes its slice of one contiguous buffer, so
+        threads scale on multi-core hosts (the shared C++ tile LRU is
+        mutex-protected, decode runs unlocked).
+        """
+        if self._use_hdf5_images or self._slide is None:
+            return None
+        batch_read = getattr(self._slide, "read_patches_array", None)
+        if batch_read is None:
+            return None
+        ps = int(self.patch_size)
+        n = len(indices)
+        out = np.empty((n, ps, ps, 3), np.uint8)
+        coords = self.coords[indices, :2]
+        try:
+            n_shards = min(self.num_threads, max(1, n // 4))
+            if n_shards > 1:
+                bounds = np.linspace(0, n, n_shards + 1, dtype=int)
+                futures = [
+                    pool.submit(
+                        batch_read, coords[a:b], 0, (ps, ps), out[a:b]
+                    )
+                    for a, b in zip(bounds[:-1], bounds[1:])
+                    if b > a
+                ]
+                results = [f.result() for f in futures]
+            else:
+                results = [batch_read(coords, 0, (ps, ps), out)]
+        except Exception:
+            return None
+        if any(r is None for r in results):
+            return None
+        if self._host_resize is not None:
+            return np.stack([self._maybe_resize(a) for a in out])
+        return out
 
     def __iter__(self) -> Iterator[Batch]:
         """Yield batches; decode runs ahead of the consumer by `prefetch`."""
@@ -215,6 +292,7 @@ class PatchBatchSource:
                 put_or_stop(err)
 
         t = threading.Thread(target=producer, daemon=True)
+        self._producers.append(t)
         t.start()
         while True:
             item = q.get()
@@ -225,8 +303,50 @@ class PatchBatchSource:
             yield item
         t.join()
 
+    def device_prefetch(
+        self, put, depth: int = 2, it: "Iterator[Batch] | None" = None
+    ) -> "Iterator[Batch]":
+        """Iterate batches whose `.images` are ALREADY in flight to the device.
+
+        `put` is an async host->device transfer (e.g. ClassifierEngine.put /
+        jax.device_put); issuing it `depth` batches ahead of the consumer
+        keeps transfers streaming while the device computes and the decode
+        threads fill the next batch — on thin tunnel links the transfer is
+        the dominant per-batch cost, so this overlap sets the pipeline rate
+        to max(decode, H2D, compute) instead of their sum.
+        """
+        from collections import deque
+
+        q: deque = deque()
+        if it is None:
+            it = iter(self)
+        exhausted = False
+        while True:
+            while not exhausted and len(q) <= max(0, depth):
+                b = next(it, None)
+                if b is None:
+                    exhausted = True
+                    break
+                q.append(Batch(images=put(b.images), coords=b.coords, n_valid=b.n_valid))
+            if not q:
+                return
+            yield q.popleft()
+
     def close(self) -> None:
         self._stop.set()
+        # Join producers BEFORE closing handles: a decode thread still inside
+        # the native reader while close() frees it would be a use-after-free
+        # (the C++ side also pins pages per call — belt and braces).
+        for t in self._producers:
+            if t.is_alive() and t is not threading.current_thread():
+                t.join(timeout=30)
+        self._producers.clear()
+        for f in self._tls_files:
+            try:
+                f.close()
+            except Exception:
+                pass
+        self._tls_files.clear()
         if self._h5 is not None:
             try:
                 self._h5.close()

@@ -35,6 +35,7 @@ from .. import errors
 from ..uri_path import URIPath
 from ..wsi import _validate_wsi_directory
 from ..zoo import ModelHandle
+from ..utils.workers import governed_workers
 from .data import PatchBatchSource
 
 logger = logging.getLogger(__name__)
@@ -149,10 +150,18 @@ class ClassifierEngine:
         probs = self._step(self.params, images_u8, self._w_est, self._w_def)
         return np.asarray(probs)[:n_valid]
 
-    def dispatch(self, images_u8: np.ndarray):
+    def dispatch(self, images_u8):
         """Async dispatch: returns the device array without blocking, so the
         next batch's host decode + transfer overlaps this batch's compute."""
         return self._step(self.params, images_u8, self._w_est, self._w_def)
+
+    def put(self, images_u8: np.ndarray):
+        """Async host->device transfer onto the batch sharding (returns
+        immediately; the jit step accepts the committed array without a second
+        transfer). Pairs with PatchBatchSource.device_prefetch."""
+        import jax
+
+        return jax.device_put(images_u8, self._batch_sharding)
 
 
 def _one_hot_probs(indexer: np.ndarray, n: int, k: int) -> np.ndarray:
@@ -224,6 +233,10 @@ def run_inference(
 
     force_cpu_if_requested()
 
+    # `speedup` is the CLI's name for the bf16 fast path; API callers get the
+    # same semantics the CLI pre-folds at cli/infer.py:255.
+    mixed_precision = mixed_precision or speedup
+
     if wsi_dir:
         if not wsi_dir.exists():
             raise errors.WholeSlideImageDirectoryNotFound(f"directory not found: {wsi_dir}")
@@ -267,12 +280,54 @@ def run_inference(
     engine: ClassifierEngine | None = None
     cell_engine = None
 
+    # Cross-slide overlap: while slide i drains, a background thread opens
+    # slide i+1's patch source and STARTS its decode producer, so the first
+    # batches are already in the prefetch queue when its turn comes (the
+    # reference pays a cold DataLoader spin-up per slide instead,
+    # run_inference.py:288-299). Only plain classification slides prefetch —
+    # stain estimation and pseudo-models need per-slide setup first.
+    import threading as _threading
+
+    _prefetch_lock = _threading.Lock()
+    _prefetched: dict[str, tuple] = {}
+
+    def _spawn_source_prefetch(next_patch_path, eng, num_workers_, batch_size_, host_resize_):
+        def work():
+            src = None
+            try:
+                local = (
+                    next_patch_path.materialize()
+                    if isinstance(next_patch_path, URIPath)
+                    else next_patch_path
+                )
+                with h5py.File(local, "r") as f:
+                    use_imgs = "/images" in f
+                    nxt_wsi = URIPath(f["/slide"].attrs["slide_path"])
+                if (model_output_dir / nxt_wsi.with_suffix(".csv").name).exists():
+                    return
+                src = PatchBatchSource(
+                    wsi_path=nxt_wsi,
+                    patch_path=next_patch_path,
+                    use_hdf5_images=use_imgs,
+                    batch_size=eng.pad_batch(batch_size_),
+                    num_threads=governed_workers(num_workers_ or 4),
+                    host_resize=host_resize_,
+                )
+                it = iter(src)  # starts the producer thread
+                with _prefetch_lock:
+                    _prefetched[str(next_patch_path)] = (src, it)
+            except Exception:
+                if src is not None:
+                    src.close()
+
+        _threading.Thread(target=work, daemon=True).start()
+
     from ..utils.profiling import maybe_trace
 
     with maybe_trace("inference"), tqdm.tqdm(
         total=len(patch_paths), desc="Images", position=0
     ) as pbar:
-        for patch_path in patch_paths:
+        for slide_idx, patch_path in enumerate(patch_paths):
             local_h5 = patch_path.materialize() if isinstance(patch_path, URIPath) else patch_path
             with h5py.File(local_h5, "r") as f:
                 use_hdf5_images = "/images" in f
@@ -456,7 +511,7 @@ def run_inference(
                             patch_path=patch_path,
                             use_hdf5_images=use_hdf5_images,
                             batch_size=min(256, 256),
-                            num_threads=num_workers or 4,
+                            num_threads=governed_workers(num_workers or 4),
                             shuffle_seed=0,
                         )
                         sample = next(iter(sample_src))
@@ -494,20 +549,36 @@ def run_inference(
                     and engine.spec.size is not None
                 ):
                     host_resize = engine.spec.size
-                try:
-                    src = PatchBatchSource(
-                        wsi_path=wsi_path,
-                        patch_path=patch_path,
-                        use_hdf5_images=use_hdf5_images,
-                        batch_size=engine.pad_batch(batch_size),
-                        num_threads=num_workers or 4,
-                        host_resize=host_resize,
+                with _prefetch_lock:
+                    pre = _prefetched.pop(str(patch_path), None)
+                src_iter = None
+                if pre is not None:
+                    src, src_iter = pre
+                else:
+                    try:
+                        src = PatchBatchSource(
+                            wsi_path=wsi_path,
+                            patch_path=patch_path,
+                            use_hdf5_images=use_hdf5_images,
+                            batch_size=engine.pad_batch(batch_size),
+                            num_threads=governed_workers(num_workers or 4),
+                            host_resize=host_resize,
+                        )
+                    except Exception as err:
+                        logger.error(f"could not open patches for {wsi_path}", exc_info=err)
+                        failed_inference.append(wsi_path.stem)
+                        pbar.update(1)
+                        continue
+                # overlap: start the NEXT slide's source while this one runs
+                if (
+                    not is_pseudo
+                    and not object_based
+                    and not stain_normalization
+                    and slide_idx + 1 < len(patch_paths)
+                ):
+                    _spawn_source_prefetch(
+                        patch_paths[slide_idx + 1], engine, num_workers, batch_size, host_resize
                     )
-                except Exception as err:
-                    logger.error(f"could not open patches for {wsi_path}", exc_info=err)
-                    failed_inference.append(wsi_path.stem)
-                    pbar.update(1)
-                    continue
 
                 slide_coords: list[np.ndarray] = []
                 slide_probs: list[np.ndarray] = []
@@ -517,7 +588,7 @@ def run_inference(
 
                 pending: deque = deque()
                 with tqdm.tqdm(total=src.num_batches, position=1, leave=False) as qbar:
-                    for batch in src:
+                    for batch in src.device_prefetch(engine.put, depth=2, it=src_iter):
                         pending.append(
                             (engine.dispatch(batch.images), batch.n_valid, batch.coords)
                         )
@@ -558,6 +629,13 @@ def run_inference(
             with slide_csv.open("w") as fh:
                 slide_df.to_csv(fh, index=False)
             pbar.update(1)
+
+    # Close any lookahead sources whose slide was skipped/failed after the
+    # prefetch was issued (their producer threads park on the bounded queue).
+    with _prefetch_lock:
+        for leftover_src, _ in _prefetched.values():
+            leftover_src.close()
+        _prefetched.clear()
 
     return failed_patching, failed_inference
 

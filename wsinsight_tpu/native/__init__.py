@@ -87,6 +87,44 @@ def get_lib() -> ctypes.CDLL | None:
                 ctypes.POINTER(ctypes.c_double),
             ]
             lib.leiden_cluster.restype = ctypes.c_int64
+            lib.wsi_open.argtypes = [
+                ctypes.c_char_p,
+                ctypes.c_int64,
+                ctypes.POINTER(ctypes.c_uint64),
+                ctypes.POINTER(ctypes.c_uint64),
+                ctypes.c_int32,
+                ctypes.c_int32,
+                ctypes.c_int32,
+                ctypes.c_int32,
+                ctypes.c_int32,
+                ctypes.c_int32,
+                ctypes.c_int64,
+                ctypes.c_int64,
+                ctypes.POINTER(ctypes.c_uint8),
+                ctypes.c_int64,
+                ctypes.c_int64,
+            ]
+            lib.wsi_open.restype = ctypes.c_int64
+            lib.wsi_read_region.argtypes = [
+                ctypes.c_int64,
+                ctypes.c_int64,
+                ctypes.c_int64,
+                ctypes.c_int32,
+                ctypes.c_int32,
+                ctypes.POINTER(ctypes.c_uint8),
+            ]
+            lib.wsi_read_region.restype = ctypes.c_int32
+            lib.wsi_read_patches.argtypes = [
+                ctypes.c_int64,
+                ctypes.c_int64,
+                ctypes.POINTER(ctypes.c_int64),
+                ctypes.c_int32,
+                ctypes.c_int32,
+                ctypes.POINTER(ctypes.c_uint8),
+            ]
+            lib.wsi_read_patches.restype = ctypes.c_int32
+            lib.wsi_close.argtypes = [ctypes.c_int64]
+            lib.wsi_close.restype = None
             _lib = lib
         except Exception as err:
             logger.debug(f"native load error: {err}")
@@ -137,6 +175,100 @@ def watershed_native(
         _ptr(out, ctypes.c_int32),
     )
     return out
+
+
+class NativeRegionReader:
+    """GIL-free tile-decode + patch-assembly engine over one TIFF page.
+
+    Owns its own fd (pread), libjpeg-turbo/zlib/LZW decode, an in-C++ decoded
+    tile LRU, and the patch blitting — so one ctypes call decodes a whole
+    batch with the GIL released. This replaces the per-tile Python round trip
+    (cv2.imdecode + numpy assembly) that made patch decode the pipeline
+    bottleneck (the reference's equivalent hot loop: modellib/data.py:270-281).
+
+    Returns None from the factory when the page layout is unsupported; the
+    caller must fall back to the Python decode path.
+    """
+
+    def __init__(self, handle: int, lib: ctypes.CDLL):
+        self._handle = handle
+        self._lib = lib
+
+    @classmethod
+    def open(cls, path: str, page, cache_mb: int = 256) -> "NativeRegionReader | None":
+        """Create a reader for a TiffPage; None if unsupported/unavailable."""
+        lib = get_lib()
+        if lib is None or not hasattr(lib, "wsi_open"):
+            return None
+        if getattr(page, "bits", 8) != 8 or page.offsets is None:
+            return None
+        offsets = np.ascontiguousarray(np.asarray(page.offsets, np.uint64))
+        counts = np.ascontiguousarray(np.asarray(page.bytecounts, np.uint64))
+        tables = page.jpeg_tables or b""
+        tables_arr = np.frombuffer(tables, np.uint8) if tables else np.zeros(1, np.uint8)
+        if page.is_tiled:
+            tile_w, tile_h = int(page.tile_width), int(page.tile_height)
+        else:
+            tile_w, tile_h = int(page.width), int(page.rows_per_strip)
+        handle = lib.wsi_open(
+            str(path).encode(),
+            len(offsets),
+            _ptr(offsets, ctypes.c_uint64),
+            _ptr(counts, ctypes.c_uint64),
+            int(page.compression),
+            int(getattr(page, "predictor", 1)),
+            int(getattr(page, "samples", 3)),
+            1 if page.is_tiled else 0,
+            tile_w,
+            tile_h,
+            int(page.width),
+            int(page.height),
+            _ptr(tables_arr, ctypes.c_uint8),
+            len(tables),
+            int(cache_mb),
+        )
+        if handle < 0:
+            return None
+        return cls(handle, lib)
+
+    def read_region(self, location: tuple[int, int], size: tuple[int, int]) -> np.ndarray | None:
+        """(h, w, 3) uint8 region at page-level coords; None on decode error."""
+        w, h = int(size[0]), int(size[1])
+        out = np.empty((h, w, 3), np.uint8)
+        rc = self._lib.wsi_read_region(
+            self._handle, int(location[0]), int(location[1]), w, h,
+            _ptr(out, ctypes.c_uint8),
+        )
+        return out if rc == 0 else None
+
+    def read_patches(
+        self, coords: np.ndarray, size: tuple[int, int], out: np.ndarray | None = None
+    ) -> np.ndarray | None:
+        """Batch decode: (n, 2) [x, y] coords -> (n, h, w, 3) uint8; None on error.
+
+        `out` (contiguous uint8, n*h*w*3 bytes) lets callers decode into a
+        slice of a larger buffer — used to fan one batch across threads.
+        """
+        w, h = int(size[0]), int(size[1])
+        xy = np.ascontiguousarray(np.asarray(coords, np.int64).reshape(-1, 2))
+        if out is None:
+            out = np.empty((len(xy), h, w, 3), np.uint8)
+        rc = self._lib.wsi_read_patches(
+            self._handle, len(xy), _ptr(xy, ctypes.c_int64), w, h,
+            _ptr(out, ctypes.c_uint8),
+        )
+        return out if rc == 0 else None
+
+    def close(self) -> None:
+        if self._handle >= 0:
+            self._lib.wsi_close(self._handle)
+            self._handle = -1
+
+    def __del__(self):  # pragma: no cover - GC timing
+        try:
+            self.close()
+        except Exception:
+            pass
 
 
 def leiden_native(

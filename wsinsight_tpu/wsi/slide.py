@@ -55,6 +55,10 @@ class TpuSlide:
         self._cache: OrderedDict[tuple[int, int], np.ndarray] = OrderedDict()
         self._cache_budget = tile_cache_mb * (1 << 20)
         self._cache_bytes = 0
+        # Native (C++) region readers per level, created lazily. None means
+        # "not yet tried"; False means "tried, unsupported -> Python path".
+        self._native: dict[int, object] = {}
+        self._native_cache_mb = tile_cache_mb
 
         self.properties: dict[str, object] = {}
         mpp = self._tf.mpp()
@@ -92,6 +96,13 @@ class TpuSlide:
         return best
 
     def close(self) -> None:
+        for r in self._native.values():
+            if r is not False and r is not None:
+                try:
+                    r.close()
+                except Exception:
+                    pass
+        self._native.clear()
         self._tf.close()
 
     def __enter__(self) -> "TpuSlide":
@@ -123,6 +134,48 @@ class TpuSlide:
                     self._cache_bytes -= old.nbytes
         return arr
 
+    def _native_reader(self, level: int):
+        """Lazily create the native region reader for a level (or False)."""
+        r = self._native.get(level)
+        if r is None:
+            try:
+                from ..native import NativeRegionReader
+
+                r = NativeRegionReader.open(
+                    self.path, self._levels[level], cache_mb=self._native_cache_mb
+                )
+            except Exception:
+                r = None
+            if r is None:
+                r = False
+            self._native[level] = r
+        return r
+
+    def read_patches_array(
+        self,
+        locations: np.ndarray,
+        level: int,
+        size: tuple[int, int],
+        out: np.ndarray | None = None,
+    ) -> np.ndarray | None:
+        """Batch-decode (n, 2) level-0 [x, y] locations to (n, h, w, 3) uint8.
+
+        One GIL-free native call for the whole batch (decode + tile LRU +
+        assembly in C++); returns None when the native path is unavailable so
+        callers fall back to per-patch `read_region_array`. `out` optionally
+        receives the pixels (lets callers shard a batch across threads).
+        """
+        if level < 0 or level >= len(self._levels):
+            raise ValueError(f"invalid level {level}")
+        reader = self._native_reader(level)
+        if reader is False:
+            return None
+        locs = np.asarray(locations, np.int64).reshape(-1, 2)
+        if level:
+            ds = self.level_downsamples[level]
+            locs = (locs / ds).astype(np.int64)
+        return reader.read_patches(locs, size, out=out)
+
     def read_region_array(
         self, location: tuple[int, int], level: int, size: tuple[int, int]
     ) -> np.ndarray:
@@ -134,6 +187,14 @@ class TpuSlide:
         x0 = int(location[0] / ds) if level else int(location[0])
         y0 = int(location[1] / ds) if level else int(location[1])
         w, h = int(size[0]), int(size[1])
+
+        reader = self._native_reader(level)
+        if reader is not False:
+            arr = reader.read_region((x0, y0), (w, h))
+            if arr is not None:
+                return arr
+            self._native[level] = False  # decode error: stick to Python path
+
         out = np.zeros((h, w, 3), np.uint8)
 
         # Clip the request against the level bounds.
