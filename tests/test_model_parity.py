@@ -138,6 +138,93 @@ def test_cellvit256_full_parity():
         )
 
 
+def test_cellvit_virchow_full_parity():
+    """Template-guided conversion of a torch CellViT-Virchow (DINOv2-style
+    encoder: patch-14 embed, SwiGLU-packed MLP, LayerScale, cls token; three
+    decoder branches; the shared /16 skip adapter) matches the flax model end
+    to end — small dims, real feature set (mirrors test_cellvit256_full_parity
+    per VERDICT #5)."""
+    import torch_refs_cells
+
+    from wsinsight_tpu.models.cellvit import CellViT
+    from wsinsight_tpu.models.convert import convert_with_template
+    from wsinsight_tpu.models.vit import ViTConfig
+
+    torch.manual_seed(4)
+    tmodel = torch_refs_cells.TorchCellViTVirchow(
+        dim=64, depth=4, heads=4, num_nuclei_classes=3, halo=8, n_tokens=65
+    )
+    tmodel.eval()
+    _randomize_bn(tmodel, seed=5)
+    with torch.no_grad():
+        tmodel.encoder.cls_token.normal_(0, 0.02)
+        tmodel.encoder.pos_embed.normal_(0, 0.02)
+        for blk in tmodel.encoder.blocks:  # non-trivial LayerScale gains
+            blk.ls1.gamma.normal_(1.0, 0.1)
+            blk.ls2.gamma.normal_(1.0, 0.1)
+
+    rng = np.random.default_rng(6)
+    x = rng.standard_normal((2, 3, 112, 112)).astype(np.float32) * 0.5
+    with torch.no_grad():
+        expected = tmodel(torch.from_numpy(x))
+
+    import jax
+
+    mini_cfg = ViTConfig(
+        64, 4, 4, patch_size=14, mlp_ratio=5.3375, window_size=0,
+        use_rel_pos=False, use_cls_token=True, extract_layers=(1, 2, 3, 4),
+        mlp_naming=("mlp.fc1", "mlp.fc2"), mlp_type="swiglu",
+        layer_scale=True, native_grid=8,
+    )
+    fmodel = CellViT(
+        variant="virchow", num_nuclei_classes=3, halo_size=8,
+        config_override=mini_cfg,
+    )
+    template = fmodel.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 112, 112, 3), jnp.float32)
+    )["params"]
+    params = convert_with_template(
+        state_dict_to_arrays(tmodel.state_dict()), template
+    )
+    got = fmodel.apply({"params": params}, jnp.asarray(np.transpose(x, (0, 2, 3, 1))))
+
+    for key in ("nuclei_binary_map", "hv_map", "nuclei_type_map", "tissue_types"):
+        np.testing.assert_allclose(
+            np.asarray(got[key]), expected[key].numpy(), atol=1e-3, rtol=1e-4,
+            err_msg=key,
+        )
+
+
+def test_cellvit_virchow_pos_embed_interpolates():
+    """Runtime grids away from the checkpoint's native grid interpolate the
+    pos embedding (DINOv2 convention) instead of failing shape checks."""
+    import jax
+
+    from wsinsight_tpu.models.cellvit import CellViT
+    from wsinsight_tpu.models.vit import ViTConfig
+
+    mini_cfg = ViTConfig(
+        32, 4, 2, patch_size=14, mlp_ratio=2.0, window_size=0,
+        use_rel_pos=False, use_cls_token=True, extract_layers=(1, 2, 3, 4),
+        mlp_naming=("mlp.fc1", "mlp.fc2"), mlp_type="swiglu",
+        layer_scale=True, native_grid=8,
+    )
+    fmodel = CellViT(
+        variant="virchow", num_nuclei_classes=3, halo_size=8,
+        config_override=mini_cfg,
+    )
+    # 176/14 -> grid 12 != native 8: pos_embed keeps the native 65 tokens
+    params = fmodel.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 176, 176, 3), jnp.float32)
+    )["params"]
+    assert params["encoder"]["pos_embed"].shape == (1, 65, 32)
+    out = fmodel.apply(
+        {"params": params}, jnp.zeros((1, 176, 176, 3), jnp.float32)
+    )
+    assert out["nuclei_binary_map"].shape == (1, 2, 160, 160)
+    assert np.isfinite(np.asarray(out["nuclei_binary_map"])).all()
+
+
 def test_hovernet_full_parity():
     """Template-guided conversion of a full torch HoVer-Net (pre-act ResNet50
     encoder + three dense decoders) matches the flax model end to end."""

@@ -178,6 +178,126 @@ class UpsamplingBranch(nn.Module):
         return self.decoder0_header(torch.cat([b0, y], dim=1))
 
 
+class MlpSwiGLUPacked(nn.Module):
+    """timm SwiGLUPacked naming/semantics (Virchow): fc1 packs 2*hidden;
+    gate is the FIRST half — silu(x1) * x2 -> fc2."""
+
+    def __init__(self, dim, hidden):
+        super().__init__()
+        self.fc1 = nn.Linear(dim, 2 * hidden)
+        self.fc2 = nn.Linear(hidden, dim)
+
+    def forward(self, x):
+        x1, x2 = self.fc1(x).chunk(2, dim=-1)
+        return self.fc2(nn.functional.silu(x1) * x2)
+
+
+class LayerScale(nn.Module):
+    """timm/DINOv2 LayerScale (leaf name .gamma)."""
+
+    def __init__(self, dim, init=1e-5):
+        super().__init__()
+        self.gamma = nn.Parameter(torch.full((dim,), float(init)))
+
+    def forward(self, x):
+        return x * self.gamma
+
+
+class VirchowBlock(nn.Module):
+    def __init__(self, dim, heads, mlp_ratio=5.3375):
+        super().__init__()
+        self.norm1 = nn.LayerNorm(dim, eps=1e-6)
+        self.attn = Attention(dim, heads)
+        self.ls1 = LayerScale(dim)
+        self.norm2 = nn.LayerNorm(dim, eps=1e-6)
+        self.mlp = MlpSwiGLUPacked(dim, int(dim * mlp_ratio))
+        self.ls2 = LayerScale(dim)
+
+    def forward(self, x):
+        x = x + self.ls1(self.attn(self.norm1(x)))
+        return x + self.ls2(self.mlp(self.norm2(x)))
+
+
+class VirchowEncoder(nn.Module):
+    """Virchow-style DINOv2 ViT (patch 14, cls token, SwiGLU, LayerScale)."""
+
+    def __init__(self, dim, depth, heads, n_tokens, extract, mlp_ratio=5.3375):
+        super().__init__()
+        self.patch_embed = PatchEmbed(dim, patch=14)
+        self.cls_token = nn.Parameter(torch.zeros(1, 1, dim))
+        self.pos_embed = nn.Parameter(torch.zeros(1, n_tokens, dim))
+        self.blocks = nn.Sequential(
+            *[VirchowBlock(dim, heads, mlp_ratio) for _ in range(depth)]
+        )
+        self.norm = nn.LayerNorm(dim, eps=1e-6)
+        self.extract = extract
+
+    def forward(self, x):
+        tokens, (gh, gw) = self.patch_embed(x)
+        b = tokens.shape[0]
+        tokens = torch.cat([self.cls_token.expand(b, -1, -1), tokens], dim=1)
+        tokens = tokens + self.pos_embed
+        skips = []
+        for i, blk in enumerate(self.blocks):
+            tokens = blk(tokens)
+            if (i + 1) in self.extract:
+                grid = tokens[:, 1:, :].transpose(1, 2).reshape(b, -1, gh, gw)
+                skips.append(grid)
+        return skips, self.norm(tokens)[:, 0, :]
+
+
+def _resize_grid_like_flax(z, gh2, gw2):
+    """The /14 -> /16 skip adapter, SHARED with the flax model (the adapter
+    is ours, not part of any released checkpoint — see models/cellvit.py);
+    both sides call jax.image.resize so adapter semantics cannot diverge."""
+    import jax
+    import numpy as np
+
+    z_hwc = np.transpose(z.detach().numpy(), (0, 2, 3, 1))
+    out = jax.image.resize(
+        z_hwc, (z_hwc.shape[0], gh2, gw2, z_hwc.shape[3]), method="bilinear"
+    )
+    return torch.from_numpy(np.transpose(np.asarray(out), (0, 3, 1, 2)))
+
+
+class TorchCellViTVirchow(nn.Module):
+    """CellViT with a (configurably small) Virchow encoder, matching
+    wsinsight_tpu naming — exercises SwiGLU, LayerScale, patch-14 embedding
+    and the shared /16 skip adapter."""
+
+    def __init__(self, dim=64, depth=4, heads=4, num_nuclei_classes=3,
+                 num_tissue_classes=19, halo=8, n_tokens=65,
+                 extract=(1, 2, 3, 4)):
+        super().__init__()
+        self.halo = halo
+        self.encoder = VirchowEncoder(dim, depth, heads, n_tokens, extract)
+        self.nuclei_binary_map_decoder = UpsamplingBranch(dim, 2)
+        self.hv_map_decoder = UpsamplingBranch(dim, 2)
+        self.nuclei_type_maps_decoder = UpsamplingBranch(dim, num_nuclei_classes)
+        self.classifier_head = nn.Linear(dim, num_tissue_classes)
+
+    def forward(self, x):
+        (z1, z2, z3, z4), cls_tok = self.encoder(x)
+        gh2, gw2 = x.shape[2] // 16, x.shape[3] // 16
+        z1, z2, z3, z4 = (
+            _resize_grid_like_flax(z, gh2, gw2) for z in (z1, z2, z3, z4)
+        )
+        np_map = self.nuclei_binary_map_decoder(x, z1, z2, z3, z4)
+        hv_map = self.hv_map_decoder(x, z1, z2, z3, z4)
+        tp_map = self.nuclei_type_maps_decoder(x, z1, z2, z3, z4)
+        h = self.halo
+        if h > 0:
+            np_map = np_map[:, :, h:-h, h:-h]
+            hv_map = hv_map[:, :, h:-h, h:-h]
+            tp_map = tp_map[:, :, h:-h, h:-h]
+        return {
+            "nuclei_binary_map": np_map,
+            "hv_map": hv_map,
+            "nuclei_type_map": tp_map,
+            "tissue_types": self.classifier_head(cls_tok),
+        }
+
+
 class TorchCellViT256(nn.Module):
     """CellViT with the ViT-256 encoder, matching wsinsight_tpu naming."""
 

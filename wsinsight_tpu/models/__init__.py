@@ -34,12 +34,19 @@ _register(
 )
 _register(vgg16, "vgg16", "vgg16mod", "vgg16_mod")
 
-from .cellvit import cellvit_256, cellvit_sam_b, cellvit_sam_h, cellvit_sam_l  # noqa: E402
+from .cellvit import (  # noqa: E402
+    cellvit_256,
+    cellvit_sam_b,
+    cellvit_sam_h,
+    cellvit_sam_l,
+    cellvit_virchow,
+)
 
 _register(cellvit_sam_h, "cellvit_sam_h", "cellvit-sam-h")
 _register(cellvit_sam_l, "cellvit_sam_l", "cellvit-sam-l")
 _register(cellvit_sam_b, "cellvit_sam_b", "cellvit-sam-b")
 _register(cellvit_256, "cellvit_256", "cellvit-256")
+_register(cellvit_virchow, "cellvit_virchow", "cellvit-virchow")
 
 from .hovernet import hovernet_fast  # noqa: E402
 

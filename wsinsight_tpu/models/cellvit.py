@@ -22,7 +22,15 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from .layers import EvalBN, TorchConv
-from .vit import SAM_VIT_B, SAM_VIT_H, SAM_VIT_L, VIT_256, ViTConfig, ViTEncoder
+from .vit import (
+    SAM_VIT_B,
+    SAM_VIT_H,
+    SAM_VIT_L,
+    VIRCHOW_VIT_H,
+    VIT_256,
+    ViTConfig,
+    ViTEncoder,
+)
 
 Dtype = Any
 
@@ -125,6 +133,7 @@ _VARIANTS: dict[str, ViTConfig] = {
     "sam-l": SAM_VIT_L,
     "sam-h": SAM_VIT_H,
     "256": VIT_256,
+    "virchow": VIRCHOW_VIT_H,
 }
 
 
@@ -136,14 +145,30 @@ class CellViT(nn.Module):
     num_tissue_classes: int = 19
     halo_size: int = 46
     dtype: Dtype = jnp.float32
+    # test hook: a custom ViTConfig (e.g. a small Virchow-feature config for
+    # parity tests) instead of the registered variant's
+    config_override: ViTConfig | None = None
 
     @nn.compact
     def __call__(self, x: jax.Array) -> dict[str, jax.Array]:
         """x: (B, H, W, 3) float (already normalized). Returns channel-first
         maps cropped to the halo interior, matching the stitcher contract."""
-        cfg = _VARIANTS[self.variant]
+        cfg = self.config_override or _VARIANTS[self.variant]
         _, skips, pooled = ViTEncoder(cfg, dtype=self.dtype, name="encoder")(x)
         z1, z2, z3, z4 = skips
+
+        if cfg.patch_size != 16:
+            # /14 backbones (Virchow ViT-H/14) feed the /16 UNETR decoder by
+            # bilinearly resizing each skip grid to H/16 x W/16 — the decoder
+            # geometry (4 x2 deconv stages + the full-res image skip) demands
+            # a /16 grid, and a learned adapter would break checkpoint
+            # compatibility. Validated against released weights via the
+            # template-conversion coverage report on first real ingestion.
+            gh2, gw2 = x.shape[1] // 16, x.shape[2] // 16
+            rs = lambda z: jax.image.resize(  # noqa: E731
+                z, (z.shape[0], gh2, gw2, z.shape[3]), method="bilinear"
+            )
+            z1, z2, z3, z4 = rs(z1), rs(z2), rs(z3), rs(z4)
 
         np_map = UpsamplingBranch(2, cfg.embed_dim, dtype=self.dtype,
                                   name="nuclei_binary_map_decoder")(x, z1, z2, z3, z4)
@@ -183,3 +208,10 @@ def cellvit_sam_b(num_classes: int, halo_size: int = 46, dtype: Dtype = jnp.floa
 
 def cellvit_256(num_classes: int, halo_size: int = 46, dtype: Dtype = jnp.float32) -> CellViT:
     return CellViT(variant="256", num_nuclei_classes=num_classes, halo_size=halo_size, dtype=dtype)
+
+
+def cellvit_virchow(num_classes: int, halo_size: int = 46, dtype: Dtype = jnp.float32) -> CellViT:
+    """CellViT with the Virchow ViT-H/14 encoder (CellViT-Virchow-x40-AMP,
+    reference: README.md:215-228). Decoder widths follow the SAM lineage
+    (embed 1280 >= 512); /14 skips are resized to the /16 decoder grid."""
+    return CellViT(variant="virchow", num_nuclei_classes=num_classes, halo_size=halo_size, dtype=dtype)

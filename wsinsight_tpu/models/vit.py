@@ -35,6 +35,14 @@ class ViTConfig:
     # (the CellViT-256 encoder lineage) exports fc1/fc2 — the names must
     # match the released checkpoint's keys for template conversion.
     mlp_naming: tuple = ("mlp.lin1", "mlp.lin2")
+    # DINOv2-lineage extensions (Virchow): SwiGLU-packed MLP, LayerScale
+    # residual gains (ls1/ls2 gamma), and a NATIVE pos-embed grid — the
+    # checkpoint's grid (e.g. 16 for 224/14); at other input sizes the grid
+    # half of pos_embed is bilinearly interpolated at trace time, exactly the
+    # DINOv2 convention, so released weights load without reshaping.
+    mlp_type: str = "gelu"  # "gelu" | "swiglu"
+    layer_scale: bool = False
+    native_grid: int = 0  # 0 = init pos_embed at the runtime grid
 
 
 SAM_VIT_B = ViTConfig(768, 12, 12, use_rel_pos=True, use_cls_token=False,
@@ -46,6 +54,17 @@ SAM_VIT_H = ViTConfig(1280, 32, 16, use_rel_pos=True, use_cls_token=False,
 VIT_256 = ViTConfig(384, 12, 6, use_rel_pos=False, use_cls_token=True,
                     window_size=0, extract_layers=(3, 6, 9, 12),
                     mlp_naming=("mlp.fc1", "mlp.fc2"))
+# Virchow (Paige; the encoder behind CellViT-Virchow-x40-AMP, reference:
+# README.md:215-228): ViT-H/14 trained with DINOv2 — embed 1280, depth 32,
+# heads 16, mlp_ratio 5.3375 with SwiGLU-packed MLP (timm SwiGLUPacked:
+# fc1 -> 2*hidden, silu(first half) * second half -> fc2), LayerScale, class
+# token, no windowed attention. Native grid 16 (224/14). Skips extracted
+# every depth/4 blocks like the SAM variants.
+VIRCHOW_VIT_H = ViTConfig(1280, 32, 16, patch_size=14, mlp_ratio=5.3375,
+                          window_size=0, use_rel_pos=False, use_cls_token=True,
+                          extract_layers=(8, 16, 24, 32),
+                          mlp_naming=("mlp.fc1", "mlp.fc2"),
+                          mlp_type="swiglu", layer_scale=True, native_grid=16)
 
 
 def _get_rel_pos(q_size: int, k_size: int, rel_pos: jax.Array) -> jax.Array:
@@ -137,6 +156,8 @@ class Block(nn.Module):
     window_size: int
     use_rel_pos: bool
     mlp_naming: tuple = ("mlp.lin1", "mlp.lin2")
+    mlp_type: str = "gelu"
+    layer_scale: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -162,12 +183,27 @@ class Block(nn.Module):
                 dtype=self.dtype,
                 name="attn",
             )(y)
+        if self.layer_scale:  # DINOv2 LayerScale (timm ls1/ls2 .gamma leaves)
+            y = y * self.param(
+                "ls1.gamma", nn.initializers.constant(1e-5), (self.dim,), jnp.float32
+            ).astype(y.dtype)
         x = shortcut + y
         y = nn.LayerNorm(epsilon=1e-6, name="norm2")(x)
         hidden = int(self.dim * self.mlp_ratio)
-        y = nn.Dense(hidden, dtype=self.dtype, name=self.mlp_naming[0])(y)
-        y = nn.gelu(y, approximate=False)
+        if self.mlp_type == "swiglu":
+            # timm SwiGLUPacked: one packed fc1 -> 2*hidden; gate is the
+            # FIRST half (gate_last=False): silu(x1) * x2 -> fc2.
+            y = nn.Dense(2 * hidden, dtype=self.dtype, name=self.mlp_naming[0])(y)
+            y1, y2 = jnp.split(y, 2, axis=-1)
+            y = nn.silu(y1) * y2
+        else:
+            y = nn.Dense(hidden, dtype=self.dtype, name=self.mlp_naming[0])(y)
+            y = nn.gelu(y, approximate=False)
         y = nn.Dense(self.dim, dtype=self.dtype, name=self.mlp_naming[1])(y)
+        if self.layer_scale:
+            y = y * self.param(
+                "ls2.gamma", nn.initializers.constant(1e-5), (self.dim,), jnp.float32
+            ).astype(y.dtype)
         return x + y
 
 
@@ -193,10 +229,22 @@ class ViTEncoder(nn.Module):
 
         if cfg.use_cls_token:
             cls = self.param("cls_token", nn.initializers.zeros, (1, 1, cfg.embed_dim), jnp.float32)
+            ng = cfg.native_grid or 0
+            pos_tokens = (ng * ng if ng else gh * gw) + 1
             pos = self.param(
                 "pos_embed", nn.initializers.normal(0.02),
-                (1, gh * gw + 1, cfg.embed_dim), jnp.float32,
+                (1, pos_tokens, cfg.embed_dim), jnp.float32,
             )
+            if ng and (gh, gw) != (ng, ng):
+                # DINOv2-style: keep the checkpoint's native grid in the
+                # param; bilinearly interpolate the grid half to the runtime
+                # grid at trace time (static shapes under jit).
+                pos_grid = jax.image.resize(
+                    pos[:, 1:, :].reshape(1, ng, ng, cfg.embed_dim),
+                    (1, gh, gw, cfg.embed_dim),
+                    method="bilinear",
+                ).reshape(1, gh * gw, cfg.embed_dim)
+                pos = jnp.concatenate([pos[:, :1, :], pos_grid], axis=1)
             tokens = x.reshape(b, gh * gw, cfg.embed_dim)
             tokens = jnp.concatenate([jnp.tile(cls, (b, 1, 1)), tokens], axis=1) + pos
             grid = tokens[:, 1:, :].reshape(b, gh, gw, cfg.embed_dim)
@@ -221,7 +269,8 @@ class ViTEncoder(nn.Module):
                 tokens = tokens.reshape(b, 1, gh * gw + 1, cfg.embed_dim)
                 tokens = Block(
                     cfg.embed_dim, cfg.num_heads, cfg.mlp_ratio, 0, False,
-                    mlp_naming=cfg.mlp_naming, dtype=self.dtype, name=f"blocks.{i}",
+                    mlp_naming=cfg.mlp_naming, mlp_type=cfg.mlp_type,
+                    layer_scale=cfg.layer_scale, dtype=self.dtype, name=f"blocks.{i}",
                 )(tokens)
                 tokens = tokens.reshape(b, gh * gw + 1, cfg.embed_dim)
                 cls_tok = tokens[:, :1, :]
@@ -229,7 +278,8 @@ class ViTEncoder(nn.Module):
             else:
                 grid = Block(
                     cfg.embed_dim, cfg.num_heads, cfg.mlp_ratio, window, cfg.use_rel_pos,
-                    mlp_naming=cfg.mlp_naming, dtype=self.dtype, name=f"blocks.{i}",
+                    mlp_naming=cfg.mlp_naming, mlp_type=cfg.mlp_type,
+                    layer_scale=cfg.layer_scale, dtype=self.dtype, name=f"blocks.{i}",
                 )(grid)
             if (i + 1) in cfg.extract_layers:
                 skips.append(grid)
