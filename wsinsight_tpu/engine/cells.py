@@ -17,6 +17,7 @@ import tqdm
 
 from ..uri_path import URIPath
 from ..zoo import ModelHandle
+from ..utils.workers import governed_workers
 from .data import PatchBatchSource
 from .stitch import TileRemapStitcher
 
@@ -173,7 +174,7 @@ def run_cell_inference(
         slide_mpp=mpp,
         model_mpp=cfg.spacing_um_px,
         min_object_size=min_object_size,
-        transfer_dtype=None,  # bf16 default (see TileRemapStitcher); env-overridable
+        transfer_dtype=None,  # quantized default: uint8 NP/TP + bf16 HV (see TileRemapStitcher); env-overridable
     )
 
     src = None
@@ -183,7 +184,7 @@ def run_cell_inference(
             patch_path=patch_path,
             use_hdf5_images=use_hdf5_images,
             batch_size=engine.pad_batch(batch_size),
-            num_threads=num_workers or 4,
+            num_threads=governed_workers(num_workers or 4),
         )
         with tqdm.tqdm(
             total=src.num_batches, desc="Inference", position=1, leave=False

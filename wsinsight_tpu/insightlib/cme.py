@@ -405,7 +405,11 @@ def _leiden_sweep(
 
     resolutions = [float(r) for r in resolutions]
     tasks = [(r, rep) for r in resolutions for rep in range(n_repeats)]
-    n_workers = min(8, max(1, (os.cpu_count() or 1) - 1))
+    # Governor clamp, mirroring the reference's governed Leiden sweep pool
+    # (num_worker_optimizer.py:74-165 via cme_generation.py:896-906).
+    from ..utils.workers import governed_workers
+
+    n_workers = governed_workers(min(8, max(1, (os.cpu_count() or 1) - 1)))
     with ThreadPoolExecutor(max_workers=n_workers) as ex:
         runs_flat = list(
             ex.map(

@@ -239,7 +239,12 @@ def hplot_generation(
         )
 
     ctx = multiprocessing.get_context("spawn")
-    with ProcessPoolExecutor(max_workers=max(1, num_workers), mp_context=ctx) as ex:
+    # Governor clamp, mirroring the reference's governed hplot pool
+    # (num_worker_optimizer.py:74-165 via hplot_generation.py:257).
+    from ..utils.workers import governed_workers
+
+    num_workers = governed_workers(max(1, num_workers))
+    with ProcessPoolExecutor(max_workers=num_workers, mp_context=ctx) as ex:
         futures = {ex.submit(_worker, *args): args[0] for args in jobs}
         pbar = tqdm(total=len(futures), desc="H-Plot")
         for f in as_completed(futures):

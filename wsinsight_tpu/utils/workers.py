@@ -118,6 +118,22 @@ def pick_workers_safe(
     return max(1, min_workers, int(budget))
 
 
+def governed_workers(requested: int, max_workers: int = 32) -> int:
+    """Clamp a requested pool size by current host headroom.
+
+    The reference applies its adaptive sizing to EVERY pool — geojson,
+    omecsv, hplot, cme (reference: num_worker_optimizer.py:74-165,
+    write_geojson.py:459); this is the one-line entry those pools call here.
+    Never exceeds `requested` (the user's explicit knob stays a hard cap).
+    """
+    requested = max(1, int(requested))
+    try:
+        safe = pick_workers_safe(max_workers=min(requested, max_workers), min_workers=1)
+    except Exception:  # psutil hiccup: fall back to the static request
+        return requested
+    return max(1, min(requested, safe))
+
+
 def throttle_when_busy(
     target_cpu_util: float = 0.80,
     target_mem_util: float = 0.90,

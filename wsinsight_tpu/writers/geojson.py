@@ -319,6 +319,11 @@ def write_geojsons(
         return
 
     pbar = tqdm(total=total, desc="Files completed", dynamic_ncols=True) if show_progress else None
+    # Governor: clamp the static request by host headroom (the reference
+    # governs this pool too, write_geojson.py:459).
+    from ..utils.workers import governed_workers
+
+    num_workers = governed_workers(num_workers)
     # spawn: forking after JAX initialization can deadlock worker processes
     with ProcessPoolExecutor(max_workers=num_workers, mp_context=multiprocessing.get_context("spawn")) as ex:
         futures = [

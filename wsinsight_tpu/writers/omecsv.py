@@ -155,6 +155,11 @@ def write_omecsvs(
         return
 
     pbar = tqdm(total=len(csvs), desc="OME-CSVs", dynamic_ncols=True) if show_progress else None
+    # Governor clamp, mirroring the reference's governed export pool
+    # (num_worker_optimizer.py:74-165 via write_omecsv.py).
+    from ..utils.workers import governed_workers
+
+    num_workers = governed_workers(num_workers)
     with ProcessPoolExecutor(max_workers=num_workers, mp_context=multiprocessing.get_context("spawn")) as ex:
         futures = [
             ex.submit(make_omecsv, csv, results_dir, output_dir, overlap, prefix, usecols, dtype)
