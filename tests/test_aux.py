@@ -26,6 +26,52 @@ def test_throttle_returns_quickly_when_idle():
     throttle_when_busy(target_cpu_util=1.01, target_mem_util=1.01, reserve_mem_bytes=0)
 
 
+def test_governed_workers_clamps(monkeypatch):
+    """governed_workers = min(requested, pick_workers_safe): a hot host
+    shrinks the pool, never grows past the caller's explicit knob, and a
+    governor failure falls back to the static request."""
+    import wsinsight_tpu.utils.workers as W
+
+    monkeypatch.setattr(W, "pick_workers_safe", lambda **kw: 2)
+    assert W.governed_workers(8) == 2  # host headroom clamps the request
+    assert W.governed_workers(1) == 1  # request stays the hard cap
+    monkeypatch.setattr(W, "pick_workers_safe", lambda **kw: 64)
+    assert W.governed_workers(8) == 8  # never exceeds the request
+    def boom(**kw):
+        raise RuntimeError("psutil down")
+    monkeypatch.setattr(W, "pick_workers_safe", boom)
+    assert W.governed_workers(6) == 6  # degraded mode: static request
+    assert W.governed_workers(0) == 1  # pools reject max_workers=0
+
+
+def test_governed_workers_wired_into_export_pools(monkeypatch, tmp_path):
+    """write_geojsons consults the governor before sizing its process pool
+    (reference behavior: write_geojson.py:459 + num_worker_optimizer.py)."""
+    import wsinsight_tpu.utils.workers as W
+    from wsinsight_tpu.writers import geojson as gj
+
+    seen = {}
+
+    def fake_pick(**kw):
+        seen["called"] = True
+        return 1
+
+    monkeypatch.setattr(W, "pick_workers_safe", fake_pick)
+    csv = tmp_path / "model-outputs-csv" / "s1.csv"
+    csv.parent.mkdir(parents=True)
+    pd.DataFrame(
+        {"minx": [0], "miny": [0], "width": [10], "height": [10],
+         "prob_tumor": [0.9]}
+    ).to_csv(csv, index=False)
+    gj.write_geojsons(
+        [csv], results_dir=tmp_path, overlap=0.0,
+        output_dir=__import__("pathlib").Path("model-outputs-geojson"),
+        num_workers=4, show_progress=False,
+    )
+    assert seen.get("called"), "export pool did not consult the governor"
+    assert (tmp_path / "model-outputs-geojson" / "s1.geojson").exists()
+
+
 def test_stardist_ray_candidates_and_nms():
     from wsinsight_tpu.models.stardist import _nms, _ray_candidates, _rays_to_polys
 
