@@ -38,6 +38,16 @@ def cli(backend: str | None = None, log_level: str = "info") -> None:
         format="%(asctime)s - %(levelname)s - %(module)s:%(lineno)d - %(message)s",
         level=levels[log_level],
     )
+    # Multi-host DCN: jax.distributed must initialize BEFORE anything touches
+    # a JAX backend, so the CLI entry (not the runner) owns the call when a
+    # coordinator is configured (SURVEY.md §5 distributed design). The
+    # runner's own call stays as an idempotent backstop for API users.
+    import os
+
+    if os.getenv("JAX_COORDINATOR_ADDRESS"):
+        from ..parallel.multihost import maybe_initialize_distributed
+
+        maybe_initialize_distributed()
     if backend is not None:
         set_backend(backend)
 

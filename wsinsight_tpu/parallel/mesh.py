@@ -51,8 +51,14 @@ def enable_compilation_cache() -> None:
 
 
 def get_data_mesh(max_devices: int | None = None) -> Mesh:
-    """1-D mesh over all local devices, axis name 'data'."""
-    devices = jax.devices()
+    """1-D mesh over all LOCAL devices, axis name 'data'.
+
+    Local, not global: the multi-host design shards SLIDES across processes
+    (parallel/multihost.py) with each host running independent per-slide
+    programs — a global-device mesh would demand lockstep multi-controller
+    SPMD across hosts and deadlock the per-slide fan-out.
+    """
+    devices = jax.local_devices()
     if max_devices:
         devices = devices[:max_devices]
     return Mesh(np.array(devices), axis_names=("data",))

@@ -33,8 +33,28 @@ def maybe_initialize_distributed() -> bool:
     import jax
 
     if os.getenv("JAX_COORDINATOR_ADDRESS"):
+        # Idempotence: the CLI entry initializes before any backend exists
+        # (cli/cli.py); API callers may reach this a second time after
+        # compute has run, when jax raises "must be called before any JAX
+        # calls" rather than "already initialized" — so check the
+        # distributed client directly instead of pattern-matching messages.
         try:
-            jax.distributed.initialize()
+            from jax._src import distributed as _dist
+
+            if getattr(_dist.global_state, "client", None) is not None:
+                return jax.process_count() > 1
+        except Exception:
+            pass
+        # jax.distributed.initialize() reads JAX_COORDINATOR_ADDRESS itself
+        # but (as of this jax) NOT the process-count/id pair — pass those
+        # explicitly from the same env contract.
+        kwargs = {}
+        if os.getenv("JAX_NUM_PROCESSES"):
+            kwargs["num_processes"] = int(os.environ["JAX_NUM_PROCESSES"])
+        if os.getenv("JAX_PROCESS_ID"):
+            kwargs["process_id"] = int(os.environ["JAX_PROCESS_ID"])
+        try:
+            jax.distributed.initialize(**kwargs)
         except RuntimeError as err:
             # "already initialized" is fine (idempotent callers); anything
             # else means every host would silently fall back to running the
