@@ -33,6 +33,7 @@ Falls back to the classic path when the band buffers would not fit in HBM
 
 from __future__ import annotations
 
+import functools as _functools
 import logging
 from typing import List
 
@@ -40,6 +41,7 @@ import numpy as np
 
 from ..ops.hv_postproc import extract_instance_labels
 from ..uri_path import URIPath
+from ..utils.workers import governed_workers
 from .data import PatchBatchSource
 
 logger = logging.getLogger(__name__)
@@ -58,6 +60,14 @@ _MAX_IDS = 1 << 20
 
 class StreamingCapacityError(RuntimeError):
     """The banded engine's static capacity was exceeded for this slide."""
+
+
+def _bucket(n: int, floor: int) -> int:
+    """Smallest floor * 4^j >= n (static-shape bucketing for jit reuse)."""
+    cap = floor
+    while cap < n:
+        cap *= 4
+    return cap
 
 
 class BandedCellStitcher:
@@ -130,78 +140,16 @@ class BandedCellStitcher:
 
     # -- devices kernels ----------------------------------------------------
     def _build_kernels(self):
-        import jax
-        import jax.numpy as jnp
+        import os
 
-        s, k = self.s, self.k
-        from .stitch import make_map_postprocess
-
-        core = make_map_postprocess(s, self.alpha)
-
-        def postprocess(np_logits, hv, tp_logits):
-            np_res, hv_res, tp_res = core(np_logits, hv, tp_logits)
-            # bands store bf16: half the HBM of f32 at ~1e-3 relative error
-            return (
-                np_res.astype(jnp.bfloat16),
-                hv_res.astype(jnp.bfloat16),
-                tp_res.astype(jnp.bfloat16),
-            )
-
-        self._postprocess = jax.jit(postprocess)
-
-        def scatter(np_b, hv_b, tp_b, np_p, hv_p, tp_p, rows, cols, valid):
-            def body(i, bufs):
-                nb, hb, tb = bufs
-                r, c = rows[i], cols[i]
-                cur_n = jax.lax.dynamic_slice(nb, (r, c), (s, s))
-                cur_h = jax.lax.dynamic_slice(hb, (r, c, 0), (s, s, 2))
-                cur_t = jax.lax.dynamic_slice(tb, (r, c, 0), (s, s, k))
-                nb = jax.lax.dynamic_update_slice(
-                    nb, jnp.where(valid[i], np_p[i], cur_n), (r, c)
-                )
-                hb = jax.lax.dynamic_update_slice(
-                    hb, jnp.where(valid[i], hv_p[i], cur_h), (r, c, 0)
-                )
-                tb = jax.lax.dynamic_update_slice(
-                    tb, jnp.where(valid[i], tp_p[i], cur_t), (r, c, 0)
-                )
-                return nb, hb, tb
-
-            return jax.lax.fori_loop(0, rows.shape[0], body, (np_b, hv_b, tp_b))
-
-        self._scatter = jax.jit(scatter, donate_argnums=(0, 1, 2))
-
-        # per-window energy + NP fetch (window shape is static per jit cache);
-        # the energy math is the shared numerically-pinned core so the
-        # streaming and classic device-ridge paths cannot drift apart.
-        from ..ops.hv_device import make_energy_core
-
-        energy_core = make_energy_core(21)
-
-        def window_stage(np_b, hv_b, r0, c0, wh, ww):
-            np_win = jax.lax.dynamic_slice(np_b, (r0, c0), (wh, ww)).astype(jnp.float32)
-            hv_win = jax.lax.dynamic_slice(hv_b, (r0, c0, 0), (wh, ww, 2)).astype(
-                jnp.float32
-            )
-            energy = energy_core(hv_win)
-            np_u8 = jnp.round(np_win * 255.0).astype(jnp.uint8)
-            return np_u8, energy
-
-        self._window_stage = jax.jit(window_stage, static_argnums=(4, 5))
-
-        def class_sums(tp_b, labels, r0, c0):
-            # labels: (band_rows, W) int32 local ids (0 = background)
-            bh, bw = labels.shape
-            tp_win = jax.lax.dynamic_slice(tp_b, (r0, c0, 0), (bh, bw, k)).astype(
-                jnp.float32
-            )
-            flat = labels.reshape(-1)
-            tpf = tp_win.reshape(-1, k)
-            sums = jnp.zeros((_MAX_IDS, k), jnp.float32).at[flat].add(tpf)
-            counts = jnp.zeros((_MAX_IDS,), jnp.float32).at[flat].add(1.0)
-            return sums, counts
-
-        self._class_sums = jax.jit(class_sums)
+        energy_f32 = os.getenv("WSINSIGHT_STREAM_ENERGY", "u16") == "f32"
+        self._energy_f32 = energy_f32
+        (
+            self._postprocess,
+            self._scatter,
+            self._window_stage,
+            self._class_sums_sparse,
+        ) = _cached_kernels(self.s, self.k, float(self.alpha), energy_f32)
 
     # -- banding ------------------------------------------------------------
     def _band_origin(self, b: int) -> int:
@@ -312,7 +260,15 @@ class BandedCellStitcher:
         band_records: list[tuple] = []  # (local_id, box, poly)
         local_next = 1
 
-        for x0 in range(0, self.w, self.tile):
+        # Dispatch tile windows a few ahead of the watershed loop and start
+        # their D2H copies asynchronously, so transfers of tiles i+1..i+d
+        # stream over the link while the host watersheds tile i (the
+        # sequential tail is the band's wall-clock; before this the link
+        # idled during it). Depth is bounded so giant-W slides don't pin
+        # O(n_tiles) window temps in HBM/host RAM.
+        from collections import deque
+
+        def dispatch_window(x0):
             x1 = min(x0 + self.tile, self.w)
             # window with context, clipped to the slide like the classic path
             wy0, wy1 = max(0, y0 - self.pad), min(self.h, y1 + self.pad)
@@ -321,8 +277,26 @@ class BandedCellStitcher:
             c0 = wx0 + self.s
             wh, ww = wy1 - wy0, wx1 - wx0
             np_u8, energy = self._window_stage(np_b, hv_b, r0, c0, int(wh), int(ww))
+            for arr in (np_u8, energy):
+                try:
+                    arr.copy_to_host_async()
+                except Exception:
+                    pass
+            return (x0, x1, wy0, wx0, np_u8, energy)
+
+        tile_x0s = deque(range(0, self.w, self.tile))
+        windows: deque = deque()
+        while tile_x0s and len(windows) < 4:
+            windows.append(dispatch_window(tile_x0s.popleft()))
+
+        while windows:
+            x0, x1, wy0, wx0, np_u8, energy = windows.popleft()
+            if tile_x0s:
+                windows.append(dispatch_window(tile_x0s.popleft()))
             np_win = np.asarray(np_u8).astype(np.float32) / 255.0
             energy_win = np.asarray(energy)
+            if energy_win.dtype == np.uint16:
+                energy_win = energy_win.astype(np.float32) / 65535.0
 
             interior = (slice(y0 - wy0, y1 - wy0), slice(x0 - wx0, x1 - wx0))
             labels, ids, boxes, polys = extract_instance_labels(
@@ -353,9 +327,26 @@ class BandedCellStitcher:
                 f"band {b}: {local_next} instances exceeds the device segment cap"
             )
 
-        # per-instance class means from the device-resident type maps
-        sums, counts = self._class_sums(
-            tp_b, jnp.asarray(band_labels), (y0 - top), self.s
+        # Per-instance class means from the device-resident type maps.
+        # Only the FOREGROUND pixels go up (coords + local ids, bucketed to a
+        # static shape); only (id_cap, K) sums come down — versus the full
+        # (band_h, W) int32 label image and the (_MAX_IDS, K) buffer before.
+        fg_y, fg_x = np.nonzero(band_labels)
+        fg_ids = band_labels[fg_y, fg_x].astype(np.int32)
+        n_fg = fg_y.size
+        cap = _bucket(n_fg, 4096)
+        rows_ = np.zeros(cap, np.int32)
+        cols_ = np.zeros(cap, np.int32)
+        ids_ = np.zeros(cap, np.int32)
+        wts = np.zeros(cap, np.float32)
+        rows_[:n_fg] = fg_y + (y0 - top)
+        cols_[:n_fg] = fg_x + self.s
+        ids_[:n_fg] = fg_ids
+        wts[:n_fg] = 1.0
+        id_cap = min(_bucket(local_next, 1024), _MAX_IDS)
+        sums, counts = self._class_sums_sparse(
+            tp_b, jnp.asarray(rows_), jnp.asarray(cols_), jnp.asarray(ids_),
+            jnp.asarray(wts), id_cap,
         )
         sums = np.array(sums)[1:local_next]
         counts = np.array(counts)[1:local_next]
@@ -393,6 +384,96 @@ class BandedCellStitcher:
         for t in self._flushers:
             t.join(timeout=30)
 
+
+
+@_functools.lru_cache(maxsize=16)
+def _cached_kernels(s: int, k: int, alpha: float, energy_f32: bool):
+    """Jitted device kernels, cached across stitcher instances.
+
+    One stitcher is built per slide (and per bench pass); without this cache
+    every slide would retrace + recompile the scatter/window/sums programs
+    because jax.jit keys on function identity.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from .stitch import make_map_postprocess
+
+    core = make_map_postprocess(s, alpha)
+
+    def postprocess(np_logits, hv, tp_logits):
+        np_res, hv_res, tp_res = core(np_logits, hv, tp_logits)
+        # bands store bf16: half the HBM of f32 at ~1e-3 relative error
+        return (
+            np_res.astype(jnp.bfloat16),
+            hv_res.astype(jnp.bfloat16),
+            tp_res.astype(jnp.bfloat16),
+        )
+
+    def scatter(np_b, hv_b, tp_b, np_p, hv_p, tp_p, rows, cols, valid):
+        def body(i, bufs):
+            nb, hb, tb = bufs
+            r, c = rows[i], cols[i]
+            cur_n = jax.lax.dynamic_slice(nb, (r, c), (s, s))
+            cur_h = jax.lax.dynamic_slice(hb, (r, c, 0), (s, s, 2))
+            cur_t = jax.lax.dynamic_slice(tb, (r, c, 0), (s, s, k))
+            nb = jax.lax.dynamic_update_slice(
+                nb, jnp.where(valid[i], np_p[i], cur_n), (r, c)
+            )
+            hb = jax.lax.dynamic_update_slice(
+                hb, jnp.where(valid[i], hv_p[i], cur_h), (r, c, 0)
+            )
+            tb = jax.lax.dynamic_update_slice(
+                tb, jnp.where(valid[i], tp_p[i], cur_t), (r, c, 0)
+            )
+            return nb, hb, tb
+
+        return jax.lax.fori_loop(0, rows.shape[0], body, (np_b, hv_b, tp_b))
+
+    # per-window energy + NP fetch (window shape is static per jit cache);
+    # the energy math is the shared numerically-pinned core so the
+    # streaming and classic device-ridge paths cannot drift apart.
+    # Energy lives in [0, 1] by construction (hv_device.make_energy_core:
+    # max of 1 - unit(.)), so it crosses the link as uint16 fixed-point by
+    # default — order-preserving to 1/65535, half the bytes of bf16 at 256x
+    # its granularity. WSINSIGHT_STREAM_ENERGY=f32 restores float32.
+    from ..ops.hv_device import make_energy_core
+
+    energy_core = make_energy_core(21)
+
+    def window_stage(np_b, hv_b, r0, c0, wh, ww):
+        np_win = jax.lax.dynamic_slice(np_b, (r0, c0), (wh, ww)).astype(jnp.float32)
+        hv_win = jax.lax.dynamic_slice(hv_b, (r0, c0, 0), (wh, ww, 2)).astype(
+            jnp.float32
+        )
+        energy = energy_core(hv_win)
+        if not energy_f32:
+            energy = jnp.round(jnp.clip(energy, 0.0, 1.0) * 65535.0).astype(
+                jnp.uint16
+            )
+        np_u8 = jnp.round(np_win * 255.0).astype(jnp.uint8)
+        return np_u8, energy
+
+    # Sparse per-instance class sums: the host sends only FOREGROUND
+    # pixels (rows/cols/local ids) instead of the full band label image —
+    # nuclei cover a small fraction of a band, so the uplink bytes drop by
+    # ~the background ratio. id_cap and the pixel count are static
+    # (bucketed by _bucket), so a handful of compiled variants cover
+    # every band.
+    def class_sums_sparse(tp_b, rows_, cols_, ids_, wts, id_cap):
+        # rows_/cols_ are buffer coords; padded entries carry wts == 0
+        tp_vals = tp_b[rows_, cols_].astype(jnp.float32)  # (N, K) gather
+        tp_vals = tp_vals * wts[:, None]
+        sums = jnp.zeros((id_cap, k), jnp.float32).at[ids_].add(tp_vals)
+        counts = jnp.zeros((id_cap,), jnp.float32).at[ids_].add(wts)
+        return sums, counts
+
+    return (
+        jax.jit(postprocess),
+        jax.jit(scatter, donate_argnums=(0, 1, 2)),
+        jax.jit(window_stage, static_argnums=(4, 5)),
+        jax.jit(class_sums_sparse, static_argnums=(5,)),
+    )
 
 def run_streaming_cell_inference(
     engine,
@@ -435,7 +516,7 @@ def run_streaming_cell_inference(
             patch_path=patch_path,
             use_hdf5_images=use_hdf5_images,
             batch_size=engine.pad_batch(batch_size),
-            num_threads=num_workers or 4,
+            num_threads=governed_workers(num_workers or 4),
             order_by_y=True,  # banding needs the stream sorted by slide row
         )
         with tqdm.tqdm(
