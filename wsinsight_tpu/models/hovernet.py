@@ -19,9 +19,14 @@ tensors map 1:1:
 
 Deliberate deviation: upstream uses VALID 5x5 convolutions with
 crop-to-shape bookkeeping (fast mode crops the d0/d1 skips by 92/36 px);
-this module uses SAME padding and crops only the final halo (46 px), so all
-weight SHAPES are identical while spatial semantics differ in a border band
-the halo discards. Outputs are channel-first maps cropped to
+this module uses SAME padding and crops only the final halo (46 px). Weight
+SHAPES are identical, but spatial semantics deviate: the decoder receptive
+field (conva 5x5 + dense 5x5 chains at H/4, plus the encoder) propagates
+padding effects well past the 46 px halo, so outputs INSIDE the kept
+164x164 region can drift from released hover_net weights, strongest near
+borders. Torch-mirror parity tests share the SAME-padding graph and cannot
+see this; validate against the released TorchScript before relying on
+border-region cell calls. Outputs are channel-first maps cropped to
 patch - 2*halo (fast mode: 256 -> 164).
 """
 
