@@ -49,6 +49,54 @@ def _aux_log(payload: dict) -> None:
     print("aux " + json.dumps(payload), file=sys.stderr, flush=True)
 
 
+# Peak dense-matmul throughput per chip, bf16 FLOP/s (MXU). Sources: public
+# TPU spec sheets. Keyed by substrings of jax Device.device_kind.
+_PEAK_BF16_FLOPS = {
+    "v6e": 918e12,
+    "v6": 918e12,
+    "v5p": 459e12,
+    "v5e": 197e12,
+    "v5 lite": 197e12,
+    "v4": 275e12,
+    "v3": 123e12,
+    "v2": 45e12,
+}
+
+
+def _peak_flops_per_chip() -> float | None:
+    import jax
+
+    kind = jax.devices()[0].device_kind.lower()
+    for key, peak in _PEAK_BF16_FLOPS.items():
+        if key in kind:
+            return peak
+    return None
+
+
+def _mfu(step_fn, args, per_call_sec: float) -> dict:
+    """Model FLOPs utilization of a jitted call: XLA-counted FLOPs over the
+    chip's peak bf16 MXU rate. An ESTIMATE on two counts: cost_analysis
+    counts algorithmic FLOPs (not padding), and float32-precision matmuls
+    run as multi-pass bf16 on the MXU so their attainable peak is lower —
+    this reports the standard flops/peak number for hardware-visible
+    regressions (VERDICT r2 #8), not a roofline claim."""
+    try:
+        compiled = step_fn.lower(*args).compile()
+        analysis = compiled.cost_analysis()
+        if isinstance(analysis, (list, tuple)):
+            analysis = analysis[0]
+        flops = float(analysis.get("flops", 0.0))
+        peak = _peak_flops_per_chip()
+        if not flops or not peak or per_call_sec <= 0:
+            return {}
+        return {
+            "model_gflops_per_call": round(flops / 1e9, 1),
+            "mfu_vs_bf16_peak": round(flops / per_call_sec / peak, 4),
+        }
+    except Exception:
+        return {}
+
+
 # ---------------------------------------------------------------------------
 # Headline: ResNet34@224, device-resident batches
 # ---------------------------------------------------------------------------
@@ -88,12 +136,14 @@ def bench_resnet_device(fast: bool) -> dict:
     dt = time.perf_counter() - t0
 
     patches_per_sec = n_iters * batch_size / dt
-    return {
+    result = {
         "metric": "resnet34_224_patches_per_sec_per_chip",
         "value": round(patches_per_sec, 2),
         "unit": "patches/s",
         "vs_baseline": round(patches_per_sec / 1000.0, 3),
     }
+    result.update(_mfu(step, (params, pool[0]), dt / n_iters))
+    return result
 
 
 # ---------------------------------------------------------------------------
@@ -431,11 +481,16 @@ def bench_streaming_cells(fast: bool) -> dict:
     tp[0] = 1.0 - np_map
     tp[1] = np_map
     tp_logits = np.log(tp + eps)[None]
-    pred = {
-        "np": np.repeat(np_logits, batch_size, 0),
-        "hv": np.repeat(hv[None], batch_size, 0),
-        "tp": np.repeat(tp_logits, batch_size, 0),
-    }
+    # Device-resident, like production: accumulate consumes the forward's
+    # output arrays already in HBM — re-uploading host numpy maps each batch
+    # would bill an H2D the real pipeline never pays.
+    pred = jax.device_put(
+        {
+            "np": np.repeat(np_logits, batch_size, 0),
+            "hv": np.repeat(hv[None], batch_size, 0),
+            "tp": np.repeat(tp_logits, batch_size, 0),
+        }
+    )
 
     gy, gx = np.mgrid[0:n_grid, 0:n_grid]
     coords = np.stack(
@@ -501,6 +556,7 @@ def main() -> None:
     run_aux = os.getenv("WSINSIGHT_BENCH_AUX", "1") not in ("0", "")
 
     headline = bench_resnet_device(fast)
+    _aux_log(headline)  # full headline (incl. MFU estimate) for the perf log
 
     def bench_sam_h(fast: bool) -> dict:
         # BASELINE.md names CellViT-SAM-H explicitly; the 660M-param build +
@@ -541,7 +597,13 @@ def main() -> None:
         except OSError:
             pass
 
-    print(json.dumps(headline))
+    # stdout contract: EXACTLY the four driver keys (MFU etc. stay in
+    # BENCH_DETAIL.json / stderr).
+    print(
+        json.dumps(
+            {k: headline[k] for k in ("metric", "value", "unit", "vs_baseline")}
+        )
+    )
 
 
 if __name__ == "__main__":

@@ -70,6 +70,47 @@ def _bucket(n: int, floor: int) -> int:
     return cap
 
 
+# -- optional stage profiling (WSINSIGHT_STREAM_PROFILE=1) -------------------
+# Cumulative per-stage seconds across all stitcher instances/threads; read
+# with stream_profile_report(). Cheap enough to leave compiled in: one
+# perf_counter pair per stage call when enabled, zero calls when not.
+import os as _os
+import time as _time
+import threading as _threading
+
+_PROF_ENABLED = _os.getenv("WSINSIGHT_STREAM_PROFILE", "0") not in ("0", "")
+_PROF: dict[str, float] = {}
+_PROF_LOCK = _threading.Lock()
+
+
+class _stage:
+    __slots__ = ("name", "t0")
+
+    def __init__(self, name: str):
+        self.name = name
+
+    def __enter__(self):
+        if _PROF_ENABLED:
+            self.t0 = _time.perf_counter()
+        return self
+
+    def __exit__(self, *exc):
+        if _PROF_ENABLED:
+            dt = _time.perf_counter() - self.t0
+            with _PROF_LOCK:
+                _PROF[self.name] = _PROF.get(self.name, 0.0) + dt
+        return False
+
+
+def stream_profile_report(reset: bool = True) -> dict[str, float]:
+    """Cumulative stage seconds since the last reset (empty unless enabled)."""
+    with _PROF_LOCK:
+        out = dict(sorted(_PROF.items(), key=lambda kv: -kv[1]))
+        if reset:
+            _PROF.clear()
+    return out
+
+
 class BandedCellStitcher:
     """Device-banded accumulate + streaming finalize."""
 
@@ -193,7 +234,8 @@ class BandedCellStitcher:
         np_logits = pred_dict.get("np", pred_dict.get("nuclei_binary_map"))
         hv = pred_dict.get("hv", pred_dict.get("hv_map"))
         tp_logits = pred_dict.get("tp", pred_dict.get("nuclei_type_map"))
-        maps = self._postprocess(np_logits, hv, tp_logits)
+        with _stage("accumulate.postprocess_dispatch"):
+            maps = self._postprocess(np_logits, hv, tp_logits)
 
         coords = np.asarray(batch_coords, np.int64)[:, :2] + self.halo
         n = len(coords) if n_valid is None else min(int(n_valid), len(coords))
@@ -221,7 +263,8 @@ class BandedCellStitcher:
                 cols[i] = int(coords[i, 0]) + self.s
                 valid[i] = True
             bufs = self._get_band(b)
-            self._bands[b] = self._scatter(*bufs, *maps, rows, cols, valid)
+            with _stage("accumulate.scatter_dispatch"):
+                self._bands[b] = self._scatter(*bufs, *maps, rows, cols, valid)
 
         # hand bands the sorted stream has fully passed to the flusher thread
         for b in sorted(self._bands):
@@ -276,12 +319,13 @@ class BandedCellStitcher:
             r0 = wy0 - top
             c0 = wx0 + self.s
             wh, ww = wy1 - wy0, wx1 - wx0
-            np_u8, energy = self._window_stage(np_b, hv_b, r0, c0, int(wh), int(ww))
-            for arr in (np_u8, energy):
-                try:
-                    arr.copy_to_host_async()
-                except Exception:
-                    pass
+            with _stage("flush.window_dispatch"):
+                np_u8, energy = self._window_stage(np_b, hv_b, r0, c0, int(wh), int(ww))
+                for arr in (np_u8, energy):
+                    try:
+                        arr.copy_to_host_async()
+                    except Exception:
+                        pass
             return (x0, x1, wy0, wx0, np_u8, energy)
 
         tile_x0s = deque(range(0, self.w, self.tile))
@@ -293,32 +337,35 @@ class BandedCellStitcher:
             x0, x1, wy0, wx0, np_u8, energy = windows.popleft()
             if tile_x0s:
                 windows.append(dispatch_window(tile_x0s.popleft()))
-            np_win = np.asarray(np_u8).astype(np.float32) / 255.0
-            energy_win = np.asarray(energy)
-            if energy_win.dtype == np.uint16:
-                energy_win = energy_win.astype(np.float32) / 65535.0
+            with _stage("flush.window_fetch_d2h"):
+                np_win = np.asarray(np_u8).astype(np.float32) / 255.0
+                energy_win = np.asarray(energy)
+                if energy_win.dtype == np.uint16:
+                    energy_win = energy_win.astype(np.float32) / 65535.0
 
             interior = (slice(y0 - wy0, y1 - wy0), slice(x0 - wx0, x1 - wx0))
-            labels, ids, boxes, polys = extract_instance_labels(
-                np_win, energy_win, interior, self.min_object_size
-            )
+            with _stage("flush.extract_instances"):
+                labels, ids, boxes, polys = extract_instance_labels(
+                    np_win, energy_win, interior, self.min_object_size
+                )
             if ids.size == 0:
                 continue
             # relabel tile-locals into band-locals, drop degenerate contours
-            remap = np.zeros(int(labels.max()) + 1, np.int32)
-            for i in range(ids.size):
-                if polys[i] is None:
-                    continue  # alignment rule: drop from labels + outputs
-                remap[ids[i]] = local_next
-                box = boxes[i].astype(np.int64)
-                box[0] += x0
-                box[1] += y0
-                poly = polys[i].astype(np.int64)
-                poly[:, 0] += x0
-                poly[:, 1] += y0
-                band_records.append((local_next, box, poly))
-                local_next += 1
-            band_labels[y0 - y0 : y1 - y0, x0:x1] = remap[labels]
+            with _stage("flush.remap_records"):
+                remap = np.zeros(int(labels.max()) + 1, np.int32)
+                for i in range(ids.size):
+                    if polys[i] is None:
+                        continue  # alignment rule: drop from labels + outputs
+                    remap[ids[i]] = local_next
+                    box = boxes[i].astype(np.int64)
+                    box[0] += x0
+                    box[1] += y0
+                    poly = polys[i].astype(np.int64)
+                    poly[:, 0] += x0
+                    poly[:, 1] += y0
+                    band_records.append((local_next, box, poly))
+                    local_next += 1
+                band_labels[y0 - y0 : y1 - y0, x0:x1] = remap[labels]
 
         if not band_records:
             return
@@ -331,25 +378,27 @@ class BandedCellStitcher:
         # Only the FOREGROUND pixels go up (coords + local ids, bucketed to a
         # static shape); only (id_cap, K) sums come down — versus the full
         # (band_h, W) int32 label image and the (_MAX_IDS, K) buffer before.
-        fg_y, fg_x = np.nonzero(band_labels)
-        fg_ids = band_labels[fg_y, fg_x].astype(np.int32)
-        n_fg = fg_y.size
-        cap = _bucket(n_fg, 4096)
-        rows_ = np.zeros(cap, np.int32)
-        cols_ = np.zeros(cap, np.int32)
-        ids_ = np.zeros(cap, np.int32)
-        wts = np.zeros(cap, np.float32)
-        rows_[:n_fg] = fg_y + (y0 - top)
-        cols_[:n_fg] = fg_x + self.s
-        ids_[:n_fg] = fg_ids
-        wts[:n_fg] = 1.0
-        id_cap = min(_bucket(local_next, 1024), _MAX_IDS)
-        sums, counts = self._class_sums_sparse(
-            tp_b, jnp.asarray(rows_), jnp.asarray(cols_), jnp.asarray(ids_),
-            jnp.asarray(wts), id_cap,
-        )
-        sums = np.array(sums)[1:local_next]
-        counts = np.array(counts)[1:local_next]
+        with _stage("flush.class_sums"):
+            fg_y, fg_x = np.nonzero(band_labels)
+            fg_ids = band_labels[fg_y, fg_x].astype(np.int32)
+            n_fg = fg_y.size
+            cap = _bucket(n_fg, 4096)
+            # Packed upload: one u32 linear buffer index + one i32 id per
+            # foreground pixel (8 B/px). Padding needs no weight lane — it
+            # points at id 0 / pixel (0,0), and row 0 of sums/counts is
+            # discarded below, exactly like real background pixels.
+            idx_ = np.zeros(cap, np.uint32)
+            ids_ = np.zeros(cap, np.int32)
+            idx_[:n_fg] = (fg_y + (y0 - top)).astype(np.uint32) * np.uint32(
+                self.buf_w
+            ) + (fg_x + self.s).astype(np.uint32)
+            ids_[:n_fg] = fg_ids
+            id_cap = min(_bucket(local_next, 1024), _MAX_IDS)
+            sums, counts = self._class_sums_sparse(
+                tp_b, jnp.asarray(idx_), jnp.asarray(ids_), id_cap
+            )
+            sums = np.array(sums)[1:local_next]
+            counts = np.array(counts)[1:local_next]
         counts[counts == 0] = 1.0
         means = (sums / counts[:, None]).astype(np.float32)
 
@@ -455,24 +504,25 @@ def _cached_kernels(s: int, k: int, alpha: float, energy_f32: bool):
         return np_u8, energy
 
     # Sparse per-instance class sums: the host sends only FOREGROUND
-    # pixels (rows/cols/local ids) instead of the full band label image —
-    # nuclei cover a small fraction of a band, so the uplink bytes drop by
-    # ~the background ratio. id_cap and the pixel count are static
-    # (bucketed by _bucket), so a handful of compiled variants cover
-    # every band.
-    def class_sums_sparse(tp_b, rows_, cols_, ids_, wts, id_cap):
-        # rows_/cols_ are buffer coords; padded entries carry wts == 0
-        tp_vals = tp_b[rows_, cols_].astype(jnp.float32)  # (N, K) gather
-        tp_vals = tp_vals * wts[:, None]
+    # pixels, packed as (u32 linear buffer index, i32 local id) — 8 B/px —
+    # instead of the full band label image; nuclei cover a small fraction
+    # of a band, so the uplink bytes drop by ~the background ratio.
+    # Padding entries point at id 0 (background), whose sums/counts row the
+    # caller discards, so no weight lane is needed. id_cap and the pixel
+    # count are static (bucketed by _bucket), so a handful of compiled
+    # variants cover every band.
+    def class_sums_sparse(tp_b, idx_, ids_, id_cap):
+        tp_flat = tp_b.reshape(-1, k)
+        tp_vals = tp_flat[idx_].astype(jnp.float32)  # (N, K) gather
         sums = jnp.zeros((id_cap, k), jnp.float32).at[ids_].add(tp_vals)
-        counts = jnp.zeros((id_cap,), jnp.float32).at[ids_].add(wts)
+        counts = jnp.zeros((id_cap,), jnp.float32).at[ids_].add(1.0)
         return sums, counts
 
     return (
         jax.jit(postprocess),
         jax.jit(scatter, donate_argnums=(0, 1, 2)),
         jax.jit(window_stage, static_argnums=(4, 5)),
-        jax.jit(class_sums_sparse, static_argnums=(5,)),
+        jax.jit(class_sums_sparse, static_argnums=(3,)),
     )
 
 def run_streaming_cell_inference(
