@@ -544,3 +544,63 @@ def test_streaming_capacity_error_falls_back_to_classic(cell_setup, monkeypatch)
     co = np.lexsort((ci[:, 0], ci[:, 1]))
     so = np.lexsort((si[:, 0], si[:, 1]))
     np.testing.assert_array_equal(si[so], ci[co])
+
+
+def test_fill_holes_matches_scipy():
+    """cv2 border-flood hole fill == ndi.binary_fill_holes on blobby masks.
+
+    The flusher's seed stage replaced scipy's fill (its most expensive call)
+    with a single cv2.floodFill from the border; semantics must be identical,
+    including holes, border-touching blobs, and bays open to the border.
+    """
+    from scipy import ndimage as ndi
+
+    from wsinsight_tpu.ops.hv_postproc import _fill_holes
+
+    rng = np.random.default_rng(7)
+    for trial in range(8):
+        noise = ndi.gaussian_filter(rng.normal(size=(97, 143)), 3.0)
+        mask = noise > np.quantile(noise, 0.7)
+        got = _fill_holes(mask.astype(np.uint8)).astype(bool)
+        want = ndi.binary_fill_holes(mask)
+        np.testing.assert_array_equal(got, want, err_msg=f"trial {trial}")
+    # explicit edge cases: donut (hole), C-shape open to the border,
+    # blob touching the border with an interior hole
+    donut = np.zeros((20, 20), np.uint8)
+    donut[4:16, 4:16] = 1
+    donut[8:12, 8:12] = 0
+    got = _fill_holes(donut).astype(bool)
+    assert got[9, 9] and got.sum() == 12 * 12
+    cshape = np.zeros((20, 20), np.uint8)
+    cshape[2:18, 2:18] = 1
+    cshape[6:14, 10:20] = 0  # mouth open to the right border
+    np.testing.assert_array_equal(
+        _fill_holes(cshape).astype(bool), ndi.binary_fill_holes(cshape > 0)
+    )
+    border_blob = np.zeros((20, 20), np.uint8)
+    border_blob[0:10, 0:10] = 1
+    border_blob[3:6, 3:6] = 0
+    np.testing.assert_array_equal(
+        _fill_holes(border_blob).astype(bool), ndi.binary_fill_holes(border_blob > 0)
+    )
+
+
+def test_label_small_filtered_matches_ndi():
+    """cv2 CC(4-conn)+area filter == ndi.label + remove_small_labels."""
+    from scipy import ndimage as ndi
+
+    from wsinsight_tpu.ops.hv_postproc import _label_small_filtered
+
+    rng = np.random.default_rng(11)
+    for trial in range(8):
+        noise = ndi.gaussian_filter(rng.normal(size=(80, 120)), 1.5)
+        mask = (noise > np.quantile(noise, 0.75)).astype(np.uint8)
+        got = _label_small_filtered(mask, 10)
+        want, n = ndi.label(mask)
+        want = remove_small_labels(want.astype(np.int32), 10)
+        # label ids may differ between the two labelers; compare the
+        # partition: same surviving foreground and same component sets
+        np.testing.assert_array_equal(got > 0, want > 0, err_msg=f"trial {trial}")
+        for lab in np.unique(got[got > 0]):
+            ref_ids = np.unique(want[got == lab])
+            assert len(ref_ids) == 1, f"trial {trial}: component split/merged"

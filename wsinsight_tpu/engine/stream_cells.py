@@ -35,7 +35,7 @@ from __future__ import annotations
 
 import functools as _functools
 import logging
-from typing import List
+from typing import List, NamedTuple
 
 import numpy as np
 
@@ -111,6 +111,15 @@ def stream_profile_report(reset: bool = True) -> dict[str, float]:
     return out
 
 
+class _PendingBand(NamedTuple):
+    """One flushed band awaiting its deferred class-sums D2H (see finalize)."""
+
+    sums: object       # device (id_cap, K) f32, copy_to_host_async in flight
+    counts: object     # device (id_cap,) f32
+    local_next: int    # 1 + number of band-local instance ids
+    records: list      # (local_id, box[4] int64, poly (M,2) int64) per cell
+
+
 class BandedCellStitcher:
     """Device-banded accumulate + streaming finalize."""
 
@@ -183,14 +192,16 @@ class BandedCellStitcher:
     def _build_kernels(self):
         import os
 
-        energy_f32 = os.getenv("WSINSIGHT_STREAM_ENERGY", "u16") == "f32"
-        self._energy_f32 = energy_f32
+        mode = os.getenv("WSINSIGHT_STREAM_ENERGY", "u8")
+        if mode not in ("u8", "u16", "f32"):
+            mode = "u8"
+        self._energy_mode = mode
         (
             self._postprocess,
             self._scatter,
             self._window_stage,
             self._class_sums_sparse,
-        ) = _cached_kernels(self.s, self.k, float(self.alpha), energy_f32)
+        ) = _cached_kernels(self.s, self.k, float(self.alpha), mode)
 
     # -- banding ------------------------------------------------------------
     def _band_origin(self, b: int) -> int:
@@ -340,7 +351,9 @@ class BandedCellStitcher:
             with _stage("flush.window_fetch_d2h"):
                 np_win = np.asarray(np_u8).astype(np.float32) / 255.0
                 energy_win = np.asarray(energy)
-                if energy_win.dtype == np.uint16:
+                if energy_win.dtype == np.uint8:
+                    energy_win = energy_win.astype(np.float32) / 255.0
+                elif energy_win.dtype == np.uint16:
                     energy_win = energy_win.astype(np.float32) / 65535.0
 
             interior = (slice(y0 - wy0, y1 - wy0), slice(x0 - wx0, x1 - wx0))
@@ -397,19 +410,31 @@ class BandedCellStitcher:
             sums, counts = self._class_sums_sparse(
                 tp_b, jnp.asarray(idx_), jnp.asarray(ids_), id_cap
             )
-            sums = np.array(sums)[1:local_next]
-            counts = np.array(counts)[1:local_next]
+            # Do NOT fetch here: a synchronous np.array() per band puts a
+            # full link round-trip on the flusher's critical path. Start the
+            # D2H in the background and defer assembly to finalize(), when
+            # every band's transfer has long since landed.
+            for arr in (sums, counts):
+                try:
+                    arr.copy_to_host_async()
+                except Exception:
+                    pass
+        self._band_results.setdefault(b, []).append(
+            _PendingBand(sums, counts, local_next, band_records)
+        )
+
+    @staticmethod
+    def _assemble_band(pending: "_PendingBand"):
+        """Resolve one band's deferred class sums into per-cell rows."""
+        sums = np.array(pending.sums)[1 : pending.local_next]
+        counts = np.array(pending.counts)[1 : pending.local_next]
         counts[counts == 0] = 1.0
         means = (sums / counts[:, None]).astype(np.float32)
-
-        out = self._band_results.setdefault(b, [])
-        for local_id, box, poly in band_records:
-            out.append(
-                (
-                    np.array([box[0], box[1], box[2], box[3]], np.int32).reshape(1, -1),
-                    means[local_id - 1].reshape(1, -1),
-                    poly.astype(np.int32),
-                )
+        for local_id, box, poly in pending.records:
+            yield (
+                np.array([box[0], box[1], box[2], box[3]], np.int32).reshape(1, -1),
+                means[local_id - 1].reshape(1, -1),
+                poly.astype(np.int32),
             )
 
     def finalize(self) -> tuple[List[np.ndarray], List[np.ndarray], List[np.ndarray]]:
@@ -418,7 +443,12 @@ class BandedCellStitcher:
         self._flush_q.join()
         if self._flush_err:
             raise self._flush_err[0]
-        results = [r for b in sorted(self._band_results) for r in self._band_results[b]]
+        results = [
+            r
+            for b in sorted(self._band_results)
+            for pending in self._band_results[b]
+            for r in self._assemble_band(pending)
+        ]
         if not results:
             return [], [], []
         inst, probs, polys = zip(*results)
@@ -436,7 +466,7 @@ class BandedCellStitcher:
 
 
 @_functools.lru_cache(maxsize=16)
-def _cached_kernels(s: int, k: int, alpha: float, energy_f32: bool):
+def _cached_kernels(s: int, k: int, alpha: float, energy_mode: str):
     """Jitted device kernels, cached across stitcher instances.
 
     One stitcher is built per slide (and per bench pass); without this cache
@@ -483,9 +513,12 @@ def _cached_kernels(s: int, k: int, alpha: float, energy_f32: bool):
     # the energy math is the shared numerically-pinned core so the
     # streaming and classic device-ridge paths cannot drift apart.
     # Energy lives in [0, 1] by construction (hv_device.make_energy_core:
-    # max of 1 - unit(.)), so it crosses the link as uint16 fixed-point by
-    # default — order-preserving to 1/65535, half the bytes of bf16 at 256x
-    # its granularity. WSINSIGHT_STREAM_ENERGY=f32 restores float32.
+    # max of 1 - unit(.)), so it crosses the link as uint8 fixed-point by
+    # default — order-preserving to 1/255, and the host re-smooths it with a
+    # float Gaussian before the watershed so the quantisation plateaus do
+    # not survive into the basin. WSINSIGHT_STREAM_ENERGY=u16/f32 restores
+    # the finer encodings (the downstream seed threshold 0.4 = 102/255 sits
+    # exactly on a u8 level, so the seed carve is bit-stable across modes).
     from ..ops.hv_device import make_energy_core
 
     energy_core = make_energy_core(21)
@@ -496,7 +529,9 @@ def _cached_kernels(s: int, k: int, alpha: float, energy_f32: bool):
             jnp.float32
         )
         energy = energy_core(hv_win)
-        if not energy_f32:
+        if energy_mode == "u8":
+            energy = jnp.round(jnp.clip(energy, 0.0, 1.0) * 255.0).astype(jnp.uint8)
+        elif energy_mode == "u16":
             energy = jnp.round(jnp.clip(energy, 0.0, 1.0) * 65535.0).astype(
                 jnp.uint16
             )
