@@ -41,6 +41,33 @@ def test_watershed_separates_touching_blobs():
     assert out[20, 25] == 1 and out[20, 35] == 2
 
 
+def test_watershed_native_matches_python_fuzz():
+    """Native watershed (boundary-ring seeding) is bit-identical to the
+    pure-python reference, including marker blobs with interiors — the case
+    the productive-seed pruning must not change."""
+    from wsinsight_tpu.ops.watershed import _watershed_python, watershed_native
+
+    rng = np.random.default_rng(7)
+    ran_native = False
+    for _ in range(4):
+        h, w = rng.integers(40, 160, 2)
+        img = rng.random((h, w)).astype(np.float32)
+        mask = rng.random((h, w)) < 0.6
+        markers = np.zeros((h, w), np.int32)
+        yy, xx = np.mgrid[:h, :w]
+        for lab in range(1, int(rng.integers(2, 7))):
+            cy, cx = rng.integers(0, h), rng.integers(0, w)
+            markers[np.hypot(yy - cy, xx - cx) < int(rng.integers(2, 12))] = lab
+        markers[~mask] = 0
+        native = watershed_native(img, markers.copy(), mask=mask)
+        if native is None:
+            pytest.skip("native library not built")
+        ran_native = True
+        ref = _watershed_python(img, markers.copy(), mask=mask)
+        np.testing.assert_array_equal(native, ref)
+    assert ran_native
+
+
 def test_remove_small_labels():
     labels = np.zeros((10, 10), np.int32)
     labels[0, 0] = 1  # size 1

@@ -22,7 +22,7 @@ namespace {
 
 struct Entry {
   float value;
-  uint64_t age;
+  uint32_t age;  // pushes are bounded by 2*n < 2^32 for any tile this sees
   int32_t idx;
   int32_t label;
 };
@@ -45,7 +45,7 @@ void watershed_f32(const float* image, const int32_t* markers,
                    int32_t* out) {
   const int64_t n = static_cast<int64_t>(height) * width;
   std::priority_queue<Entry, std::vector<Entry>, Cmp> heap;
-  uint64_t age = 0;
+  uint32_t age = 0;
 
   for (int64_t i = 0; i < n; ++i) {
     if (mask != nullptr && mask[i] == 0) {
@@ -54,15 +54,34 @@ void watershed_f32(const float* image, const int32_t* markers,
     }
     out[i] = markers[i] > 0 ? markers[i] : 0;
   }
-  // Seed the heap with marker pixels (popped first, labeling neighbors).
-  for (int64_t i = 0; i < n; ++i) {
-    if (out[i] > 0 && (mask == nullptr || mask[i] != 0)) {
-      heap.push(Entry{image[i], age++, static_cast<int32_t>(i), out[i]});
-    }
-  }
 
   const int32_t dr[4] = {-1, 1, 0, 0};
   const int32_t dc[4] = {0, 0, -1, 1};
+
+  // Seed the heap with marker pixels (popped first, labeling neighbors) —
+  // but only PRODUCTIVE ones: a marker pixel whose in-mask neighbors are all
+  // labeled at init can never label anything when popped (labels are only
+  // ever set, never cleared), so skipping it is exact. Marker interiors are
+  // the bulk of the seed mass; seeding just the boundary ring keeps the heap
+  // a fraction of the size. Ages stay raster-ordered among the survivors, so
+  // equal-value tie-breaking is unchanged.
+  for (int64_t i = 0; i < n; ++i) {
+    if (out[i] <= 0 || (mask != nullptr && mask[i] == 0)) continue;
+    const int32_t r = static_cast<int32_t>(i / width);
+    const int32_t c = static_cast<int32_t>(i % width);
+    bool productive = false;
+    for (int k = 0; k < 4 && !productive; ++k) {
+      const int32_t rr = r + dr[k];
+      const int32_t cc = c + dc[k];
+      if (rr < 0 || rr >= height || cc < 0 || cc >= width) continue;
+      const int64_t j = static_cast<int64_t>(rr) * width + cc;
+      if (mask != nullptr && mask[j] == 0) continue;
+      productive = out[j] == 0;
+    }
+    if (productive) {
+      heap.push(Entry{image[i], age++, static_cast<int32_t>(i), out[i]});
+    }
+  }
 
   while (!heap.empty()) {
     Entry e = heap.top();
