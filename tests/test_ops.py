@@ -41,6 +41,36 @@ def test_resize_matches_pil(in_size, out_size):
     np.testing.assert_array_equal(exact, expected)
 
 
+@pytest.mark.parametrize(
+    "in_hw,out_hw",
+    [((350, 350), (224, 224)), ((100, 100), (224, 224)), ((257, 193), (96, 128))],
+)
+def test_native_resize_bit_exact_vs_pil(in_hw, out_hw):
+    """The C++ batch resize (native/resize.cpp) is bit-identical to PIL —
+    it consumes the same quantized coefficient tables as the device path."""
+    from wsinsight_tpu.native import pil_resize_native
+
+    rng = np.random.default_rng(3)
+    batch = rng.integers(0, 256, size=(5, *in_hw, 3), dtype=np.uint8)
+    got = pil_resize_native(batch, out_hw)
+    if got is None:
+        pytest.skip("native library not built")
+    assert got.shape == (5, *out_hw, 3)
+    for i in range(len(batch)):
+        expected = np.asarray(
+            Image.fromarray(batch[i]).resize(
+                (out_hw[1], out_hw[0]), Image.Resampling.BILINEAR
+            )
+        )
+        np.testing.assert_array_equal(got[i], expected)
+    # single-image (rank-3) form and out= buffer reuse
+    buf = np.empty((1, *out_hw, 3), np.uint8)
+    one = pil_resize_native(batch[0], out_hw)
+    np.testing.assert_array_equal(one, got[0])
+    assert pil_resize_native(batch[:1], out_hw, out=buf) is buf
+    np.testing.assert_array_equal(buf[0], got[0])
+
+
 def test_pallas_fused_preprocess_matches_xla():
     from wsinsight_tpu.ops.pallas_preprocess import make_fused_preprocess_fn
 

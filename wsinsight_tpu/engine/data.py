@@ -190,9 +190,16 @@ class PatchBatchSource:
     def _maybe_resize(self, arr: np.ndarray) -> np.ndarray:
         if self._host_resize is None:
             return arr
+        oh, ow = self._host_resize
+        # Native PIL-bit-exact resize first (GIL-free C, same coefficient
+        # tables as the device path); PIL itself is the fallback.
+        from ..native import pil_resize_native
+
+        out = pil_resize_native(arr, (oh, ow))
+        if out is not None:
+            return out
         from PIL import Image
 
-        oh, ow = self._host_resize
         return np.asarray(Image.fromarray(arr).resize((ow, oh), Image.BILINEAR))
 
     @property
@@ -239,27 +246,42 @@ class PatchBatchSource:
         n = len(indices)
         out = np.empty((n, ps, ps, 3), np.uint8)
         coords = self.coords[indices, :2]
+        resize_to = self._host_resize
+        final = out
+        if resize_to is not None:
+            final = np.empty((n, resize_to[0], resize_to[1], 3), np.uint8)
+
+        def shard(a: int, b: int):
+            # decode + (native) resize one slice, GIL released in both calls
+            r = batch_read(coords[a:b], 0, (ps, ps), out[a:b])
+            if r is None:
+                return None
+            if resize_to is not None:
+                from ..native import pil_resize_native
+
+                rr = pil_resize_native(out[a:b], resize_to, out=final[a:b])
+                if rr is None:  # no native resize: PIL per patch
+                    for i in range(a, b):
+                        final[i] = self._maybe_resize(out[i])
+            return True
+
         try:
             n_shards = min(self.num_threads, max(1, n // 4))
             if n_shards > 1:
                 bounds = np.linspace(0, n, n_shards + 1, dtype=int)
                 futures = [
-                    pool.submit(
-                        batch_read, coords[a:b], 0, (ps, ps), out[a:b]
-                    )
+                    pool.submit(shard, a, b)
                     for a, b in zip(bounds[:-1], bounds[1:])
                     if b > a
                 ]
                 results = [f.result() for f in futures]
             else:
-                results = [batch_read(coords, 0, (ps, ps), out)]
+                results = [shard(0, n)]
         except Exception:
             return None
         if any(r is None for r in results):
             return None
-        if self._host_resize is not None:
-            return np.stack([self._maybe_resize(a) for a in out])
-        return out
+        return final
 
     def __iter__(self) -> Iterator[Batch]:
         """Yield batches; decode runs ahead of the consumer by `prefetch`."""

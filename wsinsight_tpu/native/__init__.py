@@ -10,6 +10,7 @@ fallback (ops/watershed.py) covers environments without a toolchain.
 from __future__ import annotations
 
 import ctypes
+import functools as _ftools
 import logging
 import os
 import subprocess
@@ -125,6 +126,19 @@ def get_lib() -> ctypes.CDLL | None:
             lib.wsi_read_patches.restype = ctypes.c_int32
             lib.wsi_close.argtypes = [ctypes.c_int64]
             lib.wsi_close.restype = None
+            lib.pil_resize_u8_batch.argtypes = [
+                ctypes.POINTER(ctypes.c_uint8),
+                ctypes.c_int64,
+                ctypes.c_int32,
+                ctypes.c_int32,
+                ctypes.c_int32,
+                ctypes.POINTER(ctypes.c_int32),
+                ctypes.c_int32,
+                ctypes.POINTER(ctypes.c_int32),
+                ctypes.c_int32,
+                ctypes.POINTER(ctypes.c_uint8),
+            ]
+            lib.pil_resize_u8_batch.restype = ctypes.c_int32
             _lib = lib
         except Exception as err:
             logger.debug(f"native load error: {err}")
@@ -175,6 +189,64 @@ def watershed_native(
         _ptr(out, ctypes.c_int32),
     )
     return out
+
+
+@_ftools.lru_cache(maxsize=64)
+def _resize_coeffs_i32(in_size: int, out_size: int) -> np.ndarray:
+    """PIL fixed-point (out, in) int32 coefficient matrix (2^22 scale).
+
+    Derived from the SAME cached float table the device path uses
+    (ops/preprocess._pil_bilinear_weights), so the native, device, and PIL
+    resizes are bit-identical by construction.
+    """
+    from ..ops.preprocess import _pil_bilinear_weights
+
+    w = _pil_bilinear_weights(in_size, out_size)
+    return np.ascontiguousarray(
+        np.round(w.astype(np.float64) * (1 << 22)).astype(np.int32)
+    )
+
+
+def pil_resize_native(
+    src: np.ndarray, out_hw: tuple[int, int], out: np.ndarray | None = None
+) -> np.ndarray | None:
+    """PIL-bit-exact bilinear resize of a uint8 batch via the native library.
+
+    src: (n, h, w, c) or (h, w, c) uint8. Returns the resized batch in the
+    input's rank, or None when the library is unavailable. The C call
+    releases the GIL, so decode threads scale across a batch.
+    """
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "pil_resize_u8_batch"):
+        return None
+    squeeze = src.ndim == 3
+    batch = src[None] if squeeze else src
+    if batch.ndim != 4 or batch.dtype != np.uint8:
+        return None
+    n, h, w, c = batch.shape
+    oh, ow = int(out_hw[0]), int(out_hw[1])
+    if c > 8:
+        return None
+    kh = _resize_coeffs_i32(h, oh)
+    kw = _resize_coeffs_i32(w, ow)
+    batch = np.ascontiguousarray(batch)
+    if out is None:
+        out = np.empty((n, oh, ow, c), np.uint8)
+    rc = lib.pil_resize_u8_batch(
+        _ptr(batch, ctypes.c_uint8),
+        n,
+        h,
+        w,
+        c,
+        _ptr(kw, ctypes.c_int32),
+        ow,
+        _ptr(kh, ctypes.c_int32),
+        oh,
+        _ptr(out, ctypes.c_uint8),
+    )
+    if rc != 0:
+        return None
+    return out[0] if squeeze else out
 
 
 class NativeRegionReader:
