@@ -262,14 +262,15 @@ class BandedCellStitcher:
 
         bsz = len(coords)
         for b, idxs in sorted(groups.items()):
-            rows = np.zeros(bsz, np.int32)
-            cols = np.zeros(bsz, np.int32)
-            valid = np.zeros(bsz, bool)
+            # one packed (3, B) upload per dispatch — rows / cols / valid as
+            # separate arrays would each pay their own H2D on a high-latency
+            # link
+            rcv = np.zeros((3, bsz), np.int32)
             top = self._buffer_top(b)
             for i in idxs:
-                rows[i] = int(coords[i, 1]) - top
-                cols[i] = int(coords[i, 0]) + self.s
-                valid[i] = True
+                rcv[0, i] = int(coords[i, 1]) - top
+                rcv[1, i] = int(coords[i, 0]) + self.s
+                rcv[2, i] = 1
             bufs = self._get_band(b)
             # One fused dispatch per destination band (softmax/resize + the
             # scatter fori_loop in a single program): on a thin host the jit
@@ -278,7 +279,7 @@ class BandedCellStitcher:
             # (device FLOPs are free next to a second dispatch + tunnel RTT).
             with _stage("accumulate.scatter_dispatch"):
                 self._bands[b] = self._scatter_fused(
-                    *bufs, np_logits, hv, tp_logits, rows, cols, valid
+                    *bufs, np_logits, hv, tp_logits, rcv
                 )
 
         # hand bands the sorted stream has fully passed to the flusher thread
@@ -335,13 +336,15 @@ class BandedCellStitcher:
             c0 = wx0 + self.s
             wh, ww = wy1 - wy0, wx1 - wx0
             with _stage("flush.window_dispatch"):
-                np_u8, energy = self._window_stage(np_b, hv_b, r0, c0, int(wh), int(ww))
-                for arr in (np_u8, energy):
+                staged = self._window_stage(np_b, hv_b, r0, c0, int(wh), int(ww))
+                if not isinstance(staged, tuple):
+                    staged = (staged,)
+                for arr in staged:
                     try:
                         arr.copy_to_host_async()
                     except Exception:
                         pass
-            return (x0, x1, wy0, wx0, np_u8, energy)
+            return (x0, x1, wy0, wx0, staged)
 
         tile_x0s = deque(range(0, self.w, self.tile))
         windows: deque = deque()
@@ -349,19 +352,25 @@ class BandedCellStitcher:
             windows.append(dispatch_window(tile_x0s.popleft()))
 
         while windows:
-            x0, x1, wy0, wx0, np_u8, energy = windows.popleft()
+            x0, x1, wy0, wx0, staged = windows.popleft()
             if tile_x0s:
                 windows.append(dispatch_window(tile_x0s.popleft()))
             with _stage("flush.window_fetch_d2h"):
-                energy_win = np.asarray(energy)
-                if energy_win.dtype == np.uint8:
-                    energy_win = energy_win.astype(np.float32) / 255.0
-                elif energy_win.dtype == np.uint16:
-                    energy_win = energy_win.astype(np.float32) / 65535.0
-                ww = energy_win.shape[1]
-                # bool foreground from the packed device bitmask; the
-                # downstream threshold (>= 0.5) is an identity on bools
-                np_win = np.unpackbits(np.asarray(np_u8), axis=1)[:, :ww].astype(bool)
+                if len(staged) == 1:  # fused u8 plane: [bitmask | energy]
+                    fused = np.asarray(staged[0])
+                    ww = min(self.w, x1 + self.pad) - wx0
+                    pack_w = fused.shape[1] - ww
+                    energy_win = fused[:, pack_w:].astype(np.float32) / 255.0
+                    np_win = np.unpackbits(fused[:, :pack_w], axis=1)[:, :ww].astype(bool)
+                else:
+                    np_u8, energy = staged
+                    energy_win = np.asarray(energy)
+                    if energy_win.dtype == np.uint16:
+                        energy_win = energy_win.astype(np.float32) / 65535.0
+                    ww = energy_win.shape[1]
+                    # bool foreground from the packed device bitmask; the
+                    # downstream threshold (>= 0.5) is an identity on bools
+                    np_win = np.unpackbits(np.asarray(np_u8), axis=1)[:, :ww].astype(bool)
 
             interior = (slice(y0 - wy0, y1 - wy0), slice(x0 - wx0, x1 - wx0))
             with _stage("flush.extract_instances"):
@@ -404,20 +413,19 @@ class BandedCellStitcher:
             fg_ids = band_labels[fg_y, fg_x].astype(np.int32)
             n_fg = fg_y.size
             cap = _bucket(n_fg, 4096)
-            # Packed upload: one u32 linear buffer index + one i32 id per
-            # foreground pixel (8 B/px). Padding needs no weight lane — it
-            # points at id 0 / pixel (0,0), and row 0 of sums/counts is
-            # discarded below, exactly like real background pixels.
-            idx_ = np.zeros(cap, np.uint32)
-            ids_ = np.zeros(cap, np.int32)
-            idx_[:n_fg] = (fg_y + (y0 - top)).astype(np.uint32) * np.uint32(
-                self.buf_w
-            ) + (fg_x + self.s).astype(np.uint32)
-            ids_[:n_fg] = fg_ids
-            id_cap = min(_bucket(local_next, 1024), _MAX_IDS)
-            sums, counts = self._class_sums_sparse(
-                tp_b, jnp.asarray(idx_), jnp.asarray(ids_), id_cap
+            # Packed upload: ONE (2, cap) i32 array — row 0 the linear buffer
+            # index, row 1 the band-local id (8 B/px, one H2D). Padding needs
+            # no weight lane — it points at id 0 / pixel (0,0), and row 0 of
+            # sums/counts is discarded below, exactly like real background
+            # pixels. i32 holds the linear index: buf_h * buf_w stays well
+            # under 2^31 for any admissible band (streaming_fits caps it).
+            pix = np.zeros((2, cap), np.int32)
+            pix[0, :n_fg] = (fg_y + (y0 - top)).astype(np.int64) * self.buf_w + (
+                fg_x + self.s
             )
+            pix[1, :n_fg] = fg_ids
+            id_cap = min(_bucket(local_next, 1024), _MAX_IDS)
+            sums, counts = self._class_sums_sparse(tp_b, jnp.asarray(pix), id_cap)
             # Do NOT fetch here: a synchronous np.array() per band puts a
             # full link round-trip on the flusher's critical path. Start the
             # D2H in the background and defer assembly to finalize(), when
@@ -497,7 +505,9 @@ def _cached_kernels(s: int, k: int, alpha: float, energy_mode: str):
             tp_res.astype(jnp.bfloat16),
         )
 
-    def scatter(np_b, hv_b, tp_b, np_p, hv_p, tp_p, rows, cols, valid):
+    def scatter(np_b, hv_b, tp_b, np_p, hv_p, tp_p, rcv):
+        rows, cols, valid = rcv[0], rcv[1], rcv[2].astype(bool)
+
         def body(i, bufs):
             nb, hb, tb = bufs
             r, c = rows[i], cols[i]
@@ -517,10 +527,9 @@ def _cached_kernels(s: int, k: int, alpha: float, energy_mode: str):
 
         return jax.lax.fori_loop(0, rows.shape[0], body, (np_b, hv_b, tp_b))
 
-    def scatter_fused(np_b, hv_b, tp_b, np_logits, hv, tp_logits, rows, cols, valid):
+    def scatter_fused(np_b, hv_b, tp_b, np_logits, hv, tp_logits, rcv):
         """postprocess + scatter in ONE program: one dispatch per batch-band."""
-        return scatter(np_b, hv_b, tp_b, *postprocess(np_logits, hv, tp_logits),
-                       rows, cols, valid)
+        return scatter(np_b, hv_b, tp_b, *postprocess(np_logits, hv, tp_logits), rcv)
 
     # per-window energy + NP fetch (window shape is static per jit cache);
     # the energy math is the shared numerically-pinned core so the
@@ -555,6 +564,12 @@ def _cached_kernels(s: int, k: int, alpha: float, energy_mode: str):
         # that cuts window D2H from 2 B/px to 1.125 B/px.
         np_u8 = jnp.round(np_win * 255.0).astype(jnp.uint8)
         np_bits = jnp.packbits(np_u8 >= 128, axis=1)
+        if energy_mode == "u8":
+            # One D2H buffer per window instead of two: over a tunneled or
+            # otherwise high-latency link each fetch pays a round trip, and
+            # the flusher fetches every window — halve the count by packing
+            # [bitmask | energy] side by side in the same u8 plane.
+            return jnp.concatenate([np_bits, energy], axis=1)
         return np_bits, energy
 
     # Sparse per-instance class sums: the host sends only FOREGROUND
@@ -565,7 +580,8 @@ def _cached_kernels(s: int, k: int, alpha: float, energy_mode: str):
     # caller discards, so no weight lane is needed. id_cap and the pixel
     # count are static (bucketed by _bucket), so a handful of compiled
     # variants cover every band.
-    def class_sums_sparse(tp_b, idx_, ids_, id_cap):
+    def class_sums_sparse(tp_b, pix, id_cap):
+        idx_, ids_ = pix[0], pix[1]
         tp_flat = tp_b.reshape(-1, k)
         tp_vals = tp_flat[idx_].astype(jnp.float32)  # (N, K) gather
         sums = jnp.zeros((id_cap, k), jnp.float32).at[ids_].add(tp_vals)
@@ -575,7 +591,7 @@ def _cached_kernels(s: int, k: int, alpha: float, energy_mode: str):
     return (
         jax.jit(scatter_fused, donate_argnums=(0, 1, 2)),
         jax.jit(window_stage, static_argnums=(4, 5)),
-        jax.jit(class_sums_sparse, static_argnums=(3,)),
+        jax.jit(class_sums_sparse, static_argnums=(2,)),
     )
 
 def run_streaming_cell_inference(
