@@ -209,33 +209,55 @@ class PatchBatchSource:
             return self._host_resize
         return (self.patch_size, self.patch_size)
 
-    def _make_batch(self, pool: ThreadPoolExecutor, indices: np.ndarray) -> Batch:
-        ih, iw = self.image_hw
-        native = self._fetch_batch_native(pool, indices)
-        if native is not None and len(indices) == self.batch_size:
-            images = native  # full batch decoded straight into its buffer
-        else:
-            images = np.zeros((self.batch_size, ih, iw, 3), np.uint8)
-            if native is not None:
-                images[: len(indices)] = native
-            else:
-                for slot, arr in zip(
-                    range(len(indices)), pool.map(self._fetch_one, indices)
-                ):
-                    images[slot] = arr
-        coords = np.zeros((self.batch_size, 4), np.int64)
-        coords[: len(indices)] = self.coords[indices]
-        return Batch(images=images, coords=coords, n_valid=len(indices))
+    def _start_batch(self, pool: ThreadPoolExecutor, indices: np.ndarray):
+        """Submit one batch's decode work; return a finish() -> Batch closure.
 
-    def _fetch_batch_native(
-        self, pool: ThreadPoolExecutor, indices: np.ndarray
-    ) -> np.ndarray | None:
-        """Whole-batch decode via GIL-free native calls, when available.
+        Splitting submit from collect lets the producer keep TWO batches in
+        flight: batch k+1's shards decode (GIL-free) while batch k is being
+        assembled / waiting on the bounded queue, so the decode pool never
+        idles across the per-batch join barrier.
+        """
+        native_collect = self._submit_batch_native(pool, indices)
+        futures = None
+        if native_collect is None and len(indices) > 0:
+            futures = [pool.submit(self._fetch_one, i) for i in indices]
+
+        def finish() -> Batch:
+            ih, iw = self.image_hw
+            native = native_collect() if native_collect is not None else None
+            if native is not None and len(indices) == self.batch_size:
+                images = native  # full batch decoded straight into its buffer
+            else:
+                images = np.zeros((self.batch_size, ih, iw, 3), np.uint8)
+                if native is not None:
+                    images[: len(indices)] = native
+                else:
+                    per_patch = (
+                        [f.result() for f in futures]
+                        if futures is not None
+                        else [self._fetch_one(i) for i in indices]
+                    )
+                    for slot, arr in enumerate(per_patch):
+                        images[slot] = arr
+            coords = np.zeros((self.batch_size, 4), np.int64)
+            coords[: len(indices)] = self.coords[indices]
+            return Batch(images=images, coords=coords, n_valid=len(indices))
+
+        return finish
+
+    def _make_batch(self, pool: ThreadPoolExecutor, indices: np.ndarray) -> Batch:
+        return self._start_batch(pool, indices)()
+
+    def _submit_batch_native(self, pool: ThreadPoolExecutor, indices: np.ndarray):
+        """Submit whole-batch decode via GIL-free native calls, when available.
 
         The batch is sharded across the decode pool: each native call
         releases the GIL and writes its slice of one contiguous buffer, so
         threads scale on multi-core hosts (the shared C++ tile LRU is
-        mutex-protected, decode runs unlocked).
+        mutex-protected, decode runs unlocked). Returns a collect() closure
+        yielding the decoded (n, h, w, 3) buffer — or None (at submit or
+        collect time) when the native path is unavailable/failed and the
+        caller should fall back to per-patch fetch.
         """
         if self._use_hdf5_images or self._slide is None:
             return None
@@ -244,6 +266,8 @@ class PatchBatchSource:
             return None
         ps = int(self.patch_size)
         n = len(indices)
+        if n == 0:
+            return None
         out = np.empty((n, ps, ps, 3), np.uint8)
         coords = self.coords[indices, :2]
         resize_to = self._host_resize
@@ -265,23 +289,27 @@ class PatchBatchSource:
                         final[i] = self._maybe_resize(out[i])
             return True
 
+        n_shards = min(self.num_threads, max(1, n // 4))
+        bounds = np.linspace(0, n, n_shards + 1, dtype=int)
         try:
-            n_shards = min(self.num_threads, max(1, n // 4))
-            if n_shards > 1:
-                bounds = np.linspace(0, n, n_shards + 1, dtype=int)
-                futures = [
-                    pool.submit(shard, a, b)
-                    for a, b in zip(bounds[:-1], bounds[1:])
-                    if b > a
-                ]
-                results = [f.result() for f in futures]
-            else:
-                results = [shard(0, n)]
+            futures = [
+                pool.submit(shard, a, b)
+                for a, b in zip(bounds[:-1], bounds[1:])
+                if b > a
+            ]
         except Exception:
             return None
-        if any(r is None for r in results):
-            return None
-        return final
+
+        def collect() -> np.ndarray | None:
+            try:
+                results = [f.result() for f in futures]
+            except Exception:
+                return None
+            if any(r is None for r in results):
+                return None
+            return final
+
+        return collect
 
     def __iter__(self) -> Iterator[Batch]:
         """Yield batches; decode runs ahead of the consumer by `prefetch`."""
@@ -305,9 +333,18 @@ class PatchBatchSource:
 
         def producer() -> None:
             try:
+                from collections import deque
+
                 with ThreadPoolExecutor(max_workers=self.num_threads) as pool:
+                    # Two batches in flight: batch k+1's shards decode while
+                    # batch k assembles / waits on the bounded queue.
+                    pending: deque = deque()
                     for indices in splits:
-                        if not put_or_stop(self._make_batch(pool, indices)):
+                        pending.append(self._start_batch(pool, indices))
+                        if len(pending) >= 2 and not put_or_stop(pending.popleft()()):
+                            return
+                    while pending:
+                        if not put_or_stop(pending.popleft()()):
                             return
                 put_or_stop(None)
             except BaseException as err:  # propagate to consumer
