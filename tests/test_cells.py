@@ -516,6 +516,76 @@ def test_streaming_banded_stitcher_matches_classic(monkeypatch):
         np.testing.assert_array_equal(cpoly[a], spoly[b])
 
 
+def test_streaming_sparse_window_transfer_is_identical(monkeypatch):
+    """The sparse window transfer ([bitmask | fg-gathered u8 energy], plus
+    empty-window skip) is a pure transfer-layer change: instances, class
+    probabilities, and polygons are bit-identical to the dense fused plane.
+    The empty-window skip is exercised by the all-background tiles."""
+    from wsinsight_tpu.engine.stream_cells import BandedCellStitcher
+
+    rng = np.random.default_rng(1)
+    h = w = 512
+    s, k = 64, 3
+    eps = 1e-4
+    grid = range(0, 512, s)
+    coords, preds = [], []
+    for y0 in grid:
+        for x0 in grid:
+            np_map = np.zeros((s, s), np.float32)
+            hv = np.zeros((2, s, s), np.float32)
+            # leave the bottom band of tiles empty: those windows must be
+            # skipped by the sparse path without changing anything
+            if y0 < 256 and (x0 // s + y0 // s) % 2 == 0:
+                yy, xx = np.mgrid[:s, :s].astype(np.float32)
+                d = np.hypot(yy - 32, xx - 32)
+                inside = d < 14
+                np_map[inside] = 1.0
+                hv[0][inside] = ((xx - 32) / 14)[inside]
+                hv[1][inside] = ((yy - 32) / 14)[inside]
+            np_logits = np.stack([np.log1p(-np_map + eps), np.log(np_map + eps)])
+            tp = np.zeros((k, s, s), np.float32)
+            tp[0] = 1.0 - np_map
+            tp[1] = np_map * 0.7
+            tp[2] = np_map * 0.3
+            tp_logits = np.log(tp + eps) + rng.normal(0, 1e-3, (k, s, s)).astype(
+                np.float32
+            )
+            coords.append([x0, y0, s, s])
+            preds.append((np_logits, hv, tp_logits))
+
+    coords = np.asarray(coords, np.int64)
+    order = np.lexsort((coords[:, 0], coords[:, 1]))
+
+    def run(sparse: bool):
+        monkeypatch.setenv("WSINSIGHT_STREAM_SPARSE", "1" if sparse else "0")
+        st = BandedCellStitcher(
+            n_classes=k, slide_width=w, slide_height=h, slide_patch_size=s,
+            slide_halo_size=0, slide_mpp=0.25, model_mpp=0.25, min_object_size=20,
+            tile_size=128, padding_size=32,
+        )
+        assert st._sparse_windows is sparse
+        bs = 4
+        for i0 in range(0, len(order), bs):
+            sel = order[i0 : i0 + bs]
+            batch = {
+                "np": np.stack([preds[i][0] for i in sel]),
+                "hv": np.stack([preds[i][1] for i in sel]),
+                "tp": np.stack([preds[i][2] for i in sel]),
+            }
+            st.accumulate_batch(batch, coords[sel])
+        out = st.finalize()
+        st.close()
+        return out
+
+    di, dp, dpoly = run(sparse=False)
+    si, sp, spoly = run(sparse=True)
+    assert len(di) == len(si) > 0
+    np.testing.assert_array_equal(np.concatenate(di), np.concatenate(si))
+    np.testing.assert_array_equal(np.concatenate(dp), np.concatenate(sp))
+    for a, b in zip(dpoly, spoly):
+        np.testing.assert_array_equal(a, b)
+
+
 def test_streaming_flusher_error_surfaces_on_main_thread():
     """An exception in the background band flusher (e.g. the per-band
     instance cap) is re-raised to the caller, not swallowed."""
