@@ -586,6 +586,48 @@ def test_streaming_sparse_window_transfer_is_identical(monkeypatch):
         np.testing.assert_array_equal(a, b)
 
 
+def test_class_sums_from_fg_kernel_matches_packed_upload():
+    """The id-only class-sums kernel equals the packed (index, id) kernel for
+    both id dtypes (u16 fast path, i32 overflow path)."""
+    import jax.numpy as jnp
+
+    from wsinsight_tpu.engine.stream_cells import _cached_kernels
+
+    (_, _, sums_packed, _, _, sums_from_fg) = _cached_kernels(8, 3, 1.0, "u8")
+    rng = np.random.default_rng(3)
+    buf_h, buf_w, k = 24, 32, 3
+    np_b = jnp.asarray(rng.random((buf_h, buf_w), np.float32) > 0.7, jnp.bfloat16)
+    tp_b = jnp.asarray(rng.random((buf_h, buf_w, k), np.float32), jnp.bfloat16)
+    interior = (4, 4, 16, 24)  # off_r, off_c, ih, iw
+    off_r, off_c, ih, iw = interior
+
+    fg = np.asarray(
+        np.round(np.asarray(np_b, np.float32) * 255).astype(np.uint8) >= 128
+    )[off_r : off_r + ih, off_c : off_c + iw]
+    fy, fx = np.nonzero(fg)
+    ids = (rng.integers(0, 5, size=fy.size)).astype(np.int32)  # some id 0
+
+    # packed reference: linear buffer index + id
+    cap = 256
+    pix = np.zeros((2, cap), np.int32)
+    pix[0, : fy.size] = (fy + off_r) * buf_w + (fx + off_c)
+    pix[1, : fy.size] = ids
+    ref_sums, ref_counts = sums_packed(tp_b, jnp.asarray(pix), 8)
+
+    for dtype in (np.uint16, np.int32):
+        ids_up = np.zeros((cap,), dtype)
+        ids_up[: fy.size] = ids.astype(dtype)
+        got_sums, got_counts = sums_from_fg(
+            tp_b, np_b, jnp.asarray(ids_up), interior, 8
+        )
+        np.testing.assert_allclose(
+            np.asarray(got_sums)[1:], np.asarray(ref_sums)[1:], rtol=1e-6
+        )
+        np.testing.assert_array_equal(
+            np.asarray(got_counts)[1:], np.asarray(ref_counts)[1:]
+        )
+
+
 def test_streaming_flusher_error_surfaces_on_main_thread():
     """An exception in the background band flusher (e.g. the per-band
     instance cap) is re-raised to the caller, not swallowed."""

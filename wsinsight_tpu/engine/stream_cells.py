@@ -210,6 +210,7 @@ class BandedCellStitcher:
             self._class_sums_sparse,
             self._window_counts,
             self._window_stage_sparse,
+            self._class_sums_from_fg,
         ) = _cached_kernels(self.s, self.k, float(self.alpha), mode)
 
     # -- banding ------------------------------------------------------------
@@ -348,23 +349,36 @@ class BandedCellStitcher:
                 (x0, x1, wy0, wx0, wy0 - top, wx0 + self.s, wy1 - wy0, wx1 - wx0)
             )
 
-        # Sparse mode: one tiny (n_tiles,) count fetch per band decides each
-        # window's static gather cap — and lets empty windows skip their
-        # dispatch AND fetch entirely (no foreground -> no instances).
-        counts = None
+        # Sparse mode: one tiny count fetch per band — (n_tiles) padded-window
+        # counts decide each window's static gather cap (and let empty
+        # windows skip their dispatch AND fetch entirely), and a final
+        # band-INTERIOR count sizes the class-sums id upload below.
+        fg_counts = None
+        band_fg = None
         if self._sparse_windows:
             with _stage("flush.window_counts"):
-                sizes = tuple((sp[6], sp[7]) for sp in specs)
-                starts = np.array([(sp[4], sp[5]) for sp in specs], np.int32)
-                counts = np.asarray(
+                interior_spec = (y0 - top, self.s, y1 - y0, self.w)
+                sizes = tuple((sp[6], sp[7]) for sp in specs) + (
+                    (interior_spec[2], interior_spec[3]),
+                )
+                starts = np.array(
+                    [(sp[4], sp[5]) for sp in specs]
+                    + [(interior_spec[0], interior_spec[1])],
+                    np.int32,
+                )
+                fg_counts = np.asarray(
                     self._window_counts(np_b, self._jnp.asarray(starts), sizes)
                 )
+            # Assembled from the window bitmask interiors as they land: the
+            # SAME foreground definition the device recomputes, so the id
+            # upload below can ride fg raster order with no index lane.
+            band_fg = np.zeros((y1 - y0, self.w), bool)
 
         def dispatch_window(i):
             x0, x1, wy0, wx0, r0, c0, wh, ww = specs[i]
             with _stage("flush.window_dispatch"):
-                if counts is not None:
-                    cnt = int(counts[i])
+                if fg_counts is not None:
+                    cnt = int(fg_counts[i])
                     if cnt == 0:
                         return (x0, x1, wy0, wx0, None)
                     cap = _bucket(cnt, 4096, step=2)
@@ -398,7 +412,7 @@ class BandedCellStitcher:
             wh = min(self.h, y1 + self.pad) - wy0
             ww = min(self.w, x1 + self.pad) - wx0
             with _stage("flush.window_fetch_d2h"):
-                if counts is not None:  # sparse: [bitmask rows | fg energy]
+                if fg_counts is not None:  # sparse: [bitmask rows | fg energy]
                     buf = np.asarray(staged[0])
                     pw = (ww + 7) // 8
                     np_win = np.unpackbits(
@@ -425,6 +439,8 @@ class BandedCellStitcher:
                     np_win = np.unpackbits(np.asarray(np_u8), axis=1)[:, :ww].astype(bool)
 
             interior = (slice(y0 - wy0, y1 - wy0), slice(x0 - wx0, x1 - wx0))
+            if band_fg is not None:  # fg raster map for the id-only upload
+                band_fg[:, x0:x1] = np_win[interior]
             with _stage("flush.extract_instances"):
                 labels, ids, boxes, polys = extract_instance_labels(
                     np_win, energy_win, interior, self.min_object_size
@@ -457,27 +473,54 @@ class BandedCellStitcher:
             )
 
         # Per-instance class means from the device-resident type maps.
-        # Only the FOREGROUND pixels go up (coords + local ids, bucketed to a
-        # static shape); only (id_cap, K) sums come down — versus the full
-        # (band_h, W) int32 label image and the (_MAX_IDS, K) buffer before.
+        # Only the FOREGROUND pixels go up, bucketed to a static shape; only
+        # (id_cap, K) sums come down — versus the full (band_h, W) int32
+        # label image and the (_MAX_IDS, K) buffer before.
         with _stage("flush.class_sums"):
-            fg_y, fg_x = np.nonzero(band_labels)
-            fg_ids = band_labels[fg_y, fg_x].astype(np.int32)
-            n_fg = fg_y.size
-            cap = _bucket(n_fg, 4096)
-            # Packed upload: ONE (2, cap) i32 array — row 0 the linear buffer
-            # index, row 1 the band-local id (8 B/px, one H2D). Padding needs
-            # no weight lane — it points at id 0 / pixel (0,0), and row 0 of
-            # sums/counts is discarded below, exactly like real background
-            # pixels. i32 holds the linear index: buf_h * buf_w stays well
-            # under 2^31 for any admissible band (streaming_fits caps it).
-            pix = np.zeros((2, cap), np.int32)
-            pix[0, :n_fg] = (fg_y + (y0 - top)).astype(np.int64) * self.buf_w + (
-                fg_x + self.s
-            )
-            pix[1, :n_fg] = fg_ids
             id_cap = min(_bucket(local_next, 1024), _MAX_IDS)
-            sums, counts = self._class_sums_sparse(tp_b, jnp.asarray(pix), id_cap)
+            if band_fg is not None:
+                # Id-ONLY upload: the device recomputes the interior fg
+                # positions from its own NP band (same u8>=128 definition as
+                # the window bitmasks the host assembled band_fg from), so
+                # the upload is just the band-local id per fg pixel in
+                # raster order — u16 when they fit, 2-4 B/px instead of the
+                # 8 B/px packed (index, id) lanes. Unlabeled fg pixels carry
+                # id 0, whose sums/counts row is discarded like background.
+                n_fg = int(fg_counts[-1])
+                fg_ids = band_labels[band_fg]
+                if fg_ids.size != n_fg:  # definitions drifted: fail loudly
+                    raise RuntimeError(
+                        f"band {b}: host fg {fg_ids.size} != device fg {n_fg}"
+                    )
+                cap = _bucket(max(n_fg, 1), 4096, step=2)
+                dtype = np.uint16 if local_next <= 0xFFFF else np.int32
+                ids_up = np.zeros((cap,), dtype)
+                ids_up[:n_fg] = fg_ids.astype(dtype)
+                sums, counts = self._class_sums_from_fg(
+                    tp_b,
+                    np_b,
+                    jnp.asarray(ids_up),
+                    (y0 - top, self.s, y1 - y0, self.w),
+                    id_cap,
+                )
+            else:
+                fg_y, fg_x = np.nonzero(band_labels)
+                fg_ids = band_labels[fg_y, fg_x].astype(np.int32)
+                n_fg = fg_y.size
+                cap = _bucket(n_fg, 4096)
+                # Packed upload: ONE (2, cap) i32 array — row 0 the linear
+                # buffer index, row 1 the band-local id (8 B/px, one H2D).
+                # Padding needs no weight lane — it points at id 0 / pixel
+                # (0,0), and row 0 of sums/counts is discarded below, exactly
+                # like real background pixels. i32 holds the linear index:
+                # buf_h * buf_w stays well under 2^31 for any admissible band
+                # (streaming_fits caps it).
+                pix = np.zeros((2, cap), np.int32)
+                pix[0, :n_fg] = (fg_y + (y0 - top)).astype(np.int64) * self.buf_w + (
+                    fg_x + self.s
+                )
+                pix[1, :n_fg] = fg_ids
+                sums, counts = self._class_sums_sparse(tp_b, jnp.asarray(pix), id_cap)
             # Do NOT fetch here: a synchronous np.array() per band puts a
             # full link round-trip on the flusher's critical path. Start the
             # D2H in the background and defer assembly to finalize(), when
@@ -674,12 +717,35 @@ def _cached_kernels(s: int, k: int, alpha: float, energy_mode: str):
         vals = e_u8.reshape(-1)[idx]
         return jnp.concatenate([np_bits.reshape(-1), vals])
 
+    def class_sums_from_fg(tp_b, np_b, ids, interior, id_cap):
+        """Per-instance class sums with an id-ONLY upload.
+
+        `ids` carries the band-local instance id per interior-fg pixel in
+        raster order (u16 or i32, zero-padded to its static cap); the fg
+        positions themselves are recomputed here from the NP band with the
+        SAME u8>=128 definition the host's bitmask used, so no index lane
+        crosses the link. Padded entries and unlabeled fg pixels carry id 0,
+        whose sums/counts row the caller discards like background.
+        """
+        off_r, off_c, ih, iw = interior
+        fg = _fg(jax.lax.dynamic_slice(np_b, (off_r, off_c), (ih, iw)))
+        cap = ids.shape[0]
+        idx = jnp.nonzero(fg.reshape(-1), size=cap, fill_value=0)[0]
+        rows = idx // iw + off_r
+        cols = idx % iw + off_c
+        tp_vals = tp_b[rows, cols, :].astype(jnp.float32)  # (cap, K) gather
+        ids32 = ids.astype(jnp.int32)
+        sums = jnp.zeros((id_cap, k), jnp.float32).at[ids32].add(tp_vals)
+        counts = jnp.zeros((id_cap,), jnp.float32).at[ids32].add(1.0)
+        return sums, counts
+
     return (
         jax.jit(scatter_fused, donate_argnums=(0, 1, 2)),
         jax.jit(window_stage, static_argnums=(4, 5)),
         jax.jit(class_sums_sparse, static_argnums=(2,)),
         jax.jit(window_counts, static_argnums=(2,)),
         jax.jit(window_stage_sparse, static_argnums=(4, 5, 6)),
+        jax.jit(class_sums_from_fg, static_argnums=(3, 4)),
     )
 
 def run_streaming_cell_inference(
