@@ -586,6 +586,62 @@ def test_streaming_sparse_window_transfer_is_identical(monkeypatch):
         np.testing.assert_array_equal(a, b)
 
 
+def test_sparse_window_backend_fallback_is_silent_and_identical(monkeypatch):
+    """If the sparse window kernel fails at runtime (backend quirk), the
+    flusher falls back to dense windows mid-band and the results match."""
+    from wsinsight_tpu.engine.stream_cells import BandedCellStitcher
+
+    s, k, w, h = 64, 3, 256, 256
+    eps = 1e-4
+    np_map = np.zeros((s, s), np.float32)
+    yy, xx = np.mgrid[:s, :s].astype(np.float32)
+    d = np.hypot(yy - 32, xx - 32)
+    inside = d < 14
+    np_map[inside] = 1.0
+    hv = np.zeros((2, s, s), np.float32)
+    hv[0][inside] = ((xx - 32) / 14)[inside]
+    hv[1][inside] = ((yy - 32) / 14)[inside]
+    np_logits = np.stack([np.log1p(-np_map + eps), np.log(np_map + eps)])
+    tp = np.zeros((k, s, s), np.float32)
+    tp[0], tp[1] = 1.0 - np_map, np_map
+    tp_logits = np.log(tp + eps)
+    coords = np.array(
+        [[x0, y0, s, s] for y0 in range(0, h, s) for x0 in range(0, w, s)], np.int64
+    )
+    batch = {
+        "np": np.repeat(np_logits[None], len(coords), 0),
+        "hv": np.repeat(hv[None], len(coords), 0),
+        "tp": np.repeat(tp_logits[None], len(coords), 0),
+    }
+    common = dict(
+        n_classes=k, slide_width=w, slide_height=h, slide_patch_size=s,
+        slide_halo_size=0, slide_mpp=0.25, model_mpp=0.25, min_object_size=20,
+        tile_size=128, padding_size=32,
+    )
+
+    def run(broken: bool):
+        st = BandedCellStitcher(**common)
+        assert st._sparse_windows
+        if broken:
+            def boom(*a, **kw):
+                raise RuntimeError("no nonzero on this backend")
+            st._window_stage_sparse = boom
+        st.accumulate_batch(batch, coords)
+        out = st.finalize()
+        st.close()
+        if broken:
+            assert st._sparse_windows is False  # fell back and stayed dense
+        return out
+
+    gi, gp, gpoly = run(broken=False)
+    bi, bp, bpoly = run(broken=True)
+    assert len(gi) == len(bi) > 0
+    np.testing.assert_array_equal(np.concatenate(gi), np.concatenate(bi))
+    np.testing.assert_array_equal(np.concatenate(gp), np.concatenate(bp))
+    for a, b in zip(gpoly, bpoly):
+        np.testing.assert_array_equal(a, b)
+
+
 def test_class_sums_from_fg_kernel_matches_packed_upload():
     """The id-only class-sums kernel equals the packed (index, id) kernel for
     both id dtypes (u16 fast path, i32 overflow path)."""

@@ -366,9 +366,16 @@ class BandedCellStitcher:
                     + [(interior_spec[0], interior_spec[1])],
                     np.int32,
                 )
-                fg_counts = np.asarray(
-                    self._window_counts(np_b, self._jnp.asarray(starts), sizes)
-                )
+                try:
+                    fg_counts = np.asarray(
+                        self._window_counts(np_b, self._jnp.asarray(starts), sizes)
+                    )
+                except Exception:  # backend without nonzero/packbits support
+                    logger.warning(
+                        "sparse window transfer unavailable on this backend; "
+                        "falling back to dense windows"
+                    )
+                    self._sparse_windows = False
             # Assembled from the window bitmask interiors as they land: the
             # SAME foreground definition the device recomputes, so the id
             # upload below can ride fg raster order with no index lane.
@@ -377,26 +384,37 @@ class BandedCellStitcher:
         def dispatch_window(i):
             x0, x1, wy0, wx0, r0, c0, wh, ww = specs[i]
             with _stage("flush.window_dispatch"):
-                if fg_counts is not None:
+                staged = None
+                if fg_counts is not None and self._sparse_windows:
                     cnt = int(fg_counts[i])
-                    if cnt == 0:
-                        return (x0, x1, wy0, wx0, None)
+                    if cnt == 0:  # no foreground: skip dispatch AND fetch
+                        return (x0, x1, wy0, wx0, "empty", None)
                     cap = _bucket(cnt, 4096, step=2)
-                    staged = (
-                        self._window_stage_sparse(
-                            np_b, hv_b, r0, c0, int(wh), int(ww), cap
-                        ),
-                    )
-                else:
-                    staged = self._window_stage(np_b, hv_b, r0, c0, int(wh), int(ww))
-                    if not isinstance(staged, tuple):
-                        staged = (staged,)
-                for arr in staged:
+                    try:
+                        staged = (
+                            "sparse",
+                            (
+                                self._window_stage_sparse(
+                                    np_b, hv_b, r0, c0, int(wh), int(ww), cap
+                                ),
+                            ),
+                        )
+                    except Exception:  # backend quirk: revert to dense
+                        logger.warning(
+                            "sparse window stage failed; falling back to dense"
+                        )
+                        self._sparse_windows = False
+                if staged is None:
+                    dense = self._window_stage(np_b, hv_b, r0, c0, int(wh), int(ww))
+                    if not isinstance(dense, tuple):
+                        dense = (dense,)
+                    staged = ("dense", dense)
+                for arr in staged[1]:
                     try:
                         arr.copy_to_host_async()
                     except Exception:
                         pass
-            return (x0, x1, wy0, wx0, staged)
+            return (x0, x1, wy0, wx0, staged[0], staged[1])
 
         tile_idx = deque(range(len(specs)))
         windows: deque = deque()
@@ -404,15 +422,15 @@ class BandedCellStitcher:
             windows.append(dispatch_window(tile_idx.popleft()))
 
         while windows:
-            x0, x1, wy0, wx0, staged = windows.popleft()
+            x0, x1, wy0, wx0, kind, staged = windows.popleft()
             if tile_idx:
                 windows.append(dispatch_window(tile_idx.popleft()))
-            if staged is None:  # empty window (sparse mode): nothing to do
+            if kind == "empty":  # no foreground (sparse mode): nothing to do
                 continue
             wh = min(self.h, y1 + self.pad) - wy0
             ww = min(self.w, x1 + self.pad) - wx0
             with _stage("flush.window_fetch_d2h"):
-                if fg_counts is not None:  # sparse: [bitmask rows | fg energy]
+                if kind == "sparse":  # sparse: [bitmask rows | fg energy]
                     buf = np.asarray(staged[0])
                     pw = (ww + 7) // 8
                     np_win = np.unpackbits(
@@ -478,7 +496,8 @@ class BandedCellStitcher:
         # label image and the (_MAX_IDS, K) buffer before.
         with _stage("flush.class_sums"):
             id_cap = min(_bucket(local_next, 1024), _MAX_IDS)
-            if band_fg is not None:
+            sums = counts = None
+            if band_fg is not None and fg_counts is not None:
                 # Id-ONLY upload: the device recomputes the interior fg
                 # positions from its own NP band (same u8>=128 definition as
                 # the window bitmasks the host assembled band_fg from), so
@@ -496,14 +515,20 @@ class BandedCellStitcher:
                 dtype = np.uint16 if local_next <= 0xFFFF else np.int32
                 ids_up = np.zeros((cap,), dtype)
                 ids_up[:n_fg] = fg_ids.astype(dtype)
-                sums, counts = self._class_sums_from_fg(
-                    tp_b,
-                    np_b,
-                    jnp.asarray(ids_up),
-                    (y0 - top, self.s, y1 - y0, self.w),
-                    id_cap,
-                )
-            else:
+                try:
+                    sums, counts = self._class_sums_from_fg(
+                        tp_b,
+                        np_b,
+                        jnp.asarray(ids_up),
+                        (y0 - top, self.s, y1 - y0, self.w),
+                        id_cap,
+                    )
+                except Exception:  # backend quirk: packed-upload fallback
+                    logger.warning(
+                        "id-only class sums failed; falling back to packed upload"
+                    )
+                    self._sparse_windows = False
+            if sums is None:
                 fg_y, fg_x = np.nonzero(band_labels)
                 fg_ids = band_labels[fg_y, fg_x].astype(np.int32)
                 n_fg = fg_y.size
