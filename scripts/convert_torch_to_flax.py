@@ -77,6 +77,10 @@ def main() -> None:
     )["params"]
 
     sd = load_torch_weights(args.input)
+    if args.architecture.lower().replace("-", "_").startswith("hovernet"):
+        from wsinsight_tpu.models.convert import normalize_hovernet_keys
+
+        sd = normalize_hovernet_keys(sd)
     params = convert_with_template(sd, template, strict=True)
     sha = save_flax_params(params, args.output)
     print(f"wrote {args.output} (sha256={sha}, {len(sd)} torch tensors mapped)")

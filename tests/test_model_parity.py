@@ -226,32 +226,39 @@ def test_cellvit_virchow_pos_embed_interpolates():
 
 
 def test_hovernet_full_parity():
-    """Template-guided conversion of a full torch HoVer-Net (pre-act ResNet50
-    encoder + three dense decoders) matches the flax model end to end."""
+    """Template-guided conversion of a full torch HoVer-Net (hover_net block
+    encoder + three VALID dense decoders) matches the flax model end to end.
+
+    The mirror reproduces upstream net_desc.py fast mode exactly (TF-SAME
+    asymmetric padding, block-entry shortcut, first-unit preact skip, 3x3
+    VALID decoder convs with 92/36 crop bookkeeping), so this parity also
+    covers the released checkpoint's spatial semantics. 96 px input is the
+    smallest the VALID arithmetic admits (output 96 - 92 = 4 px)."""
     import torch_refs_cells
 
     from wsinsight_tpu.models.convert import convert_with_template
 
     torch.manual_seed(2)
-    tmodel = torch_refs_cells.TorchHoVerNetFast(num_nuclei_classes=3, halo=8)
+    tmodel = torch_refs_cells.TorchHoVerNetFast(num_nuclei_classes=3)
     tmodel.eval()
     _randomize_bn(tmodel, seed=4)
 
     rng = np.random.default_rng(1)
-    x = rng.standard_normal((1, 3, 64, 64)).astype(np.float32) * 0.5
+    x = rng.standard_normal((1, 3, 96, 96)).astype(np.float32) * 0.5
     with torch.no_grad():
         expected = tmodel(torch.from_numpy(x))
 
     import jax
 
-    fmodel = create_model("hovernet-fast", 3).clone(halo_size=8)
+    fmodel = create_model("hovernet-fast", 3)
     template = fmodel.init(
-        jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3), jnp.float32)
+        jax.random.PRNGKey(0), jnp.zeros((1, 96, 96, 3), jnp.float32)
     )["params"]
     params = convert_with_template(
         state_dict_to_arrays(tmodel.state_dict()), template
     )
     got = fmodel.apply({"params": params}, jnp.asarray(np.transpose(x, (0, 2, 3, 1))))
+    assert np.asarray(got["hv_map"]).shape == (1, 2, 4, 4)
     for key in ("nuclei_binary_map", "hv_map", "nuclei_type_map"):
         np.testing.assert_allclose(
             np.asarray(got[key]), expected[key].numpy(), atol=1e-3, rtol=1e-4,
@@ -367,3 +374,35 @@ def test_zoo_ingests_torch_checkpoint(tmp_path):
     model = create_model("resnet34", 2)
     got = np.asarray(model.apply({"params": params}, jnp.asarray(np.transpose(x, (0, 2, 3, 1)))))
     np.testing.assert_allclose(got, expected, atol=2e-4, rtol=1e-4)
+
+
+def test_normalize_hovernet_keys():
+    """Released hover_net spellings ('conv0./', '<x>/bn', unpool_mat buffer)
+    map onto models/hovernet.py naming; already-clean keys pass through."""
+    from wsinsight_tpu.models.convert import normalize_hovernet_keys
+
+    sd = {
+        "conv0./.weight": np.zeros((64, 3, 7, 7)),
+        "conv0.bn.weight": np.zeros(64),
+        "d0.units.1.preact/bn.running_mean": np.zeros(64),
+        "d0.units.0.conv1/bn.weight": np.zeros(64),
+        "d1.units.0.conv2/bn.bias": np.zeros(128),
+        "decoder.np.u3.dense.units.2.preact_bna/bn.weight": np.zeros(320),
+        "decoder.np.u3.dense.blk_bna.bn.weight": np.zeros(512),
+        "upsample2x.unpool_mat": np.ones((2, 2)),
+        "conv_bot.weight": np.zeros((1024, 2048, 1, 1)),
+    }
+    out = normalize_hovernet_keys(sd)
+    assert "upsample2x.unpool_mat" not in out
+    assert set(out) == {
+        "conv0.conv.weight",
+        "conv0.bn.weight",
+        "d0.units.1.preact_bn.running_mean",
+        "d0.units.0.conv1_bn.weight",
+        "d1.units.0.conv2_bn.bias",
+        "decoder.np.u3.dense.units.2.preact_bna_bn.weight",
+        "decoder.np.u3.dense.blk_bna.bn.weight",
+        "conv_bot.weight",
+    }
+    # idempotent on normalized dicts
+    assert set(normalize_hovernet_keys(out)) == set(out)

@@ -330,81 +330,128 @@ class TorchCellViT256(nn.Module):
 
 
 # ---------------------------------------------------------------------------
-# HoVer-Net (fast) mirror
+# HoVer-Net (fast) mirror — upstream-faithful: TF-SAME encoder padding,
+# block-entry shortcut + first-unit preact skip + trailing blk_bna,
+# VALID 3x3 decoder convs with crop bookkeeping (92/36 px skips).
 # ---------------------------------------------------------------------------
 
 
-class PreActBottleneck(nn.Module):
-    def __init__(self, cin, width, stride=1):
+def _tf_same_pad(x, ksize, stride):
+    """hover_net TFSamepaddingLayer: asymmetric TF-SAME (extra px at end)."""
+
+    def one(size):
+        pad = max(ksize - stride, 0) if size % stride == 0 else max(ksize - size % stride, 0)
+        return pad // 2, pad - pad // 2
+
+    (t, b), (l, r) = one(x.shape[2]), one(x.shape[3])
+    return nn.functional.pad(x, (l, r, t, b))
+
+
+class _HVResUnit(nn.Module):
+    def __init__(self, cin, width, stride, first):
         super().__init__()
-        cout = width * 4
-        self.bn1 = nn.BatchNorm2d(cin)
-        if stride != 1 or cin != cout:
-            self.shortcut = nn.Conv2d(cin, cout, 1, stride=stride, bias=False)
-        else:
-            self.shortcut = None
+        self.stride = stride
+        self.first = first
+        if not first:
+            self.preact_bn = nn.BatchNorm2d(cin)
         self.conv1 = nn.Conv2d(cin, width, 1, bias=False)
-        self.bn2 = nn.BatchNorm2d(width)
-        self.conv2 = nn.Conv2d(width, width, 3, stride=stride, padding=1, bias=False)
-        self.bn3 = nn.BatchNorm2d(width)
-        self.conv3 = nn.Conv2d(width, cout, 1, bias=False)
+        self.conv1_bn = nn.BatchNorm2d(width)
+        self.conv2 = nn.Conv2d(width, width, 3, stride=stride, padding=0, bias=False)
+        self.conv2_bn = nn.BatchNorm2d(width)
+        self.conv3 = nn.Conv2d(width, width * 4, 1, bias=False)
 
     def forward(self, x):
-        pre = torch.relu(self.bn1(x))
-        sc = self.shortcut(pre) if self.shortcut is not None else x
-        y = self.conv1(pre)
-        y = self.conv2(torch.relu(self.bn2(y)))
-        y = self.conv3(torch.relu(self.bn3(y)))
-        return y + sc
+        if not self.first:
+            x = torch.relu(self.preact_bn(x))
+        x = torch.relu(self.conv1_bn(self.conv1(x)))
+        x = torch.relu(self.conv2_bn(self.conv2(_tf_same_pad(x, 3, self.stride))))
+        return self.conv3(x)
 
 
-class HoverDenseUnit(nn.Module):
+class _HVBnRelu(nn.Module):
+    def __init__(self, ch):
+        super().__init__()
+        self.bn = nn.BatchNorm2d(ch)
+
+    def forward(self, x):
+        return torch.relu(self.bn(x))
+
+
+class _HVStage(nn.Module):
+    def __init__(self, cin, width, n_units, stride):
+        super().__init__()
+        self.shortcut = nn.Conv2d(cin, width * 4, 1, stride=stride, bias=False)
+        units = []
+        c = cin
+        for j in range(n_units):
+            units.append(_HVResUnit(c, width, stride if j == 0 else 1, j == 0))
+            c = width * 4
+        self.units = nn.ModuleList(units)
+        self.blk_bna = _HVBnRelu(width * 4)
+
+    def forward(self, x):
+        shortcut = self.shortcut(x)
+        for unit in self.units:
+            x = unit(x) + shortcut
+            shortcut = x
+        return self.blk_bna(x)
+
+
+class _HVDenseUnit(nn.Module):
     def __init__(self, cin, growth=32):
         super().__init__()
-        self.bn1 = nn.BatchNorm2d(cin)
+        self.preact_bna_bn = nn.BatchNorm2d(cin)
         self.conv1 = nn.Conv2d(cin, 128, 1, bias=False)
-        self.bn2 = nn.BatchNorm2d(128)
-        self.conv2 = nn.Conv2d(128, growth, 5, padding=2, groups=4, bias=False)
+        self.conv1_bn = nn.BatchNorm2d(128)
+        self.conv2 = nn.Conv2d(128, growth, 3, padding=0, groups=4, bias=False)
 
     def forward(self, x):
-        y = self.conv1(torch.relu(self.bn1(x)))
-        y = self.conv2(torch.relu(self.bn2(y)))
-        return torch.cat([x, y], dim=1)
+        y = self.conv1(torch.relu(self.preact_bna_bn(x)))
+        y = self.conv2(torch.relu(self.conv1_bn(y)))
+        return torch.cat([x[:, :, 1:-1, 1:-1], y], dim=1)
+
+
+class _HVDenseBlock(nn.Module):
+    def __init__(self, cin, n_units):
+        super().__init__()
+        self.units = nn.ModuleList(
+            [_HVDenseUnit(cin + 32 * j) for j in range(n_units)]
+        )
+        self.blk_bna = _HVBnRelu(cin + 32 * n_units)
+
+    def forward(self, x):
+        for unit in self.units:
+            x = unit(x)
+        return self.blk_bna(x)
 
 
 def _up2(x):
     return nn.functional.interpolate(x, scale_factor=2, mode="nearest")
 
 
-class _HoverU(nn.Module):
-    """uN stage: conva 5x5 -> dense units -> bn/relu -> convf 1x1."""
+class _HVU(nn.Module):
+    """u3/u2: conva 3x3 VALID -> dense block -> convf 1x1."""
 
     def __init__(self, cin, mid, n_dense, cout):
         super().__init__()
-        self.conva = nn.Conv2d(cin, mid, 5, padding=2, bias=False)
-        for i in range(n_dense):
-            setattr(self, f"dense{i}", HoverDenseUnit(mid + 32 * i))
-        self.n_dense = n_dense
-        self.bna = nn.BatchNorm2d(mid + 32 * n_dense)
+        self.conva = nn.Conv2d(cin, mid, 3, padding=0, bias=False)
+        self.dense = _HVDenseBlock(mid, n_dense)
         self.convf = nn.Conv2d(mid + 32 * n_dense, cout, 1, bias=False)
 
     def forward(self, x):
-        x = self.conva(x)
-        for i in range(self.n_dense):
-            x = getattr(self, f"dense{i}")(x)
-        return self.convf(torch.relu(self.bna(x)))
+        return self.convf(self.dense(self.conva(x)))
 
 
-class _HoverU1(nn.Module):
+class _HVU1(nn.Module):
     def __init__(self):
         super().__init__()
-        self.conva = nn.Conv2d(256, 64, 5, padding=2, bias=False)
+        self.conva = nn.Conv2d(256, 64, 3, padding=0, bias=False)
 
     def forward(self, x):
-        return self.conva(x)
+        return self.conva(_tf_same_pad(x, 3, 1))
 
 
-class _HoverU0(nn.Module):
+class _HVU0(nn.Module):
     def __init__(self, out_channels):
         super().__init__()
         self.bn = nn.BatchNorm2d(64)
@@ -415,39 +462,43 @@ class _HoverU0(nn.Module):
 
 
 class TorchHoverDecoder(nn.Module):
-    """Mirrors wsinsight_tpu HoverDecoder: additive skips, 8+4 dense units,
-    bn-relu stack tails, bn-relu-1x1 head (hover_net fast topology)."""
+    """Mirrors wsinsight_tpu HoverDecoder: fast-mode ksize=3 VALID branch;
+    expects pre-cropped d0/d1 skips."""
 
     def __init__(self, out_channels):
         super().__init__()
-        self.u3 = _HoverU(1024, 256, 8, 512)
-        self.u2 = _HoverU(512, 128, 4, 256)
-        self.u1 = _HoverU1()
-        self.u0 = _HoverU0(out_channels)
+        self.u3 = _HVU(1024, 256, 8, 512)
+        self.u2 = _HVU(512, 128, 4, 256)
+        self.u1 = _HVU1()
+        self.u0 = _HVU0(out_channels)
 
-    def forward(self, d0, d1, d2, d3):
+    def forward(self, d0c, d1c, d2, d3):
         x = self.u3(_up2(d3) + d2)
-        x = self.u2(_up2(x) + d1)
-        x = self.u1(_up2(x) + d0)
+        x = self.u2(_up2(x) + d1c)
+        x = self.u1(_up2(x) + d0c)
         return self.u0(x)
 
 
-class TorchHoVerNetFast(nn.Module):
-    def __init__(self, num_nuclei_classes=3, halo=8):
+class _HVConv0(nn.Module):
+    def __init__(self):
         super().__init__()
-        self.halo = halo
-        self.conv0 = nn.Conv2d(3, 64, 7, padding=3, bias=False)
-        self.bn0 = nn.BatchNorm2d(64)
+        self.conv = nn.Conv2d(3, 64, 7, padding=0, bias=False)
+        self.bn = nn.BatchNorm2d(64)
+
+    def forward(self, x):
+        return torch.relu(self.bn(self.conv(_tf_same_pad(x, 7, 1))))
+
+
+class TorchHoVerNetFast(nn.Module):
+    def __init__(self, num_nuclei_classes=3):
+        super().__init__()
+        self.conv0 = _HVConv0()
         widths = (64, 128, 256, 512)
         blocks = (3, 4, 6, 3)
         cin = 64
         for si, (wd, nb) in enumerate(zip(widths, blocks)):
-            stage = []
-            for bi in range(nb):
-                stride = 2 if (bi == 0 and si > 0) else 1
-                stage.append(PreActBottleneck(cin, wd, stride))
-                cin = wd * 4
-            setattr(self, f"res{si}", nn.Sequential(*stage))
+            setattr(self, f"d{si}", _HVStage(cin, wd, nb, 1 if si == 0 else 2))
+            cin = wd * 4
         self.conv_bot = nn.Conv2d(2048, 1024, 1, bias=False)
         self.decoder = nn.ModuleDict(
             {
@@ -458,25 +509,19 @@ class TorchHoVerNetFast(nn.Module):
         )
 
     def forward(self, x):
-        y = torch.relu(self.bn0(self.conv0(x)))
-        # no stem pooling: d0 at full resolution, d3 at H/8
-        stages = []
-        for si in range(4):
-            y = getattr(self, f"res{si}")(y)
-            stages.append(y)
-        d0, d1, d2, d3 = stages
-        d3 = self.conv_bot(d3)
+        d0 = self.d0(self.conv0(x))
+        d1 = self.d1(d0)
+        d2 = self.d2(d1)
+        d3 = self.conv_bot(self.d3(d2))
+        d0c = d0[:, :, 46:-46, 46:-46]
+        d1c = d1[:, :, 18:-18, 18:-18]
         out = {}
-        h = self.halo
         for key, name in (
             ("nuclei_binary_map", "np"),
             ("hv_map", "hv"),
             ("nuclei_type_map", "tp"),
         ):
-            m = self.decoder[name](d0, d1, d2, d3)
-            if h > 0:
-                m = m[:, :, h:-h, h:-h]
-            out[key] = m
+            out[key] = self.decoder[name](d0c, d1c, d2, d3)
         return out
 
 

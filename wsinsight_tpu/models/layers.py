@@ -23,7 +23,11 @@ Dtype = Any
 
 
 class TorchConv(nn.Module):
-    """nn.Conv2d equivalent: symmetric zero padding, optional bias.
+    """nn.Conv2d equivalent: zero padding (symmetric or per-side), optional bias.
+
+    ``padding`` entries are either an int (symmetric, torch-style) or a
+    ``(begin, end)`` pair — the latter expresses TF-SAME asymmetric padding
+    (hover_net's TFSamepaddingLayer pads stride-2 3x3 convs as (0, 1)).
 
     Param layout: kernel (kh, kw, in, out) — converted from torch (out,in,kh,kw).
     """
@@ -31,7 +35,7 @@ class TorchConv(nn.Module):
     features: int
     kernel_size: tuple[int, int]
     strides: tuple[int, int] = (1, 1)
-    padding: tuple[int, int] = (0, 0)
+    padding: tuple[Any, Any] = (0, 0)
     use_bias: bool = True
     groups: int = 1
     dtype: Dtype = jnp.float32
@@ -46,11 +50,15 @@ class TorchConv(nn.Module):
             (kh, kw, in_ch // self.groups, self.features),
             jnp.float32,
         )
+        pads = [
+            (p, p) if isinstance(p, int) else (int(p[0]), int(p[1]))
+            for p in self.padding
+        ]
         y = jax.lax.conv_general_dilated(
             x.astype(self.dtype),
             kernel.astype(self.dtype),
             window_strides=self.strides,
-            padding=[(self.padding[0], self.padding[0]), (self.padding[1], self.padding[1])],
+            padding=pads,
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
             feature_group_count=self.groups,
             preferred_element_type=jnp.float32,

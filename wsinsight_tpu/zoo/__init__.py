@@ -144,7 +144,12 @@ class ModelHandle:
             return load_flax_params(path)
         # Torch checkpoint: convert against the architecture's own init tree,
         # which drives nesting + leaf naming and verifies full coverage.
-        return convert_with_template(load_torch_weights(path), self._init_template())
+        sd = load_torch_weights(path)
+        if self.config.architecture.lower().replace("-", "_").startswith("hovernet"):
+            from ..models.convert import normalize_hovernet_keys
+
+            sd = normalize_hovernet_keys(sd)
+        return convert_with_template(sd, self._init_template())
 
     def _init_template(self) -> dict:
         import jax
