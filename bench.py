@@ -227,28 +227,42 @@ def bench_e2e_input_pipeline(fast: bool) -> dict:
 
         from pathlib import Path as _P
 
-        def make_src(host_resize):
+        def make_src(host_resize, wire=None):
             # 6 decode threads: even on a single-core host extra producers
             # keep the queue full while the consumer's Python bits run —
             # measured ~25-40% over 4 threads here (the CLI knob is -n).
             return PatchBatchSource(
                 wsi_path=_P(slide_path), patch_path=_P(h5_path), use_hdf5_images=False,
                 batch_size=batch_size, num_threads=6, host_resize=host_resize,
+                wire=wire,
             )
 
-        def timed_pass(host_resize):
+        # YUV 4:2:0 wire step: reconstruct RGB on device from the packed
+        # rank-3 batches (the WSINSIGHT_WIRE=yuv420 fast-input mode — lossy
+        # chroma, so reported separately, never as the exact-path headline).
+        from wsinsight_tpu.ops.preprocess import yuv420_to_rgb
+        import jax.numpy as jnp
+
+        def step_yuv_fn(params, packed):
+            with jax.default_matmul_precision("high"):
+                return forward(params, yuv420_to_rgb(packed).astype(jnp.uint8))
+
+        step_yuv = jax.jit(step_yuv_fn)
+
+        def timed_pass(host_resize, wire=None, use_step=None):
             # Production pipeline shape: native batch decode (threads) ->
             # async device_put prefetch (transfers stream ahead) -> async jit
             # dispatch with a 2-deep output window (engine/runner.py loop).
             from collections import deque
 
-            src = make_src(host_resize)
+            src = make_src(host_resize, wire)
+            fwd = use_step or step
             put = lambda x: jax.device_put(x)  # noqa: E731
             n_patches = 0
             pending: deque = deque()
             t0 = time.perf_counter()
             for b in src.device_prefetch(put, depth=2):
-                pending.append((step(params, b.images), b.n_valid))
+                pending.append((fwd(params, b.images), b.n_valid))
                 if len(pending) > 2:
                     out, nv = pending.popleft()
                     _ = np.asarray(out)
@@ -285,6 +299,15 @@ def bench_e2e_input_pipeline(fast: bool) -> dict:
         n_hr2, dt_hr2 = timed_pass((224, 224))
         if n_hr2 / dt_hr2 > n_hr / dt_hr:
             n_hr, dt_hr = n_hr2, dt_hr2
+        # YUV 4:2:0 wire on top of host resize: 1.5 B/px on the link (half
+        # the RGB wire). Lossy chroma -> aux number only, never the headline.
+        _ = np.asarray(
+            step_yuv(params, np.zeros((batch_size, 336, 224), np.uint8))
+        )
+        n_yw, dt_yw = timed_pass((224, 224), wire="yuv420", use_step=step_yuv)
+        n_yw2, dt_yw2 = timed_pass((224, 224), wire="yuv420", use_step=step_yuv)
+        if n_yw2 / dt_yw2 > n_yw / dt_yw:
+            n_yw, dt_yw = n_yw2, dt_yw2
 
     value = max(n_patches / dt, n_hr / dt_hr)
     return {
@@ -294,12 +317,15 @@ def bench_e2e_input_pipeline(fast: bool) -> dict:
         "n_patches": int(n_patches),
         "full_res_h2d_patches_per_sec": round(n_patches / dt, 2),
         "host_resize_patches_per_sec": round(n_hr / dt_hr, 2),
+        "yuv420_wire_patches_per_sec": round(n_yw / dt_yw, 2),
         "decode_only_patches_per_sec": round(n_dec / decode_dt, 2),
         "note": (
             "native (libjpeg-turbo C++) batch decode + async device_put "
-            "prefetch + async dispatch; value = best production config "
-            "(host-resize ON when it shrinks H2D). Transfer rides a tunnel "
-            "on this host — decode_only shows the host-side ceiling."
+            "prefetch + async dispatch; value = best exact-path production "
+            "config (host-resize ON when it shrinks H2D). yuv420_wire = "
+            "WSINSIGHT_WIRE=yuv420 fast-input mode (1.5 B/px, lossy chroma, "
+            "opt-in). Transfer rides a tunnel on this host — decode_only "
+            "shows the host-side ceiling."
         ),
     }
 

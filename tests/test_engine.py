@@ -258,3 +258,118 @@ def test_sigmoid_single_logit(tmp_path, patched_results, purple_slide):
     df = pd.read_csv(results / "model-outputs-csv" / "purple.csv")
     assert list(df.columns) == ["minx", "miny", "width", "height", "prob_Tumor"]
     assert ((df["prob_Tumor"] >= 0) & (df["prob_Tumor"] <= 1)).all()
+
+
+def test_yuv420_wire_pack_and_reconstruct():
+    """The thin-link wire format: native packer == numpy fallback bit-for-bit;
+    device reconstruction is near-lossless on smooth content and exact on
+    gray (constant-chroma) images. Chroma subsampling is lossy, hence the
+    wire is opt-in (WSINSIGHT_WIRE=yuv420)."""
+    import wsinsight_tpu.native as native_mod
+    from wsinsight_tpu.native import rgb_to_yuv420
+    from wsinsight_tpu.ops.preprocess import yuv420_to_rgb
+
+    rng = np.random.default_rng(0)
+    # smooth tissue-like field (chroma varies slowly, like real H&E)
+    import cv2
+
+    base = cv2.resize(
+        rng.normal(0, 1, (14, 14, 3)).astype(np.float32), (96, 96),
+        interpolation=cv2.INTER_CUBIC,
+    )
+    smooth = np.clip(
+        np.stack(
+            [200 + 28 * base[..., 0], 120 + 40 * base[..., 1], 170 + 34 * base[..., 2]],
+            -1,
+        ),
+        0,
+        255,
+    ).astype(np.uint8)
+    gray = np.repeat(rng.integers(0, 256, (96, 96, 1)), 3, axis=2).astype(np.uint8)
+    batch = np.stack([smooth, gray])
+
+    packed = rgb_to_yuv420(batch)
+    assert packed.shape == (2, 144, 96) and packed.dtype == np.uint8
+
+    # numpy fallback must produce the identical wire bytes (no silent format
+    # drift with library availability)
+    lib, tried = native_mod._lib, native_mod._tried
+    try:
+        native_mod._lib, native_mod._tried = None, True
+        packed_np = rgb_to_yuv420(batch)
+    finally:
+        native_mod._lib, native_mod._tried = lib, tried
+    np.testing.assert_array_equal(packed, packed_np)
+
+    rec = np.asarray(yuv420_to_rgb(packed))
+    err_smooth = np.abs(rec[0].astype(int) - smooth.astype(int))
+    assert err_smooth.max() <= 16 and err_smooth.mean() < 2.0
+    np.testing.assert_array_equal(rec[1].astype(np.uint8), gray)  # chroma const
+
+    # odd dims: invalid geometry -> None (callers fall back to the RGB wire)
+    assert rgb_to_yuv420(np.zeros((1, 95, 96, 3), np.uint8)) is None
+
+
+def test_yuv420_wire_through_engine(tmp_path):
+    """PatchBatchSource(wire="yuv420") ships rank-3 packed batches and the
+    jitted step reconstructs on device (dispatch by rank); probabilities stay
+    close to the exact RGB wire. Odd patch sizes fall back to RGB."""
+    from wsinsight_tpu.engine.data import PatchBatchSource
+    from wsinsight_tpu.engine.runner import ClassifierEngine
+    from wsinsight_tpu.patchlib.io import save_hdf5
+
+    rng = np.random.default_rng(3)
+    import cv2
+
+    imgs = []
+    for _ in range(4):
+        base = cv2.resize(
+            rng.normal(0, 1, (12, 12, 3)).astype(np.float32), (96, 96),
+            interpolation=cv2.INTER_CUBIC,
+        )
+        imgs.append(
+            np.clip(
+                np.stack(
+                    [
+                        200 + 28 * base[..., 0],
+                        120 + 40 * base[..., 1],
+                        170 + 34 * base[..., 2],
+                    ],
+                    -1,
+                ),
+                0,
+                255,
+            ).astype(np.uint8)
+        )
+    imgs = np.stack(imgs)
+    coords = np.array([[0, 0], [96, 0], [0, 96], [96, 96]], np.int32)
+    h5 = tmp_path / "s.h5"
+    save_hdf5(
+        path=h5, coords=coords, polygons=None, tile_dim=None, patch_size=96,
+        patch_spacing_um_px=0.25, images=imgs, slide_path="/nonexistent.tif",
+        slide_mpp=0.25, slide_width=192, slide_height=192,
+    )
+
+    def one_batch(wire):
+        src = PatchBatchSource(
+            wsi_path=None, patch_path=URIPath(str(h5)), use_hdf5_images=True,
+            batch_size=4, num_threads=2, wire=wire,
+        )
+        batch = next(iter(src))
+        src.close()
+        return batch
+
+    rgb = one_batch(None)
+    assert rgb.images.shape == (4, 96, 96, 3)
+    packed = one_batch("yuv420")
+    assert packed.images.shape == (4, 144, 96)
+
+    d = tmp_path / "model"
+    cfg, weights = make_random_local_model(
+        "resnet34", 2, d, patch_size_pixels=96, resize_size=64
+    )
+    engine = ClassifierEngine(load_local_model(cfg, weights), max_devices=1)
+    p_rgb = engine.run_batch(rgb.images, 4)
+    p_yuv = engine.run_batch(packed.images, 4)
+    assert p_yuv.shape == p_rgb.shape
+    np.testing.assert_allclose(p_yuv, p_rgb, atol=0.05)

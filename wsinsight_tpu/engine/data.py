@@ -78,6 +78,7 @@ class PatchBatchSource:
         shuffle_seed: int | None = None,
         order_by_y: bool = False,
         host_resize: tuple[int, int] | None = None,
+        wire: str | None = None,
     ):
         self.patch_path = patch_path
         self.wsi_path = wsi_path
@@ -110,6 +111,22 @@ class PatchBatchSource:
             oh, ow = int(host_resize[0]), int(host_resize[1])
             if oh * ow < int(self.patch_size) ** 2:
                 self._host_resize = (oh, ow)
+
+        # Optional thin-link wire format: pack batches as planar YUV 4:2:0
+        # (1.5 B/px vs RGB's 3 B/px) for hosts whose device link is the
+        # pipeline bottleneck (WSINSIGHT_WIRE=yuv420). The jitted step
+        # reconstructs on device (ops/preprocess.yuv420_to_rgb, dispatched by
+        # array rank). Lossy in chroma, so opt-in; requires even H and W —
+        # otherwise this source silently stays on the exact RGB wire.
+        self._wire = None
+        if wire == "yuv420":
+            ih, iw = (
+                self._host_resize
+                if self._host_resize is not None
+                else (int(self.patch_size), int(self.patch_size))
+            )
+            if ih % 2 == 0 and iw % 2 == 0:
+                self._wire = "yuv420"
 
         self._use_hdf5_images = use_hdf5_images
         self._h5: h5py.File | None = None
@@ -239,6 +256,12 @@ class PatchBatchSource:
                     )
                     for slot, arr in enumerate(per_patch):
                         images[slot] = arr
+            if self._wire is not None:
+                from ..native import rgb_to_yuv420
+
+                packed = rgb_to_yuv420(images)
+                if packed is not None:
+                    images = packed  # (B, H*3/2, W): halves the H2D bytes
             coords = np.zeros((self.batch_size, 4), np.int64)
             coords[: len(indices)] = self.coords[indices]
             return Batch(images=images, coords=coords, n_valid=len(indices))

@@ -116,7 +116,16 @@ class ClassifierEngine:
 
         def step(params, batch_u8, w_est_arr, w_def_arr):
             with jax.default_matmul_precision(precision):
-                x = batch_u8.astype(jnp.float32)
+                if batch_u8.ndim == 3:
+                    # Planar YUV 4:2:0 wire (B, H*3/2, W): the thin-link
+                    # format (WSINSIGHT_WIRE=yuv420) — reconstruct RGB on
+                    # device. Rank makes the format self-describing, so a
+                    # source that fell back to RGB (odd dims) still works.
+                    from ..ops.preprocess import yuv420_to_rgb
+
+                    x = yuv420_to_rgb(batch_u8)
+                else:
+                    x = batch_u8.astype(jnp.float32)
                 if use_stain:
                     from ..ops.stain import deconvolution_based_normalization
 
@@ -293,7 +302,9 @@ def run_inference(
     _prefetch_lock = _threading.Lock()
     _prefetched: dict[str, tuple] = {}
 
-    def _spawn_source_prefetch(next_patch_path, eng, num_workers_, batch_size_, host_resize_):
+    def _spawn_source_prefetch(
+        next_patch_path, eng, num_workers_, batch_size_, host_resize_, wire_=None
+    ):
         def work():
             src = None
             try:
@@ -314,6 +325,7 @@ def run_inference(
                     batch_size=eng.pad_batch(batch_size_),
                     num_threads=governed_workers(num_workers_ or 4),
                     host_resize=host_resize_,
+                    wire=wire_,
                 )
                 it = iter(src)  # starts the producer thread
                 with _prefetch_lock:
@@ -551,6 +563,16 @@ def run_inference(
                     and engine.spec.size is not None
                 ):
                     host_resize = engine.spec.size
+                # WSINSIGHT_WIRE=yuv420: ship patches as planar YUV 4:2:0
+                # (1.5 B/px) and reconstruct on device — for hosts whose
+                # device link bounds the pipeline. Opt-in (chroma is lossy);
+                # the stain SAMPLE below always reads the exact RGB wire
+                # because Macenko estimation runs on host pixels.
+                wire = (
+                    "yuv420"
+                    if os.getenv("WSINSIGHT_WIRE", "").lower() == "yuv420"
+                    else None
+                )
                 with _prefetch_lock:
                     pre = _prefetched.pop(str(patch_path), None)
                 src_iter = None
@@ -565,6 +587,7 @@ def run_inference(
                             batch_size=engine.pad_batch(batch_size),
                             num_threads=governed_workers(num_workers or 4),
                             host_resize=host_resize,
+                            wire=wire,
                         )
                     except Exception as err:
                         logger.error(f"could not open patches for {wsi_path}", exc_info=err)
@@ -579,7 +602,12 @@ def run_inference(
                     and slide_idx + 1 < len(patch_paths)
                 ):
                     _spawn_source_prefetch(
-                        patch_paths[slide_idx + 1], engine, num_workers, batch_size, host_resize
+                        patch_paths[slide_idx + 1],
+                        engine,
+                        num_workers,
+                        batch_size,
+                        host_resize,
+                        wire,
                     )
 
                 slide_coords: list[np.ndarray] = []

@@ -139,6 +139,15 @@ def get_lib() -> ctypes.CDLL | None:
                 ctypes.POINTER(ctypes.c_uint8),
             ]
             lib.pil_resize_u8_batch.restype = ctypes.c_int32
+            if hasattr(lib, "rgb_to_yuv420_batch"):  # older cached .so lacks it
+                lib.rgb_to_yuv420_batch.argtypes = [
+                    ctypes.POINTER(ctypes.c_uint8),
+                    ctypes.c_int64,
+                    ctypes.c_int32,
+                    ctypes.c_int32,
+                    ctypes.POINTER(ctypes.c_uint8),
+                ]
+                lib.rgb_to_yuv420_batch.restype = ctypes.c_int32
             _lib = lib
         except Exception as err:
             logger.debug(f"native load error: {err}")
@@ -246,6 +255,57 @@ def pil_resize_native(
     )
     if rc != 0:
         return None
+    return out[0] if squeeze else out
+
+
+def rgb_to_yuv420(
+    src: np.ndarray, out: np.ndarray | None = None
+) -> np.ndarray | None:
+    """Pack a uint8 RGB batch as planar YUV 4:2:0 (the thin-link wire format).
+
+    src: (n, h, w, 3) or (h, w, 3) uint8 with h, w even. Returns
+    (n, h*3/2, w) / (h*3/2, w) uint8 — Y plane rows [0, h), then chroma rows
+    holding Cb | Cr side by side at (h/2, w/2) each. BT.601 full range.
+    Device inverse: ops/preprocess.make_yuv420_to_rgb. Prefers the GIL-free
+    native kernel; falls back to vectorized numpy (same fixed-point math),
+    so the wire format never silently changes with library availability.
+    Returns None only for invalid geometry (odd h/w, wrong dtype/rank).
+    """
+    squeeze = src.ndim == 3
+    batch = src[None] if squeeze else src
+    if batch.ndim != 4 or batch.dtype != np.uint8 or batch.shape[-1] != 3:
+        return None
+    n, h, w, _ = batch.shape
+    if h % 2 or w % 2:
+        return None
+    if out is None:
+        out = np.empty((n, h * 3 // 2, w), np.uint8)
+    lib = get_lib()
+    if lib is not None and hasattr(lib, "rgb_to_yuv420_batch"):
+        batch_c = np.ascontiguousarray(batch)
+        rc = lib.rgb_to_yuv420_batch(
+            _ptr(batch_c, ctypes.c_uint8), n, h, w, _ptr(out, ctypes.c_uint8)
+        )
+        if rc == 0:
+            return out[0] if squeeze else out
+    # numpy fallback: identical fixed-point rounding to the C kernel
+    r = batch[..., 0].astype(np.int64)
+    g = batch[..., 1].astype(np.int64)
+    b = batch[..., 2].astype(np.int64)
+    half = 1 << 15
+    out[:, :h, :] = ((19595 * r + 38470 * g + 7471 * b + half) >> 16).astype(np.uint8)
+    cb = -11056 * r - 21712 * g + 32768 * b
+    cr = 32768 * r - 27440 * g - 5328 * b
+    for plane, col0 in ((cb, 0), (cr, w // 2)):
+        s = (
+            plane[:, 0::2, 0::2]
+            + plane[:, 0::2, 1::2]
+            + plane[:, 1::2, 0::2]
+            + plane[:, 1::2, 1::2]
+        )
+        q = s + 2  # C++ /4 truncates toward zero; emulate for bit-parity
+        vals = (np.sign(q) * (np.abs(q) // 4) + (128 << 16) + half) >> 16
+        out[:, h:, col0 : col0 + w // 2] = np.clip(vals, 0, 255).astype(np.uint8)
     return out[0] if squeeze else out
 
 

@@ -104,6 +104,35 @@ def pil_resize_batch(
     return y
 
 
+def yuv420_to_rgb(packed: jax.Array) -> jax.Array:
+    """Reconstruct RGB from the planar YUV 4:2:0 wire format, on device.
+
+    Inverse of native.rgb_to_yuv420: packed is (B, H*3/2, W) uint8 — Y plane
+    rows [0, H), then chroma rows holding Cb | Cr side by side at (H/2, W/2).
+    Chroma upsamples bilinearly with half-pel siting (the adjoint of the
+    packer's 2x2 box mean), then BT.601 full-range inverse, rounded and
+    clipped to [0, 255] float32 so downstream preprocessing sees uint8-exact
+    values. Used when WSINSIGHT_WIRE=yuv420 ships patches at 1.5 B/px over a
+    thin host->device link (engine/data.py); lossy in chroma, so opt-in.
+    """
+    b, rows, w = packed.shape
+    h = rows * 2 // 3
+    cw = w // 2
+    y = packed[:, :h, :].astype(jnp.float32)
+    chroma = packed[:, h:, :].astype(jnp.float32)
+    cb = jax.image.resize(chroma[:, :, :cw] - 128.0, (b, h, w), method="linear")
+    cr = jax.image.resize(chroma[:, :, cw:] - 128.0, (b, h, w), method="linear")
+    rgb = jnp.stack(
+        [
+            y + 1.402 * cr,
+            y - 0.344136 * cb - 0.714136 * cr,
+            y + 1.772 * cb,
+        ],
+        axis=-1,
+    )
+    return jnp.clip(jnp.round(rgb), 0.0, 255.0)
+
+
 @dataclass(frozen=True)
 class TransformSpec:
     """Resolved transform pipeline for a model config.
