@@ -227,14 +227,14 @@ def bench_e2e_input_pipeline(fast: bool) -> dict:
 
         from pathlib import Path as _P
 
-        def make_src(host_resize, wire=None):
+        def make_src(host_resize, wire=None, decode_scale=None):
             # 6 decode threads: even on a single-core host extra producers
             # keep the queue full while the consumer's Python bits run —
             # measured ~25-40% over 4 threads here (the CLI knob is -n).
             return PatchBatchSource(
                 wsi_path=_P(slide_path), patch_path=_P(h5_path), use_hdf5_images=False,
                 batch_size=batch_size, num_threads=6, host_resize=host_resize,
-                wire=wire,
+                wire=wire, decode_scale=decode_scale,
             )
 
         # YUV 4:2:0 wire step: reconstruct RGB on device from the packed
@@ -249,13 +249,13 @@ def bench_e2e_input_pipeline(fast: bool) -> dict:
 
         step_yuv = jax.jit(step_yuv_fn)
 
-        def timed_pass(host_resize, wire=None, use_step=None):
+        def timed_pass(host_resize, wire=None, use_step=None, decode_scale=None):
             # Production pipeline shape: native batch decode (threads) ->
             # async device_put prefetch (transfers stream ahead) -> async jit
             # dispatch with a 2-deep output window (engine/runner.py loop).
             from collections import deque
 
-            src = make_src(host_resize, wire)
+            src = make_src(host_resize, wire, decode_scale)
             fwd = use_step or step
             put = lambda x: jax.device_put(x)  # noqa: E731
             n_patches = 0
@@ -308,6 +308,16 @@ def bench_e2e_input_pipeline(fast: bool) -> dict:
         n_yw2, dt_yw2 = timed_pass((224, 224), wire="yuv420", use_step=step_yuv)
         if n_yw2 / dt_yw2 > n_yw / dt_yw:
             n_yw, dt_yw = n_yw2, dt_yw2
+        # Half-scale fast input: DCT 1/2 decode + YUV wire (176^2 planes,
+        # 46 KB/patch); the jitted step resizes 176 -> 224 on device.
+        hs = (-(-patch // 2) + 1) & ~1
+        _ = np.asarray(
+            step_yuv(params, np.zeros((batch_size, hs * 3 // 2, hs), np.uint8))
+        )
+        n_hf, dt_hf = timed_pass(None, wire="yuv420", use_step=step_yuv, decode_scale=2)
+        n_hf2, dt_hf2 = timed_pass(None, wire="yuv420", use_step=step_yuv, decode_scale=2)
+        if n_hf2 / dt_hf2 > n_hf / dt_hf:
+            n_hf, dt_hf = n_hf2, dt_hf2
 
     value = max(n_patches / dt, n_hr / dt_hr)
     return {
@@ -318,14 +328,17 @@ def bench_e2e_input_pipeline(fast: bool) -> dict:
         "full_res_h2d_patches_per_sec": round(n_patches / dt, 2),
         "host_resize_patches_per_sec": round(n_hr / dt_hr, 2),
         "yuv420_wire_patches_per_sec": round(n_yw / dt_yw, 2),
+        "half_scale_yuv420_patches_per_sec": round(n_hf / dt_hf, 2),
         "decode_only_patches_per_sec": round(n_dec / decode_dt, 2),
         "note": (
             "native (libjpeg-turbo C++) batch decode + async device_put "
             "prefetch + async dispatch; value = best exact-path production "
             "config (host-resize ON when it shrinks H2D). yuv420_wire = "
-            "WSINSIGHT_WIRE=yuv420 fast-input mode (1.5 B/px, lossy chroma, "
-            "opt-in). Transfer rides a tunnel on this host — decode_only "
-            "shows the host-side ceiling."
+            "WSINSIGHT_WIRE=yuv420 fast-input mode (1.5 B/px, lossy chroma); "
+            "half_scale adds WSINSIGHT_DECODE_SCALE=2 (DCT 1/2 decode, "
+            "0.4 B per full-res px on the link). Both opt-in. Transfer "
+            "rides a tunnel on this host — decode_only shows the host-side "
+            "ceiling."
         ),
     }
 

@@ -373,3 +373,68 @@ def test_yuv420_wire_through_engine(tmp_path):
     p_yuv = engine.run_batch(packed.images, 4)
     assert p_yuv.shape == p_rgb.shape
     np.testing.assert_allclose(p_yuv, p_rgb, atol=0.05)
+
+
+def test_half_scale_decode_through_engine(tmp_path):
+    """WSINSIGHT_DECODE_SCALE=2: DCT half-resolution decode + YUV wire.
+
+    On a JPEG slide the source ships (ceil(ps/2) even)^2 packed planes and
+    the device resizes from there; on a non-JPEG slide the probe fails and
+    the source silently stays at full resolution. Pixels are lossy by
+    contract, so the check is shape + probability sanity, not parity."""
+    import cv2
+
+    from wsinsight_tpu.engine.data import PatchBatchSource
+    from wsinsight_tpu.engine.runner import ClassifierEngine
+    from wsinsight_tpu.patchlib.io import save_hdf5
+    from wsinsight_tpu.wsi.tiff import write_pyramidal_tiff
+
+    rng = np.random.default_rng(0)
+    base = cv2.resize(
+        rng.normal(0, 1, (40, 40, 3)).astype(np.float32), (640, 640),
+        interpolation=cv2.INTER_CUBIC,
+    )
+    img = np.clip(
+        np.stack(
+            [200 + 28 * base[..., 0], 120 + 40 * base[..., 1], 170 + 34 * base[..., 2]],
+            -1,
+        ),
+        0,
+        255,
+    ).astype(np.uint8)
+    coords = np.array([[0, 0], [160, 0], [0, 160], [160, 160]], np.int32)
+
+    def run(compression):
+        slide = tmp_path / f"s_{compression}.svs"
+        write_pyramidal_tiff(str(slide), img, tile=(256, 256), compression=compression, mpp=0.25)
+        h5 = tmp_path / f"s_{compression}.h5"
+        save_hdf5(
+            path=h5, coords=coords, polygons=None, tile_dim=None, patch_size=160,
+            patch_spacing_um_px=0.25, slide_path=str(slide),
+            slide_mpp=0.25, slide_width=640, slide_height=640,
+        )
+        src = PatchBatchSource(
+            wsi_path=URIPath(str(slide)), patch_path=URIPath(str(h5)),
+            use_hdf5_images=False, batch_size=4, num_threads=2,
+            wire="yuv420", decode_scale=2,
+        )
+        batch = next(iter(src))
+        src.close()
+        return batch
+
+    jpeg = run("jpeg")
+    assert jpeg.images.shape == (4, 120, 80)  # hs=80: Y 80 rows + 40 chroma
+
+    deflate = run("deflate")  # non-JPEG: half-scale probe fails, full-res wire
+    assert deflate.images.shape == (4, 240, 160)
+
+    d = tmp_path / "model"
+    cfg, weights = make_random_local_model(
+        "resnet34", 2, d, patch_size_pixels=160, resize_size=64
+    )
+    engine = ClassifierEngine(load_local_model(cfg, weights), max_devices=1)
+    p_half = engine.run_batch(jpeg.images, 4)
+    p_full = engine.run_batch(deflate.images, 4)
+    assert p_half.shape == (4, 2)
+    np.testing.assert_allclose(p_half.sum(axis=1), 1.0, atol=1e-4)
+    np.testing.assert_allclose(p_half, p_full, atol=0.2)  # same content, lossy path

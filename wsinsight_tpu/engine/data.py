@@ -79,6 +79,7 @@ class PatchBatchSource:
         order_by_y: bool = False,
         host_resize: tuple[int, int] | None = None,
         wire: str | None = None,
+        decode_scale: int | None = None,
     ):
         self.patch_path = patch_path
         self.wsi_path = wsi_path
@@ -139,6 +140,42 @@ class PatchBatchSource:
         self._producers: list[threading.Thread] = []
         self._open_sources()
 
+        # Optional DCT half-resolution decode (WSINSIGHT_DECODE_SCALE=2, JPEG
+        # slides + YUV wire only): libjpeg decodes tiles at 1/2 via a 4x4
+        # IDCT (~3x the decode rate, a quarter of the pixels) and the wire
+        # ships (ceil(ps/2) rounded even)^2 planes — the device preprocess
+        # resizes from there. Lossy (DCT downsample + the wire's chroma), so
+        # strictly opt-in; falls back silently when the page is not JPEG or
+        # the native reader is unavailable.
+        self._decode_scale = 1
+        self._half = None
+        if decode_scale is None:
+            import os as _os
+
+            try:
+                decode_scale = int(_os.getenv("WSINSIGHT_DECODE_SCALE", "1") or 1)
+            except ValueError:
+                decode_scale = 1
+        if (
+            decode_scale == 2
+            and self._wire == "yuv420"
+            and not self._use_hdf5_images
+            and self._slide is not None
+            and getattr(self._slide, "read_patches_array", None) is not None
+        ):
+            hs = -(-int(self.patch_size) // 2)
+            hs += hs % 2  # even, for the YUV packer
+            try:
+                probe = self._slide.read_patches_array(
+                    self.coords[:1, :2], 0, (hs, hs), scale_denom=2
+                )
+            except Exception:
+                probe = None
+            if probe is not None:
+                self._decode_scale = 2
+                self._half = (hs, hs)
+                self._host_resize = None  # decode already shrank the patch
+
     def _open_sources(self) -> None:
         p = self.patch_path
         local = p.materialize() if isinstance(p, URIPath) else p
@@ -196,6 +233,18 @@ class PatchBatchSource:
             arr = np.ascontiguousarray(arr[:, :, :3], dtype=np.uint8)
             return self._maybe_resize(arr)
         minx, miny, w, h = self.coords[idx]
+        if self._decode_scale == 2:
+            # Fallback for the half-scale mode (native batch path failed):
+            # read the even-snapped full-res window and area-downsample —
+            # approximates the DCT half decode (both are antialiased 2x
+            # reductions; the mode is lossy by contract).
+            import cv2
+
+            hs = self._half[0]
+            arr = self._slide.read_region_array(
+                (int(minx) & ~1, int(miny) & ~1), 0, (2 * hs, 2 * hs)
+            )
+            return cv2.resize(arr, (hs, hs), interpolation=cv2.INTER_AREA)
         fast = getattr(self._slide, "read_region_array", None)
         if fast is not None:
             return self._maybe_resize(fast((int(minx), int(miny)), 0, (int(w), int(h))))
@@ -221,7 +270,9 @@ class PatchBatchSource:
 
     @property
     def image_hw(self) -> tuple[int, int]:
-        """(H, W) of the images this source yields (post host-resize)."""
+        """(H, W) of the images this source yields (post host-resize/scale)."""
+        if self._half is not None:
+            return self._half
         if self._host_resize is not None:
             return self._host_resize
         return (self.patch_size, self.patch_size)
@@ -291,7 +342,9 @@ class PatchBatchSource:
         n = len(indices)
         if n == 0:
             return None
-        out = np.empty((n, ps, ps, 3), np.uint8)
+        dec_scale = self._decode_scale
+        dec_hw = self._half if dec_scale == 2 else (ps, ps)
+        out = np.empty((n, dec_hw[0], dec_hw[1], 3), np.uint8)
         coords = self.coords[indices, :2]
         resize_to = self._host_resize
         final = out
@@ -300,7 +353,10 @@ class PatchBatchSource:
 
         def shard(a: int, b: int):
             # decode + (native) resize one slice, GIL released in both calls
-            r = batch_read(coords[a:b], 0, (ps, ps), out[a:b])
+            r = batch_read(
+                coords[a:b], 0, (dec_hw[1], dec_hw[0]), out[a:b],
+                scale_denom=dec_scale,
+            )
             if r is None:
                 return None
             if resize_to is not None:

@@ -104,6 +104,7 @@ def get_lib() -> ctypes.CDLL | None:
                 ctypes.POINTER(ctypes.c_uint8),
                 ctypes.c_int64,
                 ctypes.c_int64,
+                ctypes.c_int32,
             ]
             lib.wsi_open.restype = ctypes.c_int64
             lib.wsi_read_region.argtypes = [
@@ -327,8 +328,16 @@ class NativeRegionReader:
         self._lib = lib
 
     @classmethod
-    def open(cls, path: str, page, cache_mb: int = 256) -> "NativeRegionReader | None":
-        """Create a reader for a TiffPage; None if unsupported/unavailable."""
+    def open(
+        cls, path: str, page, cache_mb: int = 256, scale_denom: int = 1
+    ) -> "NativeRegionReader | None":
+        """Create a reader for a TiffPage; None if unsupported/unavailable.
+
+        scale_denom=2 opens a JPEG page in DCT-scaled half-resolution mode:
+        every read addresses the page in HALVED pixel coordinates and decode
+        runs ~3x faster (4x4 IDCT, quarter the pixels) — the fast-input
+        path (WSINSIGHT_DECODE_SCALE). Non-JPEG pages return None.
+        """
         lib = get_lib()
         if lib is None or not hasattr(lib, "wsi_open"):
             return None
@@ -358,6 +367,7 @@ class NativeRegionReader:
             _ptr(tables_arr, ctypes.c_uint8),
             len(tables),
             int(cache_mb),
+            int(scale_denom),
         )
         if handle < 0:
             return None

@@ -68,6 +68,11 @@ struct Page {
   bool tiled = true;
   int32_t tile_w = 0, tile_h = 0;  // for strips: tile_w = page_w, tile_h = rows_per_strip
   int64_t page_w = 0, page_h = 0;
+  // DCT-domain scaled decode (JPEG only): libjpeg decodes each segment at
+  // 1/scale_denom via a smaller IDCT; all Page geometry (tile/page dims) is
+  // stored pre-halved (ceil), so the blit/read logic is scale-agnostic and
+  // callers address the page in SCALED pixel coordinates.
+  int32_t scale_denom = 1;
   std::vector<uint8_t> jpeg_tables;
 
   // LRU of decoded RGB tiles (tile_h * tile_w * 3 bytes each). Entries are
@@ -127,6 +132,10 @@ bool decode_jpeg(const Page& pg, const uint8_t* data, size_t len,
   }
   jpeg_mem_src(&cinfo, const_cast<uint8_t*>(data), len);
   jpeg_read_header(&cinfo, TRUE);
+  if (pg.scale_denom > 1) {  // DCT-scaled decode: 4x4 IDCT at denom 2
+    cinfo.scale_num = 8 / pg.scale_denom;
+    cinfo.scale_denom = 8;
+  }
   bool gray = cinfo.num_components == 1;
 #ifdef JCS_EXTENSIONS
   cinfo.out_color_space = gray ? JCS_GRAYSCALE : JCS_EXT_RGB;
@@ -366,7 +375,7 @@ int64_t wsi_open(const char* path, int64_t n_segments, const uint64_t* offsets,
                  int32_t predictor, int32_t samples, int32_t tiled,
                  int32_t tile_w, int32_t tile_h, int64_t page_w,
                  int64_t page_h, const uint8_t* jpeg_tables,
-                 int64_t tables_len, int64_t cache_mb) {
+                 int64_t tables_len, int64_t cache_mb, int32_t scale_denom) {
   switch (compression) {
     case COMP_NONE:
     case COMP_LZW:
@@ -379,6 +388,17 @@ int64_t wsi_open(const char* path, int64_t n_segments, const uint64_t* offsets,
     default:
       return -1;  // unsupported -> caller falls back to Python decode
   }
+  if (scale_denom != 1) {
+    // DCT-scaled decode needs libjpeg's scaled IDCT; only denom 2 is wired
+    // (the fast-input mode), and only for JPEG-compressed pages.
+    if (scale_denom != 2 ||
+        (compression != COMP_JPEG && compression != COMP_JPEG_OLD))
+      return -1;
+    // Odd segment dims would break the scaled tiling arithmetic (segment k
+    // must start at k * ceil(seg/denom) in scaled space). JPEG tiles are
+    // MCU-multiples in practice, so this never fires for real slides.
+    if ((tile_w % scale_denom) || (tile_h % scale_denom)) return -1;
+  }
   int fd = open(path, O_RDONLY);
   if (fd < 0) return -1;
   auto pg = std::make_shared<Page>();
@@ -389,10 +409,13 @@ int64_t wsi_open(const char* path, int64_t n_segments, const uint64_t* offsets,
   pg->predictor = predictor;
   pg->samples = samples;
   pg->tiled = tiled != 0;
-  pg->tile_w = tile_w;   // for strips callers pass page_w
-  pg->tile_h = tile_h;   // for strips callers pass rows_per_strip
-  pg->page_w = page_w;
-  pg->page_h = page_h;
+  pg->scale_denom = scale_denom;
+  // Store geometry pre-scaled (ceil): callers address SCALED coordinates
+  // and libjpeg's scaled output dims are exactly ceil(dim / denom).
+  pg->tile_w = (tile_w + scale_denom - 1) / scale_denom;
+  pg->tile_h = (tile_h + scale_denom - 1) / scale_denom;
+  pg->page_w = (page_w + scale_denom - 1) / scale_denom;
+  pg->page_h = (page_h + scale_denom - 1) / scale_denom;
   if (jpeg_tables && tables_len > 0)
     pg->jpeg_tables.assign(jpeg_tables, jpeg_tables + tables_len);
   pg->cache_budget = (size_t)cache_mb << 20;

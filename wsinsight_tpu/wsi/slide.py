@@ -134,21 +134,30 @@ class TpuSlide:
                     self._cache_bytes -= old.nbytes
         return arr
 
-    def _native_reader(self, level: int):
-        """Lazily create the native region reader for a level (or False)."""
-        r = self._native.get(level)
+    def _native_reader(self, level: int, scale_denom: int = 1):
+        """Lazily create the native region reader for a level (or False).
+
+        scale_denom=2 keys a SEPARATE reader that decodes JPEG tiles at DCT
+        half-resolution (its coordinate space is the halved level grid);
+        non-JPEG pages cache False and callers fall back.
+        """
+        key = level if scale_denom == 1 else (level, scale_denom)
+        r = self._native.get(key)
         if r is None:
             try:
                 from ..native import NativeRegionReader
 
                 r = NativeRegionReader.open(
-                    self.path, self._levels[level], cache_mb=self._native_cache_mb
+                    self.path,
+                    self._levels[level],
+                    cache_mb=self._native_cache_mb,
+                    scale_denom=scale_denom,
                 )
             except Exception:
                 r = None
             if r is None:
                 r = False
-            self._native[level] = r
+            self._native[key] = r
         return r
 
     def read_patches_array(
@@ -157,6 +166,7 @@ class TpuSlide:
         level: int,
         size: tuple[int, int],
         out: np.ndarray | None = None,
+        scale_denom: int = 1,
     ) -> np.ndarray | None:
         """Batch-decode (n, 2) level-0 [x, y] locations to (n, h, w, 3) uint8.
 
@@ -164,16 +174,23 @@ class TpuSlide:
         assembly in C++); returns None when the native path is unavailable so
         callers fall back to per-patch `read_region_array`. `out` optionally
         receives the pixels (lets callers shard a batch across threads).
+
+        With scale_denom=2 (JPEG pages only), pixels come from the DCT
+        half-resolution decode: `size` is the HALVED patch size and each
+        location maps to floor(loc / 2) on the halved grid — the fast-input
+        decode path (lossy vs decode-then-downsample, so opt-in).
         """
         if level < 0 or level >= len(self._levels):
             raise ValueError(f"invalid level {level}")
-        reader = self._native_reader(level)
+        reader = self._native_reader(level, scale_denom)
         if reader is False:
             return None
         locs = np.asarray(locations, np.int64).reshape(-1, 2)
         if level:
             ds = self.level_downsamples[level]
             locs = (locs / ds).astype(np.int64)
+        if scale_denom != 1:
+            locs = locs // scale_denom
         return reader.read_patches(locs, size, out=out)
 
     def read_region_array(
