@@ -344,6 +344,141 @@ def bench_e2e_input_pipeline(fast: bool) -> dict:
 
 
 # ---------------------------------------------------------------------------
+# Aux 1b: full-slide simulation — the BASELINE.md north-star shape
+# ---------------------------------------------------------------------------
+
+
+def bench_slide_sim(fast: bool) -> dict:
+    """Wall-clock of the COMPLETE classifier pipeline on one synthetic slide.
+
+    BASELINE.md's north star is end-to-end slide wall-clock, so this runs the
+    real user path in one process: tissue segmentation + patch planning ->
+    batched sharded inference -> CSV -> GeoJSON export, on a pyramidal JPEG
+    TIFF with tissue-statistics content. Two timed configs: the exact
+    production path (host resize) and the opt-in fast input
+    (YUV wire + DCT half decode). Slide write/setup is excluded; jit compile
+    is included (it is part of a user's first-slide wall-clock; later slides
+    reuse the compiled step, and the persistent compile cache usually
+    absorbs it across runs).
+    """
+    import shutil
+    import tempfile
+
+    import cv2
+
+    from wsinsight_tpu.engine import run_inference
+    from wsinsight_tpu.patchlib import segment_and_patch_one_slide
+    from wsinsight_tpu.uri_path import URIPath
+    from wsinsight_tpu.wsi.tiff import write_pyramidal_tiff
+    from wsinsight_tpu.writers.geojson import _worker as _geojson_worker
+    from wsinsight_tpu.zoo import load_local_model, make_random_local_model
+
+    side = 4096 if fast else 24576
+    rng = np.random.default_rng(7)
+    base = rng.normal(0, 1, size=(side // 16, side // 16, 3)).astype(np.float32)
+    base = cv2.resize(base, (side, side), interpolation=cv2.INTER_CUBIC)
+    img = np.clip(
+        np.stack(
+            [200 + 28 * base[..., 0], 120 + 40 * base[..., 1], 170 + 34 * base[..., 2]],
+            -1,
+        ),
+        0,
+        255,
+    ).astype(np.uint8)
+    del base
+
+    with tempfile.TemporaryDirectory(prefix="wsinsight_slide_sim_") as td:
+        slide_dir = os.path.join(td, "slides")
+        os.makedirs(slide_dir)
+        slide_path = os.path.join(slide_dir, "sim.svs")
+        write_pyramidal_tiff(
+            slide_path, img, tile=(256, 256), compression="jpeg", mpp=0.25, levels=3
+        )
+        del img
+        cfg, weights = make_random_local_model(
+            "resnet34", 2, os.path.join(td, "model"),
+            class_names=["notumor", "tumor"],
+        )
+        model = load_local_model(cfg, weights)
+
+        def one_run(tag: str, env: dict) -> tuple[float, int]:
+            results = os.path.join(td, f"results_{tag}")
+            saved = {k: os.environ.get(k) for k in env}
+            os.environ.update(env)
+            try:
+                t0 = time.perf_counter()
+                segment_and_patch_one_slide(
+                    slide_path=URIPath(slide_path),
+                    save_dir=URIPath(results),
+                    qupath_detection_dir=None,
+                    qupath_geojson_detection_dir=None,
+                    qupath_geojson_annotation_dir=None,
+                    patch_size_px=350,
+                    patch_spacing_um_px=0.25,
+                )
+                run_inference(
+                    wsi_dir=URIPath(slide_dir),
+                    slide_paths=[URIPath(slide_path)],
+                    results_dir=URIPath(results),
+                    model_info=model,
+                    batch_size=64,
+                    num_workers=6,
+                )
+                csv = Path(results) / "model-outputs-csv" / "sim.csv"
+                # One CSV: run the exporter worker inline — a spawn
+                # ProcessPool can't bootstrap when this bench runs via stdin
+                # (the driver's `python bench.py` would be fine, but the
+                # inline call times the same work minus pool spin-up).
+                out_dir = Path(results) / "model-outputs-geojson"
+                out_dir.mkdir(parents=True, exist_ok=True)
+                _geojson_worker(
+                    csv, 0.0, Path(results), out_dir, "prob", "tile",
+                    False, "box", None, None, True,
+                )
+                dt = time.perf_counter() - t0
+                import pandas as pd
+
+                n = len(pd.read_csv(csv))
+            finally:
+                for k, v in saved.items():
+                    if v is None:
+                        os.environ.pop(k, None)
+                    else:
+                        os.environ[k] = v
+                shutil.rmtree(results, ignore_errors=True)
+            return dt, n
+
+        dt_exact, n_patches = one_run("exact", {"WSINSIGHT_HOST_RESIZE": "1"})
+        dt_fast, _ = one_run(
+            "fast",
+            {
+                "WSINSIGHT_HOST_RESIZE": "1",
+                "WSINSIGHT_WIRE": "yuv420",
+                "WSINSIGHT_DECODE_SCALE": "2",
+            },
+        )
+
+    return {
+        "metric": "slide_sim_e2e_wall_clock_sec",
+        "value": round(dt_exact, 2),
+        "unit": "s",
+        "slide_px": side,
+        "n_patches": int(n_patches),
+        "patches_per_sec_incl_everything": round(n_patches / dt_exact, 2),
+        "fast_input_wall_clock_sec": round(dt_fast, 2),
+        "fast_input_patches_per_sec": round(n_patches / dt_fast, 2),
+        "note": (
+            "segmentation + patch planning + inference + CSV + GeoJSON on a "
+            "synthetic tissue-statistics pyramidal JPEG slide, one chip; "
+            "includes jit compile and all host work. fast_input = "
+            "WSINSIGHT_WIRE=yuv420 + WSINSIGHT_DECODE_SCALE=2 (opt-in, "
+            "lossy). The BASELINE.md north star (TCGA slide < 5 min on "
+            "v5e-8) scales from this by tissue patch count / 8 chips."
+        ),
+    }
+
+
+# ---------------------------------------------------------------------------
 # Aux 2: CellViT-256 cells/s through accumulate + finalize
 # ---------------------------------------------------------------------------
 
@@ -679,6 +814,7 @@ def main() -> None:
     }
     aux_benches = {
         "e2e": bench_e2e_input_pipeline,
+        "slide_sim": bench_slide_sim,
         "cellvit": bench_cellvit_cells,
         "streaming": bench_streaming_cells,
         "samh": bench_sam_h,
