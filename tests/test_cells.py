@@ -799,3 +799,60 @@ def test_label_small_filtered_matches_ndi():
         for lab in np.unique(got[got > 0]):
             ref_ids = np.unique(want[got == lab])
             assert len(ref_ids) == 1, f"trial {trial}: component split/merged"
+
+
+def test_cell_engine_yuv420_wire(tmp_path):
+    """CellEngine consumes rank-3 YUV-wire batches (device reconstruction)
+    and the prediction maps stay close to the exact RGB wire. The half-scale
+    decode is classifier-only — cell sources pin decode_scale=1."""
+    import cv2
+
+    from wsinsight_tpu.engine.cells import CellEngine, _cell_wire
+    from wsinsight_tpu.native import rgb_to_yuv420
+    from wsinsight_tpu.zoo import load_local_model, make_random_local_model
+
+    cfg, weights = make_random_local_model(
+        "hovernet-fast", 3, tmp_path, patch_size_pixels=96
+    )
+    engine = CellEngine(load_local_model(cfg, weights), max_devices=1)
+
+    rng = np.random.default_rng(5)
+    imgs = []
+    for _ in range(2):
+        base = cv2.resize(
+            rng.normal(0, 1, (12, 12, 3)).astype(np.float32), (96, 96),
+            interpolation=cv2.INTER_CUBIC,
+        )
+        imgs.append(
+            np.clip(
+                np.stack(
+                    [
+                        200 + 28 * base[..., 0],
+                        120 + 40 * base[..., 1],
+                        170 + 34 * base[..., 2],
+                    ],
+                    -1,
+                ),
+                0,
+                255,
+            ).astype(np.uint8)
+        )
+    batch = np.stack(imgs)
+
+    rgb_maps = engine.run_batch(batch)
+    yuv_maps = engine.run_batch(rgb_to_yuv420(batch))
+    assert set(yuv_maps) == set(rgb_maps)
+    for key in rgb_maps:
+        a, b = np.asarray(rgb_maps[key]), np.asarray(yuv_maps[key])
+        assert a.shape == b.shape
+        # random-weight logit maps on near-identical pixels: tight-ish bound
+        assert np.abs(a - b).max() < 0.5 * (np.abs(a).max() + 1e-6)
+
+    import os
+
+    os.environ["WSINSIGHT_WIRE"] = "yuv420"
+    try:
+        assert _cell_wire() == "yuv420"
+    finally:
+        del os.environ["WSINSIGHT_WIRE"]
+    assert _cell_wire() is None

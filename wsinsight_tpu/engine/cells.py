@@ -84,6 +84,12 @@ class CellEngine:
 
         def step(params, batch_u8):
             with jax.default_matmul_precision(precision):
+                if batch_u8.ndim == 3:
+                    # YUV 4:2:0 wire (WSINSIGHT_WIRE=yuv420): reconstruct RGB
+                    # on device; rank makes the format self-describing.
+                    from ..ops.preprocess import yuv420_to_rgb
+
+                    batch_u8 = yuv420_to_rgb(batch_u8).astype(jnp.uint8)
                 x = preprocess(batch_u8)
                 return self.model.apply({"params": params}, x)
 
@@ -97,6 +103,18 @@ class CellEngine:
 
     def run_batch(self, images_u8: np.ndarray) -> dict:
         return self._step(self.params, images_u8)
+
+
+def _cell_wire() -> str | None:
+    """Cell-path wire format from WSINSIGHT_WIRE (yuv420 or exact RGB).
+
+    The lossy half-scale decode is classifier-only (cell models consume the
+    full-resolution patch — there is no downstream resize to hide it), so
+    cell sources pin decode_scale=1 and take only the wire choice from env.
+    """
+    import os
+
+    return "yuv420" if os.getenv("WSINSIGHT_WIRE", "").lower() == "yuv420" else None
 
 
 def run_cell_inference(
@@ -188,6 +206,8 @@ def run_cell_inference(
             use_hdf5_images=use_hdf5_images,
             batch_size=engine.pad_batch(batch_size),
             num_threads=governed_workers(num_workers or 4),
+            wire=_cell_wire(),
+            decode_scale=1,  # cell models take full-res patches (no resize)
         )
         with tqdm.tqdm(
             total=src.num_batches, desc="Inference", position=1, leave=False

@@ -864,6 +864,8 @@ def run_streaming_cell_inference(
     )
     src = None
     try:
+        from .cells import _cell_wire
+
         src = PatchBatchSource(
             wsi_path=wsi_path,
             patch_path=patch_path,
@@ -871,6 +873,8 @@ def run_streaming_cell_inference(
             batch_size=engine.pad_batch(batch_size),
             num_threads=governed_workers(num_workers or 4),
             order_by_y=True,  # banding needs the stream sorted by slide row
+            wire=_cell_wire(),
+            decode_scale=1,  # cell models take full-res patches (no resize)
         )
         with tqdm.tqdm(
             total=src.num_batches, desc="Inference", position=1, leave=False
