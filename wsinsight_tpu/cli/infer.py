@@ -79,6 +79,15 @@ def default_stitch_workers() -> int:
     help="Run the forward pass in bfloat16 (the reference's disabled --speedup,"
     " functional here; relaxes the 1e-3 logit-parity guarantee).",
 )
+@click.option(
+    "--fast-input/--no-fast-input", default=False, show_default=True,
+    help="Thin-link input mode: ship patches as YUV 4:2:0 planes"
+    " (reconstructed on device) and, for classifier models on JPEG slides,"
+    " decode tiles at DCT half resolution. Halves-to-quarters the"
+    " host->device bytes; lossy (chroma + DCT downsample), so exact RGB"
+    " stays the default. Equivalent to WSINSIGHT_WIRE=yuv420 +"
+    " WSINSIGHT_DECODE_SCALE=2 (+WSINSIGHT_HOST_RESIZE=1).",
+)
 @click.option("--geojson", is_flag=True, default=False, show_default=True,
               help="Write GeoJSON outputs.")
 @click.option("--omecsv", is_flag=True, default=False, show_default=True,
@@ -126,6 +135,7 @@ def infer(
     export_workers,
     stitch_workers,
     speedup,
+    fast_input,
     geojson,
     omecsv,
     patch_overlap_ratio,
@@ -236,6 +246,18 @@ def infer(
         )
 
     click.secho("\nRunning model inference.\n", fg="green")
+    # --fast-input maps onto the engine's env knobs (the engine reads them
+    # per slide, so setting them here covers ctx.invoke from `run` too);
+    # restored afterwards so one invocation cannot leak into the next.
+    _fast_saved: dict[str, str | None] = {}
+    if fast_input:
+        for k, v in (
+            ("WSINSIGHT_WIRE", "yuv420"),
+            ("WSINSIGHT_DECODE_SCALE", "2"),
+            ("WSINSIGHT_HOST_RESIZE", "1"),
+        ):
+            _fast_saved[k] = os.environ.get(k)
+            os.environ[k] = v
     failed_patching, failed_inference = run_inference(
         wsi_dir=wsi_dir,
         slide_paths=slide_paths,
@@ -255,6 +277,11 @@ def infer(
         mixed_precision=flags["mixed_precision"] or speedup,
         stitch_workers=stitch_workers,
     )
+    for k, old in _fast_saved.items():
+        if old is None:
+            os.environ.pop(k, None)
+        else:
+            os.environ[k] = old
 
     csv_exports = None
     if geojson or omecsv:

@@ -63,6 +63,7 @@ _INFER_PARAM_NAMES = [
     "export_workers",
     "stitch_workers",
     "speedup",
+    "fast_input",
     "geojson",
     "omecsv",
     "patch_overlap_ratio",
