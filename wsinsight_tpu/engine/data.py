@@ -296,7 +296,12 @@ class PatchBatchSource:
             if native is not None and len(indices) == self.batch_size:
                 images = native  # full batch decoded straight into its buffer
             else:
-                images = np.zeros((self.batch_size, ih, iw, 3), np.uint8)
+                shape = (
+                    (self.batch_size, ih * 3 // 2, iw)  # pre-packed shards
+                    if native is not None and native.ndim == 3
+                    else (self.batch_size, ih, iw, 3)
+                )
+                images = np.zeros(shape, np.uint8)
                 if native is not None:
                     images[: len(indices)] = native
                 else:
@@ -307,7 +312,7 @@ class PatchBatchSource:
                     )
                     for slot, arr in enumerate(per_patch):
                         images[slot] = arr
-            if self._wire is not None:
+            if self._wire is not None and images.ndim == 4:
                 from ..native import rgb_to_yuv420
 
                 packed = rgb_to_yuv420(images)
@@ -347,12 +352,19 @@ class PatchBatchSource:
         out = np.empty((n, dec_hw[0], dec_hw[1], 3), np.uint8)
         coords = self.coords[indices, :2]
         resize_to = self._host_resize
-        final = out
+        rgb = out
         if resize_to is not None:
-            final = np.empty((n, resize_to[0], resize_to[1], 3), np.uint8)
+            rgb = np.empty((n, resize_to[0], resize_to[1], 3), np.uint8)
+        final = rgb
+        if self._wire is not None:
+            # pack per shard so the (GIL-free) conversion parallelizes with
+            # the decode threads instead of serializing on the producer
+            ih, iw = rgb.shape[1], rgb.shape[2]
+            final = np.empty((n, ih * 3 // 2, iw), np.uint8)
 
         def shard(a: int, b: int):
-            # decode + (native) resize one slice, GIL released in both calls
+            # decode + (native) resize + wire pack for one slice; the GIL is
+            # released inside each native call
             r = batch_read(
                 coords[a:b], 0, (dec_hw[1], dec_hw[0]), out[a:b],
                 scale_denom=dec_scale,
@@ -362,10 +374,15 @@ class PatchBatchSource:
             if resize_to is not None:
                 from ..native import pil_resize_native
 
-                rr = pil_resize_native(out[a:b], resize_to, out=final[a:b])
+                rr = pil_resize_native(out[a:b], resize_to, out=rgb[a:b])
                 if rr is None:  # no native resize: PIL per patch
                     for i in range(a, b):
-                        final[i] = self._maybe_resize(out[i])
+                        rgb[i] = self._maybe_resize(out[i])
+            if final is not rgb:
+                from ..native import rgb_to_yuv420
+
+                if rgb_to_yuv420(rgb[a:b], out=final[a:b]) is None:
+                    return None  # bad geometry: fall back to the RGB path
             return True
 
         n_shards = min(self.num_threads, max(1, n // 4))
