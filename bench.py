@@ -797,6 +797,7 @@ def main() -> None:
     fast = os.getenv("WSINSIGHT_BENCH_FAST", "0") not in ("0", "")
     run_aux = os.getenv("WSINSIGHT_BENCH_AUX", "1") not in ("0", "")
 
+    t_start = time.perf_counter()
     headline = bench_resnet_device(fast)
     _aux_log(headline)  # full headline (incl. MFU estimate) for the perf log
 
@@ -819,10 +820,22 @@ def main() -> None:
         "streaming": bench_streaming_cells,
         "samh": bench_sam_h,
     }
+    # Internal wall-clock budget: the aux set has grown (SAM-H compile,
+    # slide sim, best-of-2 passes), and a driver-side timeout that kills the
+    # process mid-aux would lose the stdout headline line entirely. Skip
+    # remaining aux benches once the budget is spent; the headline always
+    # prints. WSINSIGHT_BENCH_BUDGET_SEC overrides (0 = unlimited).
+    budget = float(os.getenv("WSINSIGHT_BENCH_BUDGET_SEC", "3300") or 0)
     aux = []
     if run_aux:
         for name, fn in aux_benches.items():
             if only and name not in only:
+                continue
+            if budget and time.perf_counter() - t_start > budget:
+                print(
+                    f"aux-bench {name} skipped: {budget:.0f}s budget spent",
+                    file=sys.stderr,
+                )
                 continue
             try:
                 result = fn(fast)
