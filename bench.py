@@ -537,11 +537,20 @@ def bench_cellvit_cells(fast: bool, variant: str | None = None) -> dict:
     spec = TransformSpec(size=None, mean=(0.5, 0.5, 0.5), std=(0.5, 0.5, 0.5), to_tensor=True)
     preprocess = make_preprocess_fn(spec)
 
-    def step(params, batch_u8):
-        with jax.default_matmul_precision("high"):
-            return model.apply({"params": params}, preprocess(batch_u8))
+    def make_step(precision):
+        def step(params, batch_u8):
+            with jax.default_matmul_precision(precision):
+                return model.apply({"params": params}, preprocess(batch_u8))
 
-    step = jax.jit(step)
+        return jax.jit(step)
+
+    # bf16 matmuls are the production cell setting (the zoo's released cell
+    # entries are the -AMP variants; the 1e-3 parity budget binds classifier
+    # logits, while NP/HV maps feed a 0.5 threshold + watershed) — headline,
+    # with 3-pass "high" precision as the aux number, matching the streaming
+    # bench's convention.
+    step_bf16 = make_step("default")
+    step_high = make_step("high")
     params = jax.device_put(params)
 
     stitcher = TileRemapStitcher(
@@ -561,31 +570,35 @@ def bench_cellvit_cells(fast: bool, variant: str | None = None) -> dict:
     batch = rng.integers(0, 256, size=(batch_size, patch_px, patch_px, 3), dtype=np.uint8)
     batch = jax.device_put(batch)
 
-    def postprocess(i0: int):
+    def postprocess(step, i0: int):
         sel = coords[i0 : i0 + batch_size]
         pred = step(params, batch)
         pred = {k: v for k, v in pred.items() if k != "tissue_types"}
         return stitcher.device_postprocess(pred), sel
 
-    maps, sel = postprocess(0)  # compile
-    stitcher.scatter(maps, sel, n_valid=len(sel))
     n_patches = len(coords)
 
-    def forward_pass() -> float:
+    def forward_pass(step) -> float:
         # production pipeline shape: dispatch batch i+1, then scatter batch i
         t0 = time.perf_counter()
         pending = None
         for i0 in range(0, n_patches, batch_size):
-            maps, sel = postprocess(i0)
+            maps, sel = postprocess(step, i0)
             if pending is not None:
                 stitcher.scatter(pending[0], pending[1], n_valid=len(pending[1]))
             pending = (maps, sel)
         stitcher.scatter(pending[0], pending[1], n_valid=len(pending[1]))
         return time.perf_counter() - t0
 
-    # best of 2: the 1-CPU bench host sees multi-x run-to-run steal (ADVICE
-    # r2) — report capability, not weather; rewrites are idempotent.
-    t_forward = min(forward_pass(), forward_pass())
+    for step in (step_bf16, step_high):  # compile both graphs
+        maps, sel = postprocess(step, 0)
+        stitcher.scatter(maps, sel, n_valid=len(sel))
+
+    # best of 2 per precision, interleaved: the 1-CPU bench host sees multi-x
+    # run-to-run steal (ADVICE r2) — report capability, not weather;
+    # rewrites are idempotent.
+    t_forward = min(forward_pass(step_bf16), forward_pass(step_bf16))
+    t_forward_high = min(forward_pass(step_high), forward_pass(step_high))
 
     n_cells_painted = _paint_synthetic_nuclei(stitcher)
     # Device ridge: the Sobel separation energy dominates finalize CPU time
@@ -619,8 +632,14 @@ def bench_cellvit_cells(fast: bool, variant: str | None = None) -> dict:
         "cells_found": int(n_cells),
         "cells_painted": int(n_cells_painted),
         "patches_per_sec_forward_accumulate": round(n_patches / t_forward, 2),
+        "high_precision_cells_per_sec": round(n_cells / (t_forward_high + t_finalize), 2),
+        "high_precision_patches_per_sec_forward_accumulate": round(
+            n_patches / t_forward_high, 2
+        ),
         "finalize_sec": round(t_finalize, 3),
-        "note": "forward+accumulate on real model, finalize on controlled-density maps",
+        "note": "forward+accumulate on real model, finalize on controlled-density"
+                " maps; headline = bf16 mixed-precision forward (the zoo's"
+                " released -AMP cell setting), high-precision 3-pass as aux",
     }
 
 
