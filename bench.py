@@ -808,6 +808,32 @@ def bench_streaming_cells(fast: bool) -> dict:
 # ---------------------------------------------------------------------------
 
 
+def _merge_detail(headline: dict | None, aux_result: dict | None) -> None:
+    """Merge one result into BENCH_DETAIL.json, keyed by metric name.
+
+    Written incrementally after every bench so a driver timeout mid-run never
+    clobbers previously recorded aux data (ADVICE r3: a budget-skipped run
+    overwrote the full artifact with ``"aux": []``). Entries for benches that
+    did not run this time persist from the prior run.
+    """
+    path = Path(__file__).parent / "BENCH_DETAIL.json"
+    try:
+        detail = json.loads(path.read_text())
+    except (OSError, ValueError):
+        detail = {}
+    detail["fast"] = False
+    if headline is not None:
+        detail["headline"] = headline
+    if aux_result is not None:
+        aux = {a.get("metric"): a for a in detail.get("aux", []) if isinstance(a, dict)}
+        aux[aux_result.get("metric")] = aux_result
+        detail["aux"] = list(aux.values())
+    try:
+        path.write_text(json.dumps(detail, indent=1) + "\n")
+    except OSError:
+        pass
+
+
 def main() -> None:
     from wsinsight_tpu.parallel.mesh import enable_compilation_cache
 
@@ -820,6 +846,19 @@ def main() -> None:
     headline = bench_resnet_device(fast)
     _aux_log(headline)  # full headline (incl. MFU estimate) for the perf log
 
+    # stdout contract: EXACTLY the four driver keys, printed BEFORE any aux
+    # bench runs — a driver-side timeout mid-aux must never cost the official
+    # headline record (round 3's BENCH_r03.json: rc=124, parsed=null, because
+    # this line used to print last).
+    print(
+        json.dumps(
+            {k: headline[k] for k in ("metric", "value", "unit", "vs_baseline")}
+        ),
+        flush=True,
+    )
+    if not fast:
+        _merge_detail(headline, None)
+
     def bench_sam_h(fast: bool) -> dict:
         # BASELINE.md names CellViT-SAM-H explicitly; the 660M-param build +
         # compile is too slow for CI smoke runs, so real runs only.
@@ -828,24 +867,23 @@ def main() -> None:
         return bench_cellvit_cells(fast, variant="cellvit-sam-h")
 
     # WSINSIGHT_BENCH_ONLY=e2e,streaming (comma list) narrows the aux set for
-    # quick iteration; unset runs everything.
+    # quick iteration; unset runs everything. Order is priority order under
+    # the budget: the BASELINE.md-named SAM-H number runs before the (slow)
+    # slide sim so a tight window still records it.
     only = {
         t for t in os.getenv("WSINSIGHT_BENCH_ONLY", "").split(",") if t.strip()
     }
     aux_benches = {
         "e2e": bench_e2e_input_pipeline,
-        "slide_sim": bench_slide_sim,
         "cellvit": bench_cellvit_cells,
         "streaming": bench_streaming_cells,
         "samh": bench_sam_h,
+        "slide_sim": bench_slide_sim,
     }
-    # Internal wall-clock budget: the aux set has grown (SAM-H compile,
-    # slide sim, best-of-2 passes), and a driver-side timeout that kills the
-    # process mid-aux would lose the stdout headline line entirely. Skip
-    # remaining aux benches once the budget is spent; the headline always
-    # prints. WSINSIGHT_BENCH_BUDGET_SEC overrides (0 = unlimited).
-    budget = float(os.getenv("WSINSIGHT_BENCH_BUDGET_SEC", "3300") or 0)
-    aux = []
+    # Internal wall-clock budget: skip remaining aux benches once spent (the
+    # headline has already printed either way). WSINSIGHT_BENCH_BUDGET_SEC
+    # overrides (0 = unlimited).
+    budget = float(os.getenv("WSINSIGHT_BENCH_BUDGET_SEC", "1200") or 0)
     if run_aux:
         for name, fn in aux_benches.items():
             if only and name not in only:
@@ -858,27 +896,11 @@ def main() -> None:
                 continue
             try:
                 result = fn(fast)
-                aux.append(result)
                 _aux_log(result)
+                if not fast:
+                    _merge_detail(None, result)
             except Exception as e:  # aux failures never break the headline
                 print(f"aux-bench {fn.__name__} failed: {e!r}", file=sys.stderr)
-
-    if not fast and not only:  # partial/smoke runs must not clobber the artifact
-        detail = {"fast": fast, "headline": headline, "aux": aux}
-        try:
-            (Path(__file__).parent / "BENCH_DETAIL.json").write_text(
-                json.dumps(detail, indent=1) + "\n"
-            )
-        except OSError:
-            pass
-
-    # stdout contract: EXACTLY the four driver keys (MFU etc. stay in
-    # BENCH_DETAIL.json / stderr).
-    print(
-        json.dumps(
-            {k: headline[k] for k in ("metric", "value", "unit", "vs_baseline")}
-        )
-    )
 
 
 if __name__ == "__main__":

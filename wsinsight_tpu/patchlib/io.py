@@ -1,7 +1,8 @@
 """Patch extraction and HDF5 persistence.
 
-The HDF5 layout is a resume/compat contract preserved bit-for-bit from the
-reference (reference: wsinsight/patchlib/io.py:51-143):
+The HDF5 *layout* is a resume/compat contract preserved bit-for-bit from the
+reference (reference: wsinsight/patchlib/io.py:51-143); the code here is our
+own:
 
 * ``/slide`` group attrs: slide_path, slide_mpp, slide_width, slide_height
 * ``/coords`` (N,2) int32 gzip; attrs patch_size, patch_level=0,
@@ -14,9 +15,9 @@ reference (reference: wsinsight/patchlib/io.py:51-143):
 from __future__ import annotations
 
 import logging
-from typing import List, Sequence
+from collections.abc import Sequence
 
-import cv2 as cv
+import cv2
 import h5py
 import numpy as np
 import numpy.typing as npt
@@ -27,147 +28,151 @@ from ..uri_path import URIPath
 logger = logging.getLogger(__name__)
 
 
-def extract_patches_from_slide(
-    slide,
-    coords: npt.NDArray[np.int_],
-    patch_size: int,
-) -> npt.NDArray[np.uint8]:
-    """Extract RGB patches at level 0 given top-left coordinates."""
-    coords = np.asarray(coords, dtype=np.int32)
-    if coords.ndim != 2 or coords.shape[1] != 2:
-        raise ValueError(f"coords must be (N, 2), got {coords.shape}")
+def _as_coords_array(coords) -> npt.NDArray[np.int32]:
+    """Validate and coerce patch coordinates to an (N, 2) int32 array."""
+    arr = np.asarray(coords, dtype=np.int32)
+    if arr.ndim != 2:
+        raise ValueError(f"coords must have 2 dimensions but got {arr.ndim}")
+    if arr.shape[1] != 2:
+        raise ValueError(
+            f"length of coords second axis must be 2 but got {arr.shape[1]}"
+        )
+    return arr
 
-    n = coords.shape[0]
-    images = np.empty((n, patch_size, patch_size, 3), dtype=np.uint8)
+
+def extract_patches_from_slide(
+    slide, coords: npt.NDArray[np.int_], patch_size: int
+) -> npt.NDArray[np.uint8]:
+    """Extract level-0 RGB patches at the given top-left coordinates.
+
+    Our in-house TIFF reader exposes ``read_region_array`` (numpy out, no PIL
+    round-trip); foreign readers fall back to the PIL ``read_region``
+    protocol of wsi/__init__.py.
+    """
+    coords = _as_coords_array(coords)
+    shape = (len(coords), patch_size, patch_size, 3)
+    out = np.empty(shape, dtype=np.uint8)
+
     fast = getattr(slide, "read_region_array", None)
-    for i, (x, y) in enumerate(coords):
-        if fast is not None:
-            images[i] = fast((int(x), int(y)), 0, (patch_size, patch_size))
-        else:
-            region = slide.read_region(
-                location=(int(x), int(y)), level=0, size=(patch_size, patch_size)
-            )
-            if region.mode != "RGB":
-                region = region.convert("RGB")
-            images[i] = np.asarray(region, dtype=np.uint8)
-    return images
+    if fast is not None:
+        for dst, (x, y) in zip(out, coords):
+            dst[...] = fast((int(x), int(y)), 0, (patch_size, patch_size))
+        return out
+
+    for dst, (x, y) in zip(out, coords):
+        tile = slide.read_region(
+            location=(int(x), int(y)), level=0, size=(patch_size, patch_size)
+        )
+        dst[...] = np.asarray(tile.convert("RGB") if tile.mode != "RGB" else tile)
+    return out
 
 
 def write_polygons_group(
-    f: h5py.File, polygons: List[np.ndarray], compression: str | None
+    f: h5py.File, polygons: list[np.ndarray], compression: str | None
 ) -> None:
-    """(Re)write the ragged /polygons group."""
-    lengths = np.array([xy.shape[0] for xy in polygons], dtype=np.int64)
-    offsets = np.concatenate(([0], np.cumsum(lengths)))
-    poly_coords = (
-        np.vstack(polygons).astype(np.float32)
-        if lengths.sum() > 0
-        else np.zeros((0, 2), np.float32)
-    )
+    """(Re)write the ragged /polygons group (schema above)."""
+    counts = np.fromiter((len(p) for p in polygons), dtype=np.int64, count=len(polygons))
+    offsets = np.zeros(len(counts) + 1, dtype=np.int64)
+    np.cumsum(counts, out=offsets[1:])
+    flat = np.zeros((offsets[-1], 2), np.float32)
+    for p, lo, hi in zip(polygons, offsets[:-1], offsets[1:]):
+        flat[lo:hi] = np.asarray(p, dtype=np.float32)
+
     if "/polygons" in f:
         del f["/polygons"]
-    g = f.create_group("/polygons")
-    d_poly = g.create_dataset(
-        "coords",
-        data=poly_coords,
-        dtype="float32",
-        compression=compression,
-        shuffle=True,
-        chunks=True,
+    group = f.create_group("/polygons")
+    group.attrs["layout"] = "ragged_offsets"
+    ds = group.create_dataset(
+        "coords", data=flat, dtype="float32",
+        compression=compression, shuffle=True, chunks=True,
     )
-    g.create_dataset("offsets", data=offsets, dtype="int64")
-    g.attrs["layout"] = "ragged_offsets"
-    d_poly.attrs["columns"] = np.array(["x", "y"], dtype="S1")
+    ds.attrs["columns"] = np.array(["x", "y"], dtype="S1")
+    group.create_dataset("offsets", data=offsets, dtype="int64")
 
 
-def read_polygons_group(f: h5py.File) -> List[np.ndarray]:
+def read_polygons_group(f: h5py.File) -> list[np.ndarray]:
     """Read the ragged /polygons group back into a list of (Ni,2) arrays."""
-    g = f["/polygons"]
-    coords = np.asarray(g["coords"])
-    offsets = np.asarray(g["offsets"])
-    return [coords[offsets[i] : offsets[i + 1]] for i in range(len(offsets) - 1)]
+    group = f["/polygons"]
+    flat = np.asarray(group["coords"])
+    offsets = np.asarray(group["offsets"])
+    return [flat[lo:hi] for lo, hi in zip(offsets[:-1], offsets[1:])]
 
 
-def save_hdf5(
+def save_hdf5(  # noqa: PLR0913 — kwargs mirror the on-disk schema
     path: str | URIPath,
-    coords: npt.NDArray[np.int_],
-    polygons: List[np.ndarray] | None,
+    coords: npt.NDArray[np.int_], polygons: list[np.ndarray] | None,
     tile_dim: npt.NDArray[np.int_] | None,
-    patch_size: int,
-    patch_spacing_um_px: float,
-    compression: str | None = "gzip",
-    images: npt.NDArray[np.uint8] | None = None,
-    slide_path: str | None = None,
-    slide_mpp: float | None = None,
-    slide_width: float | None = None,
-    slide_height: float | None = None,
+    patch_size: int, patch_spacing_um_px: float,
+    compression: str | None = "gzip", images: npt.NDArray[np.uint8] | None = None,
+    slide_path: str | None = None, slide_mpp: float | None = None,
+    slide_width: float | None = None, slide_height: float | None = None,
 ) -> None:
     """Write patch coordinates (+ optional polygons and images) to HDF5."""
-    logger.info(f"Writing coordinates to disk: {path}")
-    coords = np.asarray(coords, dtype=np.int32)
-    if coords.ndim != 2:
-        raise ValueError(f"coords must have 2 dimensions but got {coords.ndim}")
-    if coords.shape[1] != 2:
-        raise ValueError(
-            f"length of coords second axis must be 2 but got {coords.shape[1]}"
-        )
+    logger.info("Writing coordinates to disk: %s", path)
+    coords = _as_coords_array(coords)
     if tile_dim is not None and tuple(np.shape(tile_dim)) != (2,):
         raise ValueError(f"tile_dim must be (2,) but got {np.shape(tile_dim)}")
     if images is not None:
         images = np.asarray(images, dtype=np.uint8)
-        if images.shape[0] != coords.shape[0]:
+        if len(images) != len(coords):
             raise ValueError(
-                f"images and coords must have same length; "
-                f"got {images.shape[0]} vs {coords.shape[0]}"
+                f"images/coords length mismatch: {len(images)} vs {len(coords)}"
             )
 
-    with URIPath(path).open("w+b") as fh:
-        with h5py.File(fh, "w") as f:
-            g_slide = f.create_group("slide")
-            if slide_path is not None:
-                g_slide.attrs.create(
-                    "slide_path",
-                    slide_path,
-                    dtype=h5py.string_dtype(encoding="utf-8"),
-                )
-            if slide_mpp is not None:
-                g_slide.attrs["slide_mpp"] = slide_mpp
-            if slide_width is not None:
-                g_slide.attrs["slide_width"] = slide_width
-            if slide_height is not None:
-                g_slide.attrs["slide_height"] = slide_height
+    # str-valued attrs use the utf-8 vlen dtype; numeric ones write natively.
+    slide_attrs = {
+        "slide_mpp": slide_mpp,
+        "slide_width": slide_width,
+        "slide_height": slide_height,
+    }
 
-            d_coords = f.create_dataset("/coords", data=coords, compression=compression)
-            d_coords.attrs["patch_size"] = patch_size
-            d_coords.attrs["patch_level"] = 0
-            d_coords.attrs["patch_spacing_um_px"] = patch_spacing_um_px
-            if tile_dim is not None:
-                d_coords.attrs["tile_dim"] = np.asarray(tile_dim, dtype=np.int32)
+    with URIPath(path).open("w+b") as fh, h5py.File(fh, "w") as f:
+        slide_group = f.create_group("slide")
+        if slide_path is not None:
+            slide_group.attrs.create(
+                "slide_path", slide_path, dtype=h5py.string_dtype(encoding="utf-8")
+            )
+        for key, value in slide_attrs.items():
+            if value is not None:
+                slide_group.attrs[key] = value
 
-            if images is not None:
-                f.create_dataset("/images", data=images, compression=compression, chunks=True)
+        ds = f.create_dataset("/coords", data=coords, compression=compression)
+        ds.attrs.update(
+            patch_size=patch_size,
+            patch_level=0,
+            patch_spacing_um_px=patch_spacing_um_px,
+        )
+        if tile_dim is not None:
+            ds.attrs["tile_dim"] = np.asarray(tile_dim, dtype=np.int32)
 
-            if polygons is not None and len(polygons) > 0:
-                write_polygons_group(f, list(polygons), compression)
+        if images is not None:
+            f.create_dataset(
+                "/images", data=images, compression=compression, chunks=True
+            )
+
+        if polygons:
+            write_polygons_group(f, list(polygons), compression)
 
 
 def draw_contours_on_thumbnail(
     thumb: Image.Image,
     contours: Sequence[npt.NDArray[np.int_]],
     hierarchy: npt.NDArray[np.int_],
-) -> Image.Image:
-    """Draw external contours cyan and holes yellow onto the thumbnail
-    (reference: io.py:146-166)."""
-    assert hierarchy.ndim == 3
-    assert hierarchy.shape[0] == 1
-    assert hierarchy.shape[2] == 4
-    assert len(contours) == hierarchy.shape[1]
+) -> "Image.Image":
+    """Paint tissue outlines on the thumbnail: external contours cyan, holes
+    yellow, 7-px stroke (the mask-jpg convention of reference io.py:146-166).
 
-    contour_is_external = (hierarchy[0, :, 3] < 0).tolist()
-    external = [c for c, ext in zip(contours, contour_is_external) if ext]
-    hole = [c for c, ext in zip(contours, contour_is_external) if not ext]
+    ``hierarchy`` is cv2.findContours RETR_CCOMP output, shape (1, N, 4);
+    column 3 is the parent index (-1 marks an outer contour).
+    """
+    if hierarchy.shape[:1] + hierarchy.shape[2:] != (1, 4) or len(contours) != hierarchy.shape[1]:
+        raise ValueError(
+            f"expected (1, {len(contours)}, 4) RETR_CCOMP hierarchy, got {hierarchy.shape}"
+        )
 
-    img = np.array(thumb)
-    cv.drawContours(img, external, -1, (0, 255, 255), 7)
-    cv.drawContours(img, hole, -1, (255, 255, 0), 7)
-    return Image.fromarray(img).convert("RGB")
+    is_outer = hierarchy[0, :, 3] < 0
+    canvas = np.array(thumb)
+    for color, keep in (((0, 255, 255), is_outer), ((255, 255, 0), ~is_outer)):
+        subset = [c for c, k in zip(contours, keep) if k]
+        cv2.drawContours(canvas, subset, -1, color, 7)
+    return Image.fromarray(canvas).convert("RGB")

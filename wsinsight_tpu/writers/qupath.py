@@ -1,44 +1,82 @@
 """QuPath project builder pairing model-output CSVs with GeoJSON overlays.
 
-Re-creation of the reference helper (reference: wsinsight/qupath.py:20-88);
-requires `paquo` + a QuPath installation (PAQUO_QUPATH_DIR) at runtime.
+Same capability as the reference helper (wsinsight/qupath.py:20-88): walk the
+``model-outputs-csv`` directory, pair every CSV stem with its GeoJSON overlay
+and source image, and materialize a paquo project under
+``results_dir/model-outputs-qupath``. Needs ``paquo`` plus a QuPath install
+(point ``PAQUO_QUPATH_DIR`` at it) at runtime; importing this module without
+them is fine.
 """
 
 from __future__ import annotations
 
 import json
+import logging
 import sys
 from pathlib import Path
+from typing import Iterable, Sequence
 
 from ..uri_path import URIPath
 
-try:
-    from paquo.images import QuPathPathObjectHierarchy  # type: ignore
-    from paquo.projects import QuPathProject, QuPathProjectImageEntry  # type: ignore
+logger = logging.getLogger(__name__)
 
-    HAS_PAQUO = True
-except Exception:
-    HAS_PAQUO = False
+try:
+    from paquo.projects import QuPathProject, QuPathProjectImageEntry  # type: ignore
+except Exception:  # paquo (or its JVM) missing — report at call time, not import
+    QuPathProject = QuPathProjectImageEntry = None
+
+HAS_PAQUO = QuPathProject is not None
+
+_NO_QUPATH_MSG = (
+    "QuPath was not found, and it is required for --qupath output.\n"
+    "Set PAQUO_QUPATH_DIR to an existing QuPath installation, or install\n"
+    "QuPath from https://qupath.github.io/ first."
+)
 
 
 def add_image_and_geojson(qupath_proj, *, image_path, geojson_path) -> None:
     """Register one image plus its GeoJSON annotations into a QuPath project."""
-    with open(geojson_path) as f:
-        try:
-            geojson_features = json.load(f)["features"]
-        except Exception as e:
-            print(f"Unable to find features key:: {e}")
-            return
+    try:
+        features = json.loads(Path(geojson_path).read_text())["features"]
+    except (OSError, ValueError, KeyError) as e:
+        logger.error("could not read features from %s: %r", geojson_path, e)
+        return
 
     entry = qupath_proj.add_image(image_path)
-    if not isinstance(entry, QuPathProjectImageEntry):
-        print("Unexpected return from QuPathProject.add_image; contact the developer.")
-        return
-    try:
-        hierarchy: QuPathPathObjectHierarchy = entry.hierarchy
-        hierarchy.load_geojson(geojson_features)
-    except Exception as e:
-        print(f"Failed to run load_geojson function with error:: {e}")
+    if isinstance(entry, QuPathProjectImageEntry):
+        try:
+            entry.hierarchy.load_geojson(features)
+        except Exception as e:
+            logger.error("load_geojson failed for %s: %r", image_path, e)
+    else:
+        logger.error(
+            "paquo add_image(%s) returned %s, expected a single image entry",
+            image_path,
+            type(entry).__name__,
+        )
+
+
+def _pair_outputs(
+    results_dir: Path,
+    wsi_dir,
+    slide_paths: Sequence | None,
+) -> Iterable[tuple[Path, Path]]:
+    """Yield (image, geojson) pairs for every exported CSV that has both.
+
+    Image lookup prefers the explicit ``slide_paths`` list (any suffix); with
+    only ``wsi_dir`` we fall back to the reference's ``<stem>.svs`` convention.
+    """
+    stem_to_slide = {p.stem: p for p in slide_paths or ()}
+    for csv_path in sorted((results_dir / "model-outputs-csv").glob("*.csv")):
+        stem = csv_path.stem
+        geojson = results_dir / "model-outputs-geojson" / f"{stem}.geojson"
+        image = stem_to_slide.get(stem)
+        if image is None and wsi_dir is not None:
+            image = wsi_dir / f"{stem}.svs"
+        if image is not None and image.exists() and geojson.exists():
+            yield image, geojson
+        else:
+            logger.warning("no image/geojson pair for %s; skipping", csv_path.name)
 
 
 def make_qupath_project(
@@ -48,48 +86,24 @@ def make_qupath_project(
 ) -> None:
     """Materialize a QuPath project from CSV+GeoJSON outputs.
 
-    Images pair with CSV stems from `slide_paths` when given (any suffix);
-    otherwise from `wsi_dir/<stem>.svs` like the reference (qupath.py:48-88).
-    With neither, there is nothing to pair against — fail fast instead of
-    TypeError-ing after the whole pipeline already ran.
+    With neither ``wsi_dir`` nor ``slide_paths`` there is nothing to pair
+    against — fail fast instead of TypeError-ing after the whole pipeline
+    already ran (reference defect: ``qupath.py:72`` would crash on None).
     """
     if not HAS_PAQUO:
-        print(
-            """Cannot find QuPath.
-QuPath is required to use this functionality but it cannot be found.
-If QuPath is installed, please define the environment variable
-PAQUO_QUPATH_DIR with the location of the QuPath installation.
-If QuPath is not installed, please install it from https://qupath.github.io/."""
-        )
+        print(_NO_QUPATH_MSG)
         sys.exit(1)
-
-    print("Found QuPath successfully!")
-    qupath_project_directory = results_dir / "model-outputs-qupath"
-
     if wsi_dir is None and not slide_paths:
         raise ValueError(
             "make_qupath_project needs wsi_dir or slide_paths to locate images"
         )
-    by_stem = {p.stem: p for p in slide_paths} if slide_paths else {}
 
-    csv_files = list((results_dir / "model-outputs-csv").glob("*.csv"))
-    slides_and_geojsons = []
-    for csv_file in csv_files:
-        file_name = csv_file.stem
-        json_file = results_dir / "model-outputs-geojson" / (file_name + ".geojson")
-        if by_stem:
-            image_file = by_stem.get(file_name)
-        else:
-            image_file = wsi_dir / (file_name + ".svs")
-        if image_file is not None and json_file.exists() and image_file.exists():
-            slides_and_geojsons.append((image_file, json_file))
-        else:
-            print(f"Skipping CSV: {csv_file.name} (No corresponding JSON)")
-
-    with QuPathProject(qupath_project_directory, mode="w") as qp:
-        for image_path, geojson_path in slides_and_geojsons:
+    logger.info("building QuPath project under %s", results_dir)
+    pairs = list(_pair_outputs(results_dir, wsi_dir, slide_paths))
+    with QuPathProject(results_dir / "model-outputs-qupath", mode="w") as project:
+        for image, geojson in pairs:
             try:
-                add_image_and_geojson(qp, image_path=image_path, geojson_path=geojson_path)
+                add_image_and_geojson(project, image_path=image, geojson_path=geojson)
             except Exception as e:
-                print(f"Failed to add image/geojson with error:: {e}")
-    print("Successfully created QuPath Project!")
+                logger.error("failed to add %s to the project: %r", image, e)
+    logger.info("QuPath project written (%d images)", len(pairs))
