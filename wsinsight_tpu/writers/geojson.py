@@ -1,18 +1,17 @@
 """Model-output CSV -> GeoJSON FeatureCollection overlays.
 
-Behavioral re-creation of the reference exporter (reference:
-wsinsight/write_geojson.py:38-482) without geopandas/shapely/orjson:
+Same output contract as the reference exporter (reference:
+wsinsight/write_geojson.py:38-482) with the geopandas/shapely/orjson
+dependencies replaced by our own WKT parser and the stdlib json encoder.
+What is contractual (QuPath and downstream viewers consume these bytes):
 
-* box path fully vectorized: shrink boxes by `overlap`
-  (pw = rint(w*(1-overlap)), centered), closed 5-point rings in the exact
-  vertex order of the reference (reference: write_geojson.py:85-106),
-* per-feature properties {isLocked, measurements{prob_*}, objectType} and
-  optional classification {name: prob_<argmax>, color} (reference: :120-143),
-* polygon path reads a `polygon_wkt` column,
-* distinct colors via interleaved HSV hues (reference: :38-65),
-* atomic `.PART` + rename local writes, URIPath sync for remotes (:360-378),
-* resume: stems already exported are skipped (:448-449),
-* per-CSV process fan-out.
+* the shrink-box math and the closed 5-vertex ring order
+  (via :func:`..writers.common.shrunk_boxes`),
+* feature key order and the property trio isLocked / measurements /
+  objectType plus the optional classification {name, color},
+* interleaved-HSV class colors,
+* resume semantics (stems already exported are skipped) and atomic
+  ``.PART``-rename local writes with URIPath sync for remotes.
 """
 
 from __future__ import annotations
@@ -36,316 +35,262 @@ from .wkt import wkt_to_geojson_geometry
 PathLike = Union[Path, URIPath]
 
 
-def _dumps(obj: dict) -> bytes:
-    """Compact JSON bytes (same wire format orjson produces)."""
-    return json.dumps(obj, separators=(",", ":"), ensure_ascii=False).encode("utf-8")
+def _dumps(payload: dict) -> bytes:
+    """Compact UTF-8 JSON bytes (the wire format orjson produced upstream)."""
+    return json.dumps(payload, separators=(",", ":"), ensure_ascii=False).encode()
+
+
+def _interleave(n: int) -> list[int]:
+    """0, n-1, 1, n-2, ... — alternate ends toward the middle."""
+    half = (n + 1) // 2
+    order: list[int] = []
+    for i in range(half):
+        order.append(i)
+        if i != n - 1 - i:
+            order.append(n - 1 - i)
+    return order
 
 
 def _make_distinct_colors(
-    n: int,
-    s: float = 0.70,
-    v: float = 0.90,
-    shuffle: bool = True,
-    seed: Optional[int] = None,
+    n: int, s: float = 0.70, v: float = 0.90, shuffle: bool = True,
+    seed: Optional[int] = None,  # accepted for API compat; hue walk is deterministic
 ):
-    """`n` well-spaced HSV-derived colors (reference: write_geojson.py:38-65)."""
-    if n <= 0:
+    """`n` well-spaced colors: evenly spaced hues, visited end-in so adjacent
+    class indices land far apart on the wheel (reference convention,
+    write_geojson.py:38-65)."""
+    del seed
+    if n < 1:
         raise ValueError("n must be > 0")
-    hues = [i / n for i in range(n)]
-    if shuffle and n > 2:
-        order, L, R = [], 0, n - 1
-        while L <= R:
-            order.append(L)
-            if L != R:
-                order.append(R)
-            L += 1
-            R -= 1
-        hues = [hues[i] for i in order]
-    out = []
-    for h in hues:
-        r, g, b = hsv_to_rgb(h, s, v)
-        R, G, B = int(round(r * 255)), int(round(g * 255)), int(round(b * 255))
-        out.append({"hex": f"#{R:02X}{G:02X}{B:02X}", "rgb": (R, G, B), "hsv": (h, s, v)})
-    return out
+    hue_order = _interleave(n) if (shuffle and n > 2) else range(n)
+    palette = []
+    for idx in hue_order:
+        hue = idx / n
+        rgb255 = tuple(int(round(c * 255)) for c in hsv_to_rgb(hue, s, v))
+        palette.append(
+            {
+                "hex": "#{:02X}{:02X}{:02X}".format(*rgb255),
+                "rgb": rgb255,
+                "hsv": (hue, s, v),
+            }
+        )
+    return palette
 
 
-def _class_names(prob_cols: List[str], prefix: str) -> List[str]:
+def _prob_matrix(df: pd.DataFrame, prob_cols: List[str]):
+    """(N,C) float32 prob matrix and its per-row argmax."""
+    probs = df[prob_cols].to_numpy(dtype=np.float32, copy=False)
+    return probs, probs.argmax(axis=1)
+
+
+def _classifications(
+    prob_cols: List[str], prefix: str, color_list: Optional[List[dict]]
+) -> list[dict]:
+    """One ready-to-embed classification dict per class column."""
+    palette = color_list or _make_distinct_colors(len(prob_cols))
+    labels = [
+        c if c.startswith(f"{prefix}_") else f"{prefix}_{c}" for c in prob_cols
+    ]
     return [
-        f"{prefix}_{c[len(prefix) + 1 :]}" if c.startswith(f"{prefix}_") else f"{prefix}_{c}"
-        for c in prob_cols
+        {"name": label, "color": list(entry["rgb"])}
+        for label, entry in zip(labels, palette)
     ]
 
 
 def _dataframe_to_geojson_box_fast(
-    df: pd.DataFrame,
-    prob_cols: List[str],
-    overlap: float,
-    *,
-    prefix: str = "prob",
-    object_type: str = "tile",
-    set_classification: bool = False,
-    color_list: Optional[List[dict]] = None,
+    df: pd.DataFrame, prob_cols: List[str], overlap: float, *,
+    prefix: str = "prob", object_type: str = "tile",
+    set_classification: bool = False, color_list: Optional[List[dict]] = None,
 ) -> dict:
-    """Vectorize CSV tile boxes into a GeoJSON FeatureCollection."""
-    df = df.dropna(subset=[c for c in prob_cols if c.startswith(prefix)])
+    """Tile boxes -> FeatureCollection, geometry math fully vectorized."""
+    valid_cols = [c for c in prob_cols if c.startswith(prefix)]
+    df = df.dropna(subset=valid_cols)
+    x0, y0, x1, y1 = shrunk_boxes(df, overlap)
 
-    minx2, miny2, maxx2, maxy2 = shrunk_boxes(df, overlap)
+    # Closed rings as (N, 5, 2): x and y vertex sequences stacked pairwise.
+    # Vertex order is contractual: (maxx,miny),(maxx,maxy),(minx,maxy),
+    # (minx,miny), close.
+    ring_x = np.stack([x1, x1, x0, x0, x1], axis=1)
+    ring_y = np.stack([y0, y1, y1, y0, y0], axis=1)
+    rings = np.stack([ring_x, ring_y], axis=2)
 
-    # Closed ring (N, 5, 2), vertex order matching the reference exactly.
-    coords = np.stack(
-        [
-            np.stack([maxx2, miny2], axis=1),
-            np.stack([maxx2, maxy2], axis=1),
-            np.stack([minx2, maxy2], axis=1),
-            np.stack([minx2, miny2], axis=1),
-            np.stack([maxx2, miny2], axis=1),
-        ],
-        axis=1,
-    )
+    probs, winners = _prob_matrix(df, prob_cols)
+    classes = _classifications(prob_cols, prefix, color_list)
 
-    probs = df[prob_cols].to_numpy(dtype=np.float32, copy=False)
-    arg = probs.argmax(axis=1)
-
-    if color_list is None:
-        color_list = _make_distinct_colors(len(prob_cols))
-    class_names = _class_names(prob_cols, prefix)
-
-    features = []
-    for i in range(len(df)):
-        measurements = {prob_cols[j]: float(probs[i, j]) for j in range(len(prob_cols))}
-        feat = {
+    features: list[dict] = []
+    for ring, row, win in zip(rings, probs, winners):
+        properties = {
+            "isLocked": True,
+            "measurements": dict(zip(prob_cols, row.tolist())),
+            "objectType": object_type,
+        }  # key order is part of the byte contract
+        if set_classification:  # QuPath colors tiles by this block
+            properties["classification"] = classes[win]
+        features.append({
             "type": "Feature",
             "id": str(uuid.uuid4()),
-            "geometry": {"type": "Polygon", "coordinates": [coords[i].tolist()]},
-            "properties": {
-                "isLocked": True,
-                "measurements": measurements,
-                "objectType": object_type,
-            },
-        }
-        if set_classification:
-            ci = int(arg[i])
-            feat["properties"]["classification"] = {
-                "name": class_names[ci],
-                "color": list(color_list[ci]["rgb"]),
-            }
-        features.append(feat)
+            "geometry": {"type": "Polygon", "coordinates": [ring.tolist()]},
+            "properties": properties,
+        })
     return {"type": "FeatureCollection", "features": features}
 
 
 def _dataframe_to_geojson_polygon_fast(
-    df: pd.DataFrame,
-    prob_cols: List[str],
-    *,
-    prefix: str = "prob",
-    object_type: str = "tile",
-    set_classification: bool = False,
-    color_list: Optional[List[dict]] = None,
+    df: pd.DataFrame, prob_cols: List[str], *,
+    prefix: str = "prob", object_type: str = "tile",
+    set_classification: bool = False, color_list: Optional[List[dict]] = None,
     crs: Optional[str] = None,
 ) -> dict:
-    """Convert WKT-polygon annotations into GeoJSON (reference: :148-190)."""
-    del crs
-    probs = df[prob_cols].to_numpy(dtype=np.float32, copy=False)
-    idx = probs.argmax(axis=1)
-    names = _class_names(prob_cols, prefix)
-    if color_list is None:
-        color_list = _make_distinct_colors(len(prob_cols))
+    """WKT-polygon annotations -> FeatureCollection (reference: :148-190).
 
-    other_cols = [c for c in df.columns if c != "polygon_wkt"]
-    features = []
-    wkts = df["polygon_wkt"].tolist()
-    for i in range(len(df)):
-        props: dict = {}
-        for c in other_cols:
-            v = df.iloc[i][c]
-            props[c] = v.item() if hasattr(v, "item") else v
-        props["objectType"] = object_type
-        if set_classification:
-            props["classification"] = {
-                "name": names[int(idx[i])],
-                "color": list(color_list[int(idx[i])]["rgb"]),
-            }
-        props["measurements"] = dict(zip(prob_cols, map(float, probs[i])))
-        props["isLocked"] = True
-        features.append(
-            {
-                "type": "Feature",
-                "geometry": wkt_to_geojson_geometry(wkts[i]),
-                "properties": props,
-            }
-        )
+    Every non-WKT CSV column rides along as a feature property, like the
+    geopandas path upstream did.
+    """
+    del crs
+    probs, winners = _prob_matrix(df, prob_cols)
+    classes = _classifications(prob_cols, prefix, color_list)
+
+    carry_cols = [c for c in df.columns if c != "polygon_wkt"]
+    carried = {c: df[c].tolist() for c in carry_cols}
+
+    features: list[dict] = []
+    for i, wkt in enumerate(df["polygon_wkt"].tolist()):
+        properties: dict = {}
+        for col in carry_cols:
+            value = carried[col][i]
+            properties[col] = value.item() if hasattr(value, "item") else value
+        properties["objectType"] = object_type
+        if set_classification:  # QuPath colors detections by this block
+            properties["classification"] = classes[winners[i]]
+        properties["measurements"] = dict(zip(prob_cols, probs[i].tolist()))
+        properties["isLocked"] = True
+        features.append({
+            "type": "Feature",
+            "geometry": wkt_to_geojson_geometry(wkt),
+            "properties": properties,
+        })
     return {"type": "FeatureCollection", "features": features}
 
 
 def _build_geojson_dict_from_csv(
-    csv: PathLike,
-    *,
-    overlap: float,
-    results_dir: PathLike,
-    output_dir: PathLike,
-    prefix: str = "prob",
-    object_type: str = "tile",
-    set_classification: bool = False,
-    annotation_shape: str = "box",
-    usecols: Optional[List[str]] = None,
-    dtype: Optional[Dict] = None,
+    csv: PathLike, *,
+    overlap: float, results_dir: PathLike, output_dir: PathLike,
+    prefix: str = "prob", object_type: str = "tile",
+    set_classification: bool = False, annotation_shape: str = "box",
+    usecols: Optional[List[str]] = None, dtype: Optional[Dict] = None,
 ) -> Tuple[PathLike, dict]:
-    """Load a model-output CSV and build the GeoJSON dict plus destination."""
+    """Load one model-output CSV and return (destination, FeatureCollection)."""
     local = csv.materialize() if isinstance(csv, URIPath) else csv
     df = pd.read_csv(local, usecols=usecols, dtype=dtype, engine="c", low_memory=False)
 
-    prob_cols = [c for c in df.columns if c.startswith(f"{prefix}_")]
+    wanted = f"{prefix}_"
+    prob_cols = [c for c in df.columns if c.startswith(wanted)]
     if not prob_cols:
-        raise KeyError(f"No {prefix}_* columns in {csv}")
+        raise KeyError(f"No {wanted}* columns in {csv}")
 
-    color_list = _make_distinct_colors(len(prob_cols))
-
+    shared = dict(
+        prefix=prefix, object_type=object_type,
+        set_classification=set_classification,
+        color_list=_make_distinct_colors(len(prob_cols)),
+    )
     if annotation_shape == "box":
-        geojson = _dataframe_to_geojson_box_fast(
-            df,
-            prob_cols,
-            overlap,
-            prefix=prefix,
-            object_type=object_type,
-            set_classification=set_classification,
-            color_list=color_list,
-        )
+        geojson = _dataframe_to_geojson_box_fast(df, prob_cols, overlap, **shared)
+    elif "polygon_wkt" in df.columns:
+        geojson = _dataframe_to_geojson_polygon_fast(df, prob_cols, **shared)
     else:
-        if "polygon_wkt" not in df.columns:
-            raise KeyError("polygon_wkt column is required for annotation_shape='polygon'")
-        geojson = _dataframe_to_geojson_polygon_fast(
-            df,
-            prob_cols,
-            prefix=prefix,
-            object_type=object_type,
-            set_classification=set_classification,
-            color_list=color_list,
-        )
+        raise KeyError("polygon_wkt column is required for annotation_shape='polygon'")
 
-    out_path = results_dir / output_dir / f"{csv.stem}.geojson"
-    return out_path, geojson
+    return results_dir / output_dir / f"{csv.stem}.geojson", geojson
 
 
 _iter_files = iter_files
 
 
 def _write_geojson_bytes(out_path: PathLike, payload: bytes, atomic: bool = True) -> None:
-    """Write GeoJSON bytes, atomically for local paths."""
-    parent = out_path.parent
-    parent.mkdir(parents=True, exist_ok=True)
+    """Persist GeoJSON bytes; local writes go through a .PART rename."""
+    out_path.parent.mkdir(parents=True, exist_ok=True)
 
     if isinstance(out_path, URIPath) and out_path.scheme is not None:
-        with out_path.open("wb") as f:
-            f.write(payload)
+        # URIPath syncs its local cache back to the remote on close.
+        with out_path.open("wb") as sink:
+            sink.write(payload)
         return
-    out_local = Path(str(out_path))
+
+    target = Path(str(out_path))
+    staging = target.with_suffix(target.suffix + ".PART") if atomic else target
+    with open(staging, "wb", buffering=1 << 20) as sink:
+        sink.write(payload)
     if atomic:
-        tmp = out_local.with_suffix(out_local.suffix + ".PART")
-        with open(tmp, "wb", buffering=1 << 20) as f:
-            f.write(payload)
-        tmp.replace(out_local)
-    else:
-        with open(out_local, "wb", buffering=1 << 20) as f:
-            f.write(payload)
+        staging.replace(target)
 
 
 def _worker(
-    csv,
-    overlap,
-    results_dir,
-    output_dir,
-    prefix,
-    object_type,
-    set_classification,
-    annotation_shape,
-    usecols,
-    dtype,
-    atomic_writes,
+    csv, overlap, results_dir, output_dir, prefix, object_type,
+    set_classification, annotation_shape, usecols, dtype, atomic_writes,
 ):
-    """Process one CSV and persist its GeoJSON."""
+    """Convert one CSV and persist its GeoJSON (runs in a pool process)."""
     out_path, geojson = _build_geojson_dict_from_csv(
-        csv,
-        overlap=overlap,
-        results_dir=results_dir,
-        output_dir=output_dir,
-        prefix=prefix,
-        object_type=object_type,
+        csv, overlap=overlap, results_dir=results_dir, output_dir=output_dir,
+        prefix=prefix, object_type=object_type,
         set_classification=set_classification,
-        annotation_shape=annotation_shape,
-        usecols=usecols,
-        dtype=dtype,
+        annotation_shape=annotation_shape, usecols=usecols, dtype=dtype,
     )
-    payload = _dumps(geojson)
-    _write_geojson_bytes(out_path, payload, atomic=atomic_writes)
+    _write_geojson_bytes(out_path, _dumps(geojson), atomic=atomic_writes)
+
+
+def _validate_inputs(csvs: List[PathLike], results_dir: PathLike) -> None:
+    if not results_dir.exists():
+        raise FileExistsError(f"results_dir does not exist: {results_dir!s}")
+    missing = sorted({p.parent for p in csvs if not p.parent.exists()}, key=str)
+    if missing:
+        joined = ", ".join(map(str, missing))
+        raise FileExistsError(f"GeoJSON input CSV directory not found: {joined}")
 
 
 def write_geojsons(
-    csvs: List[PathLike],
-    *,
-    results_dir: PathLike,
-    overlap: float,
-    output_dir: Path = Path("."),
-    prefix: str = "prob",
-    num_workers=8,
-    object_type: str = "tile",
-    set_classification: bool = False,
-    annotation_shape: str = "box",
+    csvs: List[PathLike], *,
+    results_dir: PathLike, overlap: float, output_dir: Path = Path("."),
+    prefix: str = "prob", num_workers=8, object_type: str = "tile",
+    set_classification: bool = False, annotation_shape: str = "box",
     atomic_writes: bool = True,
-    usecols: Optional[List[str]] = None,
-    dtype: Optional[Dict] = None,
-    show_progress: bool = True,
-    print_timings: bool = False,
+    usecols: Optional[List[str]] = None, dtype: Optional[Dict] = None,
+    show_progress: bool = True, print_timings: bool = False,
 ) -> None:
-    """Convert CSV outputs to GeoJSON concurrently."""
-    if not results_dir.exists():
-        raise FileExistsError(f"results_dir does not exist: {results_dir}")
-
-    missing_dirs = sorted(
-        {p.parent for p in csvs if not p.parent.exists()}, key=lambda x: str(x)
-    )
-    if missing_dirs:
-        missing_str = ", ".join(str(d) for d in missing_dirs)
-        raise FileExistsError(f"GeoJSON input CSV directory not found: {missing_str}")
-
+    """Fan CSV->GeoJSON conversion out over a process pool, skipping stems
+    that already have a .geojson (the exporter-level resume contract)."""
+    _validate_inputs(csvs, results_dir)
     out_root = results_dir / output_dir
-    out_root.mkdir(parents=True, exist_ok=True)
+    out_root.mkdir(parents=True, exist_ok=True)  # idempotent across resumes
 
-    already = {p.stem for p in _iter_files(out_root, suffix=".geojson")}
-    csvs = [p for p in csvs if p.stem not in already]
-    total = len(csvs)
-    if total == 0:
+    exported = {p.stem for p in _iter_files(out_root, suffix=".geojson")}
+    pending = [p for p in csvs if p.stem not in exported]
+    if not pending:
         if print_timings:
-            print("No new CSVs to process.")
+            print("geojson: everything already exported, nothing to do")
         return
 
-    pbar = tqdm(total=total, desc="Files completed", dynamic_ncols=True) if show_progress else None
-    # Governor: clamp the static request by host headroom (the reference
-    # governs this pool too, write_geojson.py:459).
+    # Clamp the static worker request by host headroom (the reference
+    # governs this pool too, write_geojson.py:459); spawn because forking
+    # after JAX initialization can deadlock worker processes.
     from ..utils.workers import governed_workers
 
-    num_workers = governed_workers(num_workers)
-    # spawn: forking after JAX initialization can deadlock worker processes
-    with ProcessPoolExecutor(max_workers=num_workers, mp_context=multiprocessing.get_context("spawn")) as ex:
-        futures = [
-            ex.submit(
-                _worker,
-                args,
-                overlap,
-                results_dir,
-                output_dir,
-                prefix,
-                object_type,
-                set_classification,
-                annotation_shape,
-                usecols,
-                dtype,
-                atomic_writes,
-            )
-            for args in csvs
-        ]
-        for f in as_completed(futures):
-            f.result()
-            if pbar:
-                pbar.update(1)
-    if pbar:
-        pbar.close()
+    pool = ProcessPoolExecutor(
+        max_workers=governed_workers(num_workers),
+        mp_context=multiprocessing.get_context("spawn"),
+    )
+    job_args = (
+        overlap, results_dir, output_dir, prefix, object_type,
+        set_classification, annotation_shape, usecols, dtype, atomic_writes,
+    )
+    progress = (
+        tqdm(total=len(pending), desc="Files completed", dynamic_ncols=True)
+        if show_progress
+        else None
+    )
+    with pool:
+        futures = [pool.submit(_worker, csv, *job_args) for csv in pending]
+        for future in as_completed(futures):
+            future.result()
+            if progress:
+                progress.update(1)
+    if progress:
+        progress.close()
