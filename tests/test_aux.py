@@ -80,7 +80,7 @@ def test_stardist_ray_candidates_and_nms():
     prob[20, 22] = 0.8  # overlapping duplicate, should be suppressed
     prob[50, 50] = 0.9
     dist = np.full((64, 64, 32), 5.0, np.float32)
-    scores, centers, rays = _ray_candidates(prob, dist, 0.5)
+    scores, centers, rays = _ray_candidates(prob, dist, 0.5, grid=1)
     assert len(scores) == 3
     kept = _nms(scores, centers, rays, nms_thresh=0.4)
     assert len(kept) == 2
@@ -196,3 +196,175 @@ def test_tosbu_exports(tmp_path, purple_slide):
     body = pred.read_text().splitlines()
     assert body[0] == "x_loc y_loc Tumor"
     assert (out / "heatmap_json" / "Tumor" / "meta_purple.json").exists()
+
+
+# ---------------------------------------------------------------------------
+# StarDist Keras->flax conversion (the 2D_versatile_he real-weights path)
+# ---------------------------------------------------------------------------
+
+_SD_LAYERS = [
+    # (keras layer name, kernel shape or None for weightless layers)
+    ("input", None),
+    ("conv2d", (3, 3, 3, 32)),
+    ("conv2d_1", (3, 3, 32, 32)),
+    ("max_pooling2d", None),
+    ("down_level_0_no_0", (3, 3, 32, 32)),
+    ("down_level_0_no_1", (3, 3, 32, 32)),
+    ("max_0", None),
+    ("down_level_1_no_0", (3, 3, 32, 64)),
+    ("down_level_1_no_1", (3, 3, 64, 64)),
+    ("max_1", None),
+    ("down_level_2_no_0", (3, 3, 64, 128)),
+    ("down_level_2_no_1", (3, 3, 128, 128)),
+    ("max_2", None),
+    ("middle_0", (3, 3, 128, 256)),
+    ("middle_1", (3, 3, 256, 128)),
+    ("up_sampling2d", None),
+    ("concatenate", None),
+    ("up_level_2_no_0", (3, 3, 256, 128)),
+    ("up_level_2_no_1", (3, 3, 128, 64)),
+    ("up_sampling2d_1", None),
+    ("concatenate_1", None),
+    ("up_level_1_no_0", (3, 3, 128, 64)),
+    ("up_level_1_no_1", (3, 3, 64, 32)),
+    ("up_sampling2d_2", None),
+    ("concatenate_2", None),
+    ("up_level_0_no_0", (3, 3, 64, 32)),
+    ("up_level_0_no_1", (3, 3, 32, 32)),
+    ("features", (3, 3, 32, 128)),
+    ("prob", (1, 1, 128, 1)),
+    ("dist", (1, 1, 128, 32)),
+]
+
+
+def _write_fake_keras_h5(path, rng):
+    """Author an h5 in the exact layout Keras save_weights produces for the
+    released 2D_versatile_he graph (anonymous grid-stem convs included)."""
+    import h5py
+
+    weights = {}
+    with h5py.File(path, "w") as f:
+        f.attrs["layer_names"] = np.array([n.encode() for n, _ in _SD_LAYERS])
+        for name, kshape in _SD_LAYERS:
+            g = f.create_group(name)
+            if kshape is None:
+                g.attrs["weight_names"] = np.array([], dtype="S1")
+                continue
+            k = rng.normal(0, 0.1, size=kshape).astype(np.float32)
+            b = rng.normal(0, 0.05, size=kshape[-1]).astype(np.float32)
+            g.attrs["weight_names"] = np.array(
+                [f"{name}/kernel:0".encode(), f"{name}/bias:0".encode()]
+            )
+            g.create_dataset(f"{name}/kernel:0", data=k)
+            g.create_dataset(f"{name}/bias:0", data=b)
+            weights[name] = (k, b)
+    return weights
+
+
+def _keras_graph_oracle(weights, x):
+    """Independent forward of the 2D_versatile_he Keras graph (SAME convs,
+    valid 2x2 maxpool, nearest upsample, concat [up, skip]) using raw lax —
+    validates the converter's topology/ordering, not just tensor shapes."""
+    import jax.numpy as jnp
+    from jax import lax
+
+    def conv(name, h, act="relu"):
+        k, b = weights[name]
+        y = lax.conv_general_dilated(
+            h, jnp.asarray(k), (1, 1), "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            precision=lax.Precision.HIGHEST,
+        ) + jnp.asarray(b)
+        if act == "relu":
+            return jnp.maximum(y, 0)
+        if act == "sigmoid":
+            return 1 / (1 + jnp.exp(-y))
+        return y
+
+    def pool(h):
+        return lax.reduce_window(
+            h, -jnp.inf, lax.max, (1, 2, 2, 1), (1, 2, 2, 1), "VALID"
+        )
+
+    def up(h):
+        return jnp.repeat(jnp.repeat(h, 2, axis=1), 2, axis=2)
+
+    h = conv("conv2d", x)
+    h = conv("conv2d_1", h)
+    h = pool(h)
+    skips = []
+    for n in range(3):
+        h = conv(f"down_level_{n}_no_0", h)
+        h = conv(f"down_level_{n}_no_1", h)
+        skips.append(h)
+        h = pool(h)
+    h = conv("middle_0", h)
+    h = conv("middle_1", h)
+    for n in (2, 1, 0):
+        h = jnp.concatenate([up(h), skips[n]], axis=-1)
+        h = conv(f"up_level_{n}_no_0", h)
+        h = conv(f"up_level_{n}_no_1", h)
+    feat = conv("features", h)
+    return conv("prob", feat, act="sigmoid"), conv("dist", feat, act="linear")
+
+
+def test_stardist_keras_conversion_matches_oracle(tmp_path):
+    import jax
+    import jax.numpy as jnp
+
+    from wsinsight_tpu.models.convert import convert_stardist_keras_h5
+    from wsinsight_tpu.models.stardist import StarDistUNet
+
+    rng = np.random.default_rng(3)
+    h5 = tmp_path / "weights_best.h5"
+    weights = _write_fake_keras_h5(h5, rng)
+    params = convert_stardist_keras_h5(h5)
+
+    model = StarDistUNet()
+    ref_tree = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)))["params"]
+    assert set(ref_tree) == set(params)
+    for name in ref_tree:
+        for leaf in ref_tree[name]:
+            assert np.shape(params[name][leaf]) == np.shape(ref_tree[name][leaf]), name
+
+    x = rng.normal(0, 1, size=(1, 32, 32, 3)).astype(np.float32)
+    with jax.default_matmul_precision("float32"):
+        prob, dist = model.apply({"params": params}, jnp.asarray(x))
+        oprob, odist = _keras_graph_oracle(weights, jnp.asarray(x))
+    assert prob.shape == (1, 16, 16, 1) and dist.shape == (1, 16, 16, 32)
+    np.testing.assert_allclose(np.asarray(prob), np.asarray(oprob), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(dist), np.asarray(odist), atol=2e-5)
+
+
+def test_stardist_keras_conversion_rejects_bad_files(tmp_path):
+    import h5py
+
+    from wsinsight_tpu.models.convert import convert_stardist_keras_h5
+
+    rng = np.random.default_rng(4)
+    h5 = tmp_path / "truncated.h5"
+    _write_fake_keras_h5(h5, rng)
+    with h5py.File(h5, "a") as f:
+        del f["features"]
+        names = [n for n, _ in _SD_LAYERS if n != "features"]
+        f.attrs["layer_names"] = np.array([n.encode() for n in names])
+    with pytest.raises(ValueError, match="missing"):
+        convert_stardist_keras_h5(h5)
+
+
+def test_stardist_weights_autoload_from_model_dir(tmp_path, monkeypatch):
+    """The pipeline's StarDist mode loads a converted .h5 straight from
+    WSINSIGHT_MODEL_DIR — the real-weights path end to end."""
+    from wsinsight_tpu.models.stardist import StarDist2D
+
+    rng = np.random.default_rng(5)
+    _write_fake_keras_h5(tmp_path / "stardist_2D_versatile_he.h5", rng)
+    monkeypatch.setenv("WSINSIGHT_MODEL_DIR", str(tmp_path))
+    sd = StarDist2D(prob_thresh=0.99)
+    img = rng.integers(0, 255, (96, 96, 3)).astype(np.float32)
+    from wsinsight_tpu.models.stardist import normalize_percentile
+
+    polys = sd.predict_instances_big(
+        normalize_percentile(img, 1, 99.8), block_size=64, context=16
+    )
+    assert isinstance(polys, list)

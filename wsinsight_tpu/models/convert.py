@@ -259,6 +259,95 @@ def load_torch_weights(path: str | os.PathLike) -> dict[str, np.ndarray]:
 
 
 # ---------------------------------------------------------------------------
+# Keras-HDF5 -> flax (StarDist 2D_versatile_he) — no TensorFlow required
+# ---------------------------------------------------------------------------
+
+
+def _keras_h5_weights(path: str | os.PathLike) -> list[tuple[str, dict[str, np.ndarray]]]:
+    """Parse a Keras ``save_weights`` HDF5 file into ordered
+    (layer_name, {leaf: array}) pairs, skipping weightless layers.
+
+    The format: root attr ``layer_names`` lists layers in graph order; each
+    layer group's ``weight_names`` attr lists datasets like
+    ``<layer>/kernel:0``. Parsed directly with h5py so the converter runs in
+    this TF-free environment.
+    """
+    import h5py
+
+    def _names(attr) -> list[str]:
+        return [n.decode() if isinstance(n, bytes) else str(n) for n in attr]
+
+    out: list[tuple[str, dict[str, np.ndarray]]] = []
+    with h5py.File(path, "r") as f:
+        root = f["model_weights"] if "model_weights" in f else f
+        for layer in _names(root.attrs["layer_names"]):
+            group = root[layer]
+            leaves: dict[str, np.ndarray] = {}
+            for wname in _names(group.attrs.get("weight_names", [])):
+                leaf = wname.rsplit("/", 1)[-1].split(":", 1)[0]  # kernel:0 -> kernel
+                leaves[leaf] = np.asarray(group[wname])
+            if leaves:
+                out.append((layer, leaves))
+    return out
+
+
+# Layers of the released 2D_versatile_he graph that carry their own names
+# (stardist/models/model2d.py names the unet_block convs and the heads; the
+# two grid-stem convs are anonymous Conv2D layers).
+_STARDIST_HE_NAMED = frozenset(
+    [f"down_level_{n}_no_{i}" for n in range(3) for i in range(2)]
+    + [f"up_level_{n}_no_{i}" for n in range(3) for i in range(2)]
+    + ["middle_0", "middle_1", "features", "prob", "dist"]
+)
+_STARDIST_STEM_SHAPES = [(3, 3, 3, 32), (3, 3, 32, 32)]
+
+
+def convert_stardist_keras_h5(path: str | os.PathLike) -> dict:
+    """Convert the released StarDist ``2D_versatile_he`` Keras weights file
+    into the flax param tree of :class:`..models.stardist.StarDistUNet`.
+
+    Keras Conv2D kernels are already (kh, kw, in, out) — flax's layout — so
+    named layers map verbatim; the two anonymous grid-stem convs are
+    identified by their position and validated by shape. The analogue of the
+    reference's TF->torch converters
+    (/root/reference/scripts/convert_tf_to_pytorch_til_inceptionv4.py:34).
+    """
+    params: dict[str, dict[str, np.ndarray]] = {}
+    stem: list[tuple[str, dict[str, np.ndarray]]] = []
+    unexpected: list[str] = []
+    for layer, leaves in _keras_h5_weights(path):
+        if layer in _STARDIST_HE_NAMED:
+            params[layer] = {
+                "kernel": np.asarray(leaves["kernel"], np.float32),
+                "bias": np.asarray(leaves["bias"], np.float32),
+            }
+        elif "kernel" in leaves and np.ndim(leaves["kernel"]) == 4:
+            stem.append((layer, leaves))
+        else:
+            unexpected.append(layer)
+    if unexpected:
+        raise ValueError(f"unrecognized weighted layers in {path}: {unexpected}")
+    if len(stem) != len(_STARDIST_STEM_SHAPES):
+        raise ValueError(
+            f"expected {len(_STARDIST_STEM_SHAPES)} anonymous grid-stem convs,"
+            f" found {len(stem)}: {[n for n, _ in stem]}"
+        )
+    for i, ((layer, leaves), want) in enumerate(zip(stem, _STARDIST_STEM_SHAPES)):
+        got = tuple(leaves["kernel"].shape)
+        if got != want:
+            raise ValueError(f"stem conv {layer}: kernel shape {got}, expected {want}")
+        params[f"stem_conv_{i}"] = {
+            "kernel": np.asarray(leaves["kernel"], np.float32),
+            "bias": np.asarray(leaves["bias"], np.float32),
+        }
+
+    missing = _STARDIST_HE_NAMED - params.keys()
+    if missing:
+        raise ValueError(f"layers missing from {path}: {sorted(missing)}")
+    return params
+
+
+# ---------------------------------------------------------------------------
 # Flax checkpoint persistence (msgpack via flax.serialization)
 # ---------------------------------------------------------------------------
 

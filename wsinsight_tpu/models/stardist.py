@@ -6,16 +6,21 @@ wsinsight/patchlib/pipeline.py:299-355: csbdeep percentile normalize,
 predict_instances_big(block_size=4096, min_overlap=128, context=128)). This
 module provides the TPU-native equivalent:
 
-* a U-Net backbone matching the 2D_versatile_he topology (depth 3, 32 base
-  filters, 3x3 convs, 32 rays) emitting object probability + star-convex ray
-  distances,
+* a U-Net backbone mirroring the released 2D_versatile_he topology
+  layer-for-layer (grid (2,2) pooled stem, csbdeep unet_block with depth 3 /
+  base 32 / 2 convs per level where the middle and up blocks HALVE filters on
+  their second conv, a 128-wide `features` conv, sigmoid `prob` and linear
+  `dist` heads with 32 rays) so the Keras checkpoint converts verbatim,
 * jitted tiled inference with context overlap,
 * star-polygon candidate generation + greedy NMS on host,
 * percentile normalization (csbdeep `normalize(img, pmin, pmax)` semantics).
 
-Weights: place a converted checkpoint at
-``$WSINSIGHT_MODEL_DIR/stardist_2D_versatile_he.msgpack`` (Keras->flax
-conversion maps conv kernels (kh,kw,in,out) verbatim).
+Weights: place either the released Keras weights file
+(``stardist_2D_versatile_he.h5`` — converted on the fly via
+``models.convert.convert_stardist_keras_h5``, no TensorFlow needed) or a
+pre-converted ``stardist_2D_versatile_he.msgpack`` under
+``$WSINSIGHT_MODEL_DIR``; ``$KERAS_HOME/models/StarDist2D/2D_versatile_he/
+weights_best.h5`` (where TF/StarDist caches the download) is also probed.
 """
 
 from __future__ import annotations
@@ -28,48 +33,72 @@ import numpy as np
 from flax import linen as nn
 
 N_RAYS = 32
-
-
-class ConvBlock(nn.Module):
-    features: int
-
-    @nn.compact
-    def __call__(self, x):
-        import jax.numpy as jnp
-
-        x = nn.Conv(self.features, (3, 3), padding="SAME", name="conv1")(x)
-        x = nn.relu(x)
-        x = nn.Conv(self.features, (3, 3), padding="SAME", name="conv2")(x)
-        return nn.relu(x)
+# 2D_versatile_he predicts prob/dist on a 2x-subsampled grid.
+GRID = 2
 
 
 class StarDistUNet(nn.Module):
-    """U-Net emitting (prob (B,H,W,1), dist (B,H,W,N_RAYS))."""
+    """The 2D_versatile_he graph. Module names match the Keras layer names
+    (down_level_N_no_I / middle_I / up_level_N_no_I / features / prob / dist)
+    so converted checkpoints drop straight in; the grid stem's unnamed Keras
+    convs become stem_conv_0/stem_conv_1.
+
+    Returns (prob (B,H/2,W/2,1), dist (B,H/2,W/2,N_RAYS)); dist is linear
+    (pixel units at FULL input resolution), prob sigmoid.
+    """
 
     base_filters: int = 32
     depth: int = 3
+    n_conv_per_depth: int = 2
     n_rays: int = N_RAYS
+    features_after: int = 128
 
     @nn.compact
     def __call__(self, x):
+        import jax
         import jax.numpy as jnp
 
+        def conv3(tag: str, width: int, h):
+            h = nn.Conv(width, (3, 3), padding="SAME", name=tag)(h)
+            return nn.relu(h)
+
+        base = self.base_filters
+        # grid (2,2) stem: n_conv_per_depth convs at base width, then pool
+        # (stardist model2d._build pools the input down to the grid).
+        for i in range(self.n_conv_per_depth):
+            x = conv3(f"stem_conv_{i}", base, x)
+        x = nn.max_pool(x, (2, 2), strides=(2, 2))
+
+        # csbdeep unet_block: down path keeps width within a level ...
         skips = []
-        f = self.base_filters
-        for d in range(self.depth):
-            x = ConvBlock(f * (2**d), name=f"down{d}")(x)
+        for level in range(self.depth):
+            for i in range(self.n_conv_per_depth):
+                x = conv3(f"down_level_{level}_no_{i}", base * 2**level, x)
             skips.append(x)
             x = nn.max_pool(x, (2, 2), strides=(2, 2))
-        x = ConvBlock(f * (2**self.depth), name="bottom")(x)
-        for d in reversed(range(self.depth)):
+
+        # ... the middle runs at 2**depth width but its LAST conv drops to
+        # 2**(depth-1) so the concat with skip[-1] is balanced ...
+        for i in range(self.n_conv_per_depth - 1):
+            x = conv3(f"middle_{i}", base * 2**self.depth, x)
+        x = conv3(f"middle_{self.n_conv_per_depth - 1}", base * 2 ** max(0, self.depth - 1), x)
+
+        # ... and each up level likewise halves on its last conv.
+        for level in reversed(range(self.depth)):
             b, h, w, c = x.shape
-            x = __import__("jax").image.resize(x, (b, h * 2, w * 2, c), method="nearest")
-            x = jnp.concatenate([x, skips[d]], axis=-1)
-            x = ConvBlock(f * (2**d), name=f"up{d}")(x)
-        feat = nn.Conv(128, (3, 3), padding="SAME", name="features")(x)
-        feat = nn.relu(feat)
+            x = jax.image.resize(x, (b, h * 2, w * 2, c), method="nearest")
+            x = jnp.concatenate([x, skips[level]], axis=-1)
+            for i in range(self.n_conv_per_depth - 1):
+                x = conv3(f"up_level_{level}_no_{i}", base * 2**level, x)
+            x = conv3(
+                f"up_level_{level}_no_{self.n_conv_per_depth - 1}",
+                base * 2 ** max(0, level - 1),
+                x,
+            )
+
+        feat = conv3("features", self.features_after, x)
         prob = nn.sigmoid(nn.Conv(1, (1, 1), name="prob")(feat))
-        dist = nn.softplus(nn.Conv(self.n_rays, (1, 1), name="dist")(feat))
+        dist = nn.Conv(self.n_rays, (1, 1), name="dist")(feat)
         return prob, dist
 
 
@@ -85,7 +114,7 @@ def normalize_percentile(img: np.ndarray, pmin: float, pmax: float) -> np.ndarra
     return (x - lo) / max(hi - lo, 1e-20)
 
 
-def _ray_candidates(prob: np.ndarray, dist: np.ndarray, prob_thresh: float, grid: int = 1):
+def _ray_candidates(prob: np.ndarray, dist: np.ndarray, prob_thresh: float, grid: int = GRID):
     """Candidate centres / scores / per-ray lengths from the per-pixel maps.
 
     Rays, not materialised polygons: a dense whole-slide candidate set at
@@ -100,7 +129,8 @@ def _ray_candidates(prob: np.ndarray, dist: np.ndarray, prob_thresh: float, grid
             np.zeros((0, N_RAYS), np.float32),
         )
     scores = prob[ys, xs].astype(np.float32)
-    rays = dist[ys, xs].astype(np.float32)  # (M, R)
+    # linear dist head: negative rays are untrained noise, not geometry
+    rays = np.maximum(dist[ys, xs].astype(np.float32), 0.0)  # (M, R)
     centers = np.stack([xs * grid, ys * grid], axis=1).astype(np.float32)
     return scores, centers, rays
 
@@ -171,21 +201,40 @@ class StarDist2D:
         )
 
     def _load_default_params(self) -> dict:
-        from ..models.convert import load_flax_params
+        from ..models.convert import convert_stardist_keras_h5, load_flax_params
         from ..zoo import WeightsNotFoundError
 
+        candidates: list[Path] = []
         model_dir = os.getenv("WSINSIGHT_MODEL_DIR")
         if model_dir:
-            cand = Path(model_dir) / "stardist_2D_versatile_he.msgpack"
+            candidates += [
+                Path(model_dir) / "stardist_2D_versatile_he.msgpack",
+                Path(model_dir) / "stardist_2D_versatile_he.h5",
+            ]
+        # where TF/StarDist caches the official download (KERAS_HOME env is
+        # part of the reference's documented surface, README.md:96-99)
+        keras_home = Path(os.getenv("KERAS_HOME", Path.home() / ".keras"))
+        candidates.append(
+            keras_home / "models" / "StarDist2D" / "2D_versatile_he" / "weights_best.h5"
+        )
+        for cand in candidates:
             if cand.exists():
-                return load_flax_params(cand)
+                if cand.suffix == ".msgpack":
+                    return load_flax_params(cand)
+                return convert_stardist_keras_h5(cand)
         raise WeightsNotFoundError(
-            "StarDist weights not found. Convert the '2D_versatile_he' checkpoint"
-            " and place it at $WSINSIGHT_MODEL_DIR/stardist_2D_versatile_he.msgpack."
+            "StarDist '2D_versatile_he' weights not found. Place the released"
+            " Keras weights (weights_best.h5) at"
+            " $WSINSIGHT_MODEL_DIR/stardist_2D_versatile_he.h5 (converted"
+            " automatically, no TensorFlow needed), convert them once with"
+            " scripts/convert_keras_stardist.py to"
+            " stardist_2D_versatile_he.msgpack, or let $KERAS_HOME/models/"
+            "StarDist2D/2D_versatile_he/weights_best.h5 be found."
         )
 
     def predict_tile(self, tile: np.ndarray):
-        """tile: (H, W, 3) normalized float -> (prob (H,W), dist (H,W,R))."""
+        """tile: (H, W, 3) normalized float -> grid-subsampled maps
+        (prob (H/g, W/g), dist (H/g, W/g, R)); ray units are FULL-RES px."""
         import numpy as np
 
         prob, dist = self._fwd(self.params, tile[None])
@@ -212,14 +261,17 @@ class StarDist2D:
                 py1 = min(h, y0 + step + context)
                 px1 = min(w, x0 + step + context)
                 tile = img[py0:py1, px0:px1]
-                # pad to multiple of 8 for the U-Net pooling chain
-                th = -(-tile.shape[0] // 8) * 8
-                tw = -(-tile.shape[1] // 8) * 8
+                # pad to a multiple of 16: grid pool (2) x depth-3 pools (8)
+                th = -(-tile.shape[0] // 16) * 16
+                tw = -(-tile.shape[1] // 16) * 16
                 padded = np.zeros((th, tw, tile.shape[2]), np.float32)
                 padded[: tile.shape[0], : tile.shape[1]] = tile
                 prob, dist = self.predict_tile(padded)
-                prob = prob[: tile.shape[0], : tile.shape[1]]
-                dist = dist[: tile.shape[0], : tile.shape[1]]
+                # maps are grid-subsampled; crop the padding at grid scale
+                gh = -(-tile.shape[0] // GRID)
+                gw = -(-tile.shape[1] // GRID)
+                prob = prob[:gh, :gw]
+                dist = dist[:gh, :gw]
                 # keep candidates whose centers fall in the interior block
                 scores, centers, rays = _ray_candidates(prob, dist, self.prob_thresh)
                 if len(scores) == 0:

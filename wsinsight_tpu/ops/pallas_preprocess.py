@@ -40,14 +40,21 @@ def _kernel(x_ref, wh_ref, ww_ref, scale_ref, shift_ref, out_ref):
     c = pl.program_id(1)
     # Mosaic has no direct uint8 -> f32 cast; hop through int32.
     x = x_ref[0, 0].astype(jnp.int32).astype(jnp.float32)  # (H, W)
+    # Precision is pinned: the kernel must compile identically under any
+    # ambient jax.default_matmul_precision (Mosaic rejects 3-pass "high":
+    # "Unsupported dot precision: HIGH"), and the f32-weight resize contract
+    # wants full-precision accumulation regardless of the model's setting.
+    precision = jax.lax.Precision.HIGHEST
     # Horizontal pass: (H, W) @ (W, OW) -> (H, OW)
     y = jax.lax.dot_general(
-        x, ww_ref[:], (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        x, ww_ref[:], (((1,), (1,)), ((), ())),
+        precision=precision, preferred_element_type=jnp.float32,
     )
     y = jnp.clip(jnp.floor(y + 0.5), 0.0, 255.0)  # PIL per-pass uint8 rounding
     # Vertical pass: (OH, H) @ (H, OW) -> (OH, OW)
     z = jax.lax.dot_general(
-        wh_ref[:], y, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        wh_ref[:], y, (((1,), (0,)), ((), ())),
+        precision=precision, preferred_element_type=jnp.float32,
     )
     z = jnp.clip(jnp.floor(z + 0.5), 0.0, 255.0)
     out_ref[0, 0] = z * scale_ref[c] + shift_ref[c]
