@@ -88,3 +88,47 @@ def test_full_pipeline_matches_torch_reference(purple_slide, tmp_path):
     got = ours[["prob_Other", "prob_Tumor"]].to_numpy()
     max_diff = np.abs(got - expected).max()
     assert max_diff < 2e-4, f"cross-framework drift {max_diff} exceeds budget"
+
+
+@pytest.mark.slow
+def test_real_zoo_resnet34_golden_online(purple_slide, tmp_path):
+    """Online-gated real-weights golden (VERDICT r3 #6): download the actual
+    breast-tumor-resnet34 TorchScript from the zoo, convert with the template
+    converter, and reproduce the committed reference CSV's probabilities
+    within the 1e-3 cross-framework budget (the reference asserts 1e-7
+    torch-vs-torch against the same file, tests/test_all.py:283-357).
+    Skipped wherever the checkpoint cannot be obtained (no network and no
+    local HF cache)."""
+    from wsinsight_tpu.zoo import get_registered_model
+
+    handle = get_registered_model("breast-tumor-resnet34.tcga-brca")
+    try:
+        handle.load_flax_params()  # resolves HF cache, downloads if online
+    except Exception as err:
+        pytest.skip(f"real zoo weights unavailable here: {err}")
+
+    results = tmp_path / "results"
+    runner = CliRunner()
+    res = runner.invoke(
+        cli,
+        [
+            "run",
+            "-i", str(purple_slide.parent),
+            "-o", str(results),
+            "-m", "breast-tumor-resnet34.tcga-brca",
+            "-b", "64",
+        ],
+        catch_exceptions=False,
+    )
+    assert res.exit_code == 0, res.output
+
+    ours = pd.read_csv(results / "model-outputs-csv" / "purple.csv")
+    golden = pd.read_csv("tests/reference/breast-tumor-resnet34.tcga-brca/purple.csv")
+    assert len(ours) == len(golden)
+    for col in ("minx", "miny", "width", "height"):
+        np.testing.assert_array_equal(ours[col].to_numpy(), golden[col].to_numpy())
+    prob_cols = [c for c in golden.columns if c.startswith("prob_")]
+    assert prob_cols
+    np.testing.assert_allclose(
+        ours[prob_cols].to_numpy(), golden[prob_cols].to_numpy(), atol=1e-3
+    )

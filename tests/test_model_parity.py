@@ -406,3 +406,87 @@ def test_normalize_hovernet_keys():
     }
     # idempotent on normalized dicts
     assert set(normalize_hovernet_keys(out)) == set(out)
+
+
+def test_foundation_vit_parity():
+    """Template conversion of a torch mirror of the timm reg4-DINOv2 graph
+    (H-Optimus-0's layout: register tokens, patch-only pos_embed, SwiGLU,
+    LayerScale) matches the flax FoundationViT cls embedding — the TPU-native
+    CME foundation branch (reference: cme_generation.py:436-475)."""
+    import torch_refs_cells
+
+    from wsinsight_tpu.models.convert import convert_with_template
+    from wsinsight_tpu.models.vit import FoundationViT, ViTConfig
+
+    torch.manual_seed(7)
+    tmodel = torch_refs_cells.TorchFoundationViT(
+        dim=64, depth=3, heads=4, n_patches=64, reg_tokens=4
+    )
+    tmodel.eval()
+    with torch.no_grad():
+        tmodel.cls_token.normal_(0, 0.02)
+        tmodel.reg_token.normal_(0, 0.02)
+        tmodel.pos_embed.normal_(0, 0.02)
+        for blk in tmodel.blocks:
+            blk.ls1.gamma.normal_(1.0, 0.1)
+            blk.ls2.gamma.normal_(1.0, 0.1)
+
+    rng = np.random.default_rng(8)
+    x = rng.standard_normal((2, 3, 112, 112)).astype(np.float32) * 0.5
+    with torch.no_grad():
+        expected = tmodel(torch.from_numpy(x)).numpy()
+
+    import jax
+
+    cfg = ViTConfig(
+        64, 3, 4, patch_size=14, mlp_ratio=4096 / 1536, window_size=0,
+        use_rel_pos=False, use_cls_token=True,
+        mlp_naming=("mlp.fc1", "mlp.fc2"), mlp_type="swiglu",
+        layer_scale=True, native_grid=8, reg_tokens=4, no_embed_class=True,
+    )
+    fmodel = FoundationViT(cfg)
+    template = fmodel.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 112, 112, 3), jnp.float32)
+    )["params"]
+    params = convert_with_template(
+        state_dict_to_arrays(tmodel.state_dict()), template
+    )
+    with jax.default_matmul_precision("float32"):
+        got = fmodel.apply(
+            {"params": params}, jnp.asarray(np.transpose(x, (0, 2, 3, 1)))
+        )
+    np.testing.assert_allclose(np.asarray(got), expected, atol=1e-3, rtol=1e-4)
+
+
+def test_flax_hoptimus_extractor_shapes(tmp_path, monkeypatch):
+    """The device extractor pads ragged batches, resizes non-224 crops, and
+    returns [N, D] float32 (wired as the default CME foundation branch when
+    converted weights exist)."""
+    import jax
+
+    from wsinsight_tpu.insightlib.foundation import flax_hoptimus_extractor
+    from wsinsight_tpu.models.vit import FoundationViT, ViTConfig
+
+    cfg = ViTConfig(
+        32, 2, 2, patch_size=14, mlp_ratio=2.0, window_size=0,
+        use_rel_pos=False, use_cls_token=True,
+        mlp_naming=("mlp.fc1", "mlp.fc2"), mlp_type="swiglu",
+        layer_scale=True, native_grid=16, reg_tokens=4, no_embed_class=True,
+    )
+    params = FoundationViT(cfg).init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 224, 224, 3), jnp.float32)
+    )["params"]
+    # monkeypatch the architecture to the tiny config so the test is fast
+    import wsinsight_tpu.insightlib.foundation as foundation_mod
+    import wsinsight_tpu.models.vit as vit_mod
+
+    monkeypatch.setattr(vit_mod, "HOPTIMUS_VIT_G", cfg)
+    ex = foundation_mod.flax_hoptimus_extractor(
+        params=params, batch_size=4, mixed_precision=False
+    )
+    rng = np.random.default_rng(9)
+    crops = rng.integers(0, 255, size=(6, 224, 224, 3), dtype=np.uint8)
+    out = ex(crops)
+    assert out.shape == (6, 32) and out.dtype == np.float32
+    small = rng.integers(0, 255, size=(3, 112, 112, 3), dtype=np.uint8)
+    assert ex(small).shape == (3, 32)

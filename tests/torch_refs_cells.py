@@ -725,3 +725,33 @@ class TorchCellViTSAMB(nn.Module):
             "nuclei_type_map": tp_map,
             "tissue_types": self.classifier_head(pooled),
         }
+
+
+class TorchFoundationViT(nn.Module):
+    """timm vit_*_reg4_dinov2 layout (H-Optimus-0): pos_embed added to PATCH
+    tokens only (no_embed_class), cls + N register tokens concatenated after,
+    SwiGLU-packed MLP + LayerScale blocks, final LayerNorm, cls embedding."""
+
+    def __init__(self, dim=64, depth=3, heads=4, n_patches=64, reg_tokens=4,
+                 mlp_ratio=4096 / 1536):
+        super().__init__()
+        self.patch_embed = PatchEmbed(dim, patch=14)
+        self.cls_token = nn.Parameter(torch.zeros(1, 1, dim))
+        self.reg_token = nn.Parameter(torch.zeros(1, reg_tokens, dim))
+        self.pos_embed = nn.Parameter(torch.zeros(1, n_patches, dim))
+        self.blocks = nn.Sequential(
+            *[VirchowBlock(dim, heads, mlp_ratio) for _ in range(depth)]
+        )
+        self.norm = nn.LayerNorm(dim, eps=1e-6)
+
+    def forward(self, x):
+        tokens, _ = self.patch_embed(x)
+        b = tokens.shape[0]
+        tokens = tokens + self.pos_embed
+        tokens = torch.cat(
+            [self.cls_token.expand(b, -1, -1), self.reg_token.expand(b, -1, -1), tokens],
+            dim=1,
+        )
+        for blk in self.blocks:
+            tokens = blk(tokens)
+        return self.norm(tokens)[:, 0, :]

@@ -86,6 +86,90 @@ def stub_extractor(dim: int = 48) -> FeatureExtractor:
     return extract
 
 
+# H-Optimus-0's published normalization constants (HF model card /
+# timm data config; the reference applies them via timm's create_transform,
+# cme_generation.py:449-452).
+HOPTIMUS_MEAN = (0.707223, 0.578729, 0.703617)
+HOPTIMUS_STD = (0.211883, 0.230117, 0.177517)
+
+
+def flax_hoptimus_extractor(
+    params: dict | None = None,
+    batch_size: int = 64,
+    mixed_precision: bool = True,
+) -> FeatureExtractor:
+    """H-Optimus-0 embeddings on the JAX device (flax ViT-g/14, reg4 DINOv2
+    layout — models/vit.py:FoundationViT). The TPU-native replacement for the
+    timm/torch host path; converts-and-matches timm within the 1e-3 budget on
+    same weights (tests/test_model_parity.py::test_foundation_vit_parity).
+
+    params: converted flax tree, else loaded from
+    ``$WSINSIGHT_MODEL_DIR/hoptimus0.msgpack`` (convert a timm checkpoint
+    once with scripts/convert_torch_to_flax.py --arch hoptimus).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from ..models.vit import HOPTIMUS_VIT_G, FoundationViT
+
+    if params is None:
+        import os
+        from pathlib import Path
+
+        from ..models.convert import load_flax_params
+        from ..zoo import WeightsNotFoundError
+
+        model_dir = os.getenv("WSINSIGHT_MODEL_DIR")
+        cand = Path(model_dir) / "hoptimus0.msgpack" if model_dir else None
+        if cand is None or not cand.exists():
+            raise WeightsNotFoundError(
+                "H-Optimus-0 flax weights not found; convert the timm"
+                " checkpoint with scripts/convert_torch_to_flax.py --arch"
+                " hoptimus and place it at $WSINSIGHT_MODEL_DIR/hoptimus0.msgpack"
+            )
+        params = load_flax_params(cand)
+
+    dtype = jnp.bfloat16 if mixed_precision else jnp.float32
+    model = FoundationViT(HOPTIMUS_VIT_G, dtype=dtype)
+    mean = jnp.asarray(HOPTIMUS_MEAN, jnp.float32)
+    std = jnp.asarray(HOPTIMUS_STD, jnp.float32)
+
+    @jax.jit
+    def fwd(p, images_u8):
+        x = images_u8.astype(jnp.float32) / 255.0
+        if x.shape[1:3] != (224, 224):
+            x = jax.image.resize(
+                x, (x.shape[0], 224, 224, 3), method="bicubic"
+            )
+        x = ((x - mean) / std).astype(dtype)
+        return model.apply({"params": p}, x).astype(jnp.float32)
+
+    params = jax.device_put(params)
+
+    def extract(images_u8: np.ndarray) -> np.ndarray:
+        feats = []
+        n = len(images_u8)
+        for i0 in range(0, n, batch_size):
+            chunk = np.asarray(images_u8[i0 : i0 + batch_size], np.uint8)
+            valid = len(chunk)
+            if valid < batch_size:  # pad to the compiled batch shape
+                pad = np.zeros((batch_size - valid, *chunk.shape[1:]), np.uint8)
+                chunk = np.concatenate([chunk, pad])
+            feats.append(np.asarray(fwd(params, chunk))[:valid])
+        return np.concatenate(feats, axis=0).astype(np.float32)
+
+    return extract
+
+
+def default_foundation_extractor(batch_size: int = 128) -> FeatureExtractor:
+    """Prefer the TPU-native flax H-Optimus when converted weights are on
+    disk; fall back to the reference's timm/torch host path."""
+    try:
+        return flax_hoptimus_extractor(batch_size=min(batch_size, 64))
+    except Exception:
+        return hoptimus_extractor(batch_size=batch_size)
+
+
 def hoptimus_extractor(batch_size: int = 128, device: str | None = None) -> FeatureExtractor:
     """H-Optimus-0 encoder via timm (reference: cme_generation.py:435-475).
 
@@ -198,7 +282,7 @@ def foundation_feature_block(
     if patch_source is None:
         patch_source = BlankPatchSource(num_cells=int(kept_idx.max()) + 1 if len(kept_idx) else 0)
     if extractor is None:
-        extractor = hoptimus_extractor()
+        extractor = default_foundation_extractor()
 
     rng = np.random.default_rng(seed)
     if sample_count is not None:

@@ -53,6 +53,18 @@ from .hovernet import hovernet_fast  # noqa: E402
 _register(hovernet_fast, "hovernet_fast", "hovernet-fast", "hovernet_fast_pannuke")
 
 
+def _hoptimus(num_classes: int = 0, dtype: Any = jnp.float32):
+    """H-Optimus-0 foundation encoder (pooled cls embedding; no head —
+    num_classes is accepted for registry-signature compatibility)."""
+    del num_classes
+    from .vit import HOPTIMUS_VIT_G, FoundationViT
+
+    return FoundationViT(HOPTIMUS_VIT_G, dtype=dtype)
+
+
+_register(_hoptimus, "hoptimus", "hoptimus0", "h_optimus_0")
+
+
 def available_architectures() -> list[str]:
     return sorted(_REGISTRY)
 

@@ -43,6 +43,11 @@ class ViTConfig:
     mlp_type: str = "gelu"  # "gelu" | "swiglu"
     layer_scale: bool = False
     native_grid: int = 0  # 0 = init pos_embed at the runtime grid
+    # timm reg4 models (DINOv2 registers): N learned register tokens appended
+    # after cls, and (no_embed_class) a pos_embed that covers ONLY the patch
+    # grid — cls/reg tokens are concatenated after the add.
+    reg_tokens: int = 0
+    no_embed_class: bool = False
 
 
 SAM_VIT_B = ViTConfig(768, 12, 12, use_rel_pos=True, use_cls_token=False,
@@ -65,6 +70,17 @@ VIRCHOW_VIT_H = ViTConfig(1280, 32, 16, patch_size=14, mlp_ratio=5.3375,
                           extract_layers=(8, 16, 24, 32),
                           mlp_naming=("mlp.fc1", "mlp.fc2"),
                           mlp_type="swiglu", layer_scale=True, native_grid=16)
+# H-Optimus-0 (Bioptimus; the reference's CME foundation encoder,
+# cme_generation.py:436-475 runs it via timm "hf-hub:bioptimus/H-optimus-0"):
+# timm vit_giant_patch14_reg4_dinov2 + SwiGLUPacked — embed 1536, depth 40,
+# heads 24, patch 14, swiglu hidden int(1536 * 16/3)//2 = 4096 (our ratio is
+# the post-pack 4096/1536), LayerScale, 4 register tokens, pos_embed over the
+# patch grid only (no_embed_class), 224-px inputs (grid 16).
+HOPTIMUS_VIT_G = ViTConfig(1536, 40, 24, patch_size=14, mlp_ratio=4096 / 1536,
+                           window_size=0, use_rel_pos=False, use_cls_token=True,
+                           mlp_naming=("mlp.fc1", "mlp.fc2"),
+                           mlp_type="swiglu", layer_scale=True, native_grid=16,
+                           reg_tokens=4, no_embed_class=True)
 
 
 def _get_rel_pos(q_size: int, k_size: int, rel_pos: jax.Array) -> jax.Array:
@@ -290,3 +306,71 @@ class ViTEncoder(nn.Module):
             cls_tok = nn.LayerNorm(epsilon=1e-6, name="norm")(cls_tok)
 
         return grid, skips, (cls_tok[:, 0, :] if cls_tok is not None else grid.mean(axis=(1, 2)))
+
+
+class FoundationViT(nn.Module):
+    """Pooled-embedding ViT for foundation encoders (H-Optimus-0 layout).
+
+    The timm vit_*_reg4_dinov2 graph: patch embed -> pos_embed added to the
+    PATCH tokens only (no_embed_class) -> [cls, reg x N, patches] -> global
+    blocks -> final LayerNorm -> cls token as the embedding (timm
+    global_pool="token" with num_classes=0). Module names match the timm
+    state dict (patch_embed.proj, cls_token, reg_token, pos_embed, blocks.N,
+    norm) so checkpoints convert with the standard template converter.
+    """
+
+    config: ViTConfig
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        cfg = self.config
+        p = cfg.patch_size
+        b, h, w, _ = x.shape
+        gh, gw = h // p, w // p
+        tokens = nn.Conv(
+            cfg.embed_dim, (p, p), strides=(p, p), padding="VALID",
+            dtype=self.dtype, name="patch_embed.proj",
+        )(x).reshape(b, gh * gw, cfg.embed_dim)
+
+        ng = cfg.native_grid or gh
+        n_prefix = 0 if cfg.no_embed_class else 1
+        pos = self.param(
+            "pos_embed", nn.initializers.normal(0.02),
+            (1, ng * ng + n_prefix, cfg.embed_dim), jnp.float32,
+        )
+        pos_grid, pos_prefix = pos[:, n_prefix:, :], pos[:, :n_prefix, :]
+        if (gh, gw) != (ng, ng):
+            # DINOv2 convention: bilinear-resample the grid half at trace time
+            pos_grid = jax.image.resize(
+                pos_grid.reshape(1, ng, ng, cfg.embed_dim),
+                (1, gh, gw, cfg.embed_dim), method="bilinear",
+            ).reshape(1, gh * gw, cfg.embed_dim)
+
+        cls = self.param("cls_token", nn.initializers.zeros, (1, 1, cfg.embed_dim), jnp.float32)
+        prefix = [jnp.tile(cls.astype(tokens.dtype), (b, 1, 1))]
+        if cfg.reg_tokens:
+            reg = self.param(
+                "reg_token", nn.initializers.zeros, (1, cfg.reg_tokens, cfg.embed_dim), jnp.float32
+            )
+            prefix.append(jnp.tile(reg.astype(tokens.dtype), (b, 1, 1)))
+
+        if cfg.no_embed_class:
+            tokens = tokens + pos_grid.astype(tokens.dtype)
+            tokens = jnp.concatenate(prefix + [tokens], axis=1)
+        else:
+            tokens = jnp.concatenate(prefix + [tokens], axis=1)
+            full_pos = jnp.concatenate([pos_prefix, pos_grid], axis=1)
+            tokens = tokens + full_pos.astype(tokens.dtype)
+
+        n = tokens.shape[1]
+        tokens = tokens.reshape(b, 1, n, cfg.embed_dim)
+        for i in range(cfg.depth):
+            tokens = Block(
+                cfg.embed_dim, cfg.num_heads, cfg.mlp_ratio, 0, False,
+                mlp_naming=cfg.mlp_naming, mlp_type=cfg.mlp_type,
+                layer_scale=cfg.layer_scale, dtype=self.dtype, name=f"blocks.{i}",
+            )(tokens)
+        tokens = tokens.reshape(b, n, cfg.embed_dim)
+        tokens = nn.LayerNorm(epsilon=1e-6, name="norm")(tokens)
+        return tokens[:, 0, :]  # cls embedding
