@@ -72,43 +72,11 @@ def _bucket(n: int, floor: int, step: int = 4) -> int:
 
 # -- optional stage profiling (WSINSIGHT_STREAM_PROFILE=1) -------------------
 # Cumulative per-stage seconds across all stitcher instances/threads; read
-# with stream_profile_report(). Cheap enough to leave compiled in: one
-# perf_counter pair per stage call when enabled, zero calls when not.
-import os as _os
-import time as _time
-import threading as _threading
-
-_PROF_ENABLED = _os.getenv("WSINSIGHT_STREAM_PROFILE", "0") not in ("0", "")
-_PROF: dict[str, float] = {}
-_PROF_LOCK = _threading.Lock()
-
-
-class _stage:
-    __slots__ = ("name", "t0")
-
-    def __init__(self, name: str):
-        self.name = name
-
-    def __enter__(self):
-        if _PROF_ENABLED:
-            self.t0 = _time.perf_counter()
-        return self
-
-    def __exit__(self, *exc):
-        if _PROF_ENABLED:
-            dt = _time.perf_counter() - self.t0
-            with _PROF_LOCK:
-                _PROF[self.name] = _PROF.get(self.name, 0.0) + dt
-        return False
-
-
-def stream_profile_report(reset: bool = True) -> dict[str, float]:
-    """Cumulative stage seconds since the last reset (empty unless enabled)."""
-    with _PROF_LOCK:
-        out = dict(sorted(_PROF.items(), key=lambda kv: -kv[1]))
-        if reset:
-            _PROF.clear()
-    return out
+# with stream_profile_report(). The machinery lives in utils.profiling so
+# the HV post-processing tail (ops/hv_postproc.py) can report its substages
+# into the same ledger without importing the engine package.
+from ..utils.profiling import hot_stage as _stage
+from ..utils.profiling import hot_stage_report as stream_profile_report
 
 
 class _PendingBand(NamedTuple):

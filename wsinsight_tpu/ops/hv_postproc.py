@@ -33,6 +33,7 @@ from typing import List, Tuple
 import cv2
 import numpy as np
 
+from ..utils.profiling import hot_stage as _stage
 from .watershed import watershed
 
 try:
@@ -159,15 +160,19 @@ def segment_instances(
     raw_energy: np.ndarray | None = None,
 ) -> np.ndarray:
     """Instance map (H, W) int32 from an NP prob map and HV offset maps."""
-    fg = _foreground(np_map, min_object_size)
-    if not fg.any():
-        return np.zeros(np_map.shape[:2], dtype=np.int32)
+    with _stage("hv.foreground"):
+        fg = _foreground(np_map, min_object_size)
+        if not fg.any():
+            return np.zeros(np_map.shape[:2], dtype=np.int32)
 
-    energy = _separation_energy(hv_map, fg, raw=raw_energy)
-    basin = (1.0 - energy) * fg  # deep inside nuclei, shallow at contacts
-    basin = -cv2.GaussianBlur(basin.astype(np.float32), (3, 3), 0)
-    markers = _seeds(fg, energy >= _BOUNDARY_THRESHOLD, min_object_size)
-    return watershed(basin, markers, mask=fg).astype(np.int32)
+    with _stage("hv.energy_basin"):
+        energy = _separation_energy(hv_map, fg, raw=raw_energy)
+        basin = (1.0 - energy) * fg  # deep inside nuclei, shallow at contacts
+        basin = -cv2.GaussianBlur(basin.astype(np.float32), (3, 3), 0)
+    with _stage("hv.seeds"):
+        markers = _seeds(fg, energy >= _BOUNDARY_THRESHOLD, min_object_size)
+    with _stage("hv.watershed"):
+        return watershed(basin, markers, mask=fg).astype(np.int32)
 
 
 # Back-compat alias (earlier revisions exported the stage under this name).
@@ -250,18 +255,19 @@ def extract_instance_labels(
     everywhere so the alignment guarantee holds.
     """
     labels = segment_instances(np_tile, None, min_object_size, raw_energy)[interior_slice]
-    ids, boxes = _grouped_bboxes(labels)
-    polys: List[np.ndarray | None] = []
-    for i in range(ids.size):
-        x, y, w, h = (int(v) for v in boxes[i])
-        patch = (labels[y : y + h, x : x + w] == ids[i]).astype(np.uint8)
-        ring = _instance_polygon(patch)
-        if ring is not None:
-            ring = ring.copy()
-            ring[:, 0] += x
-            ring[:, 1] += y
-        polys.append(ring)
-    return labels, ids, boxes, polys
+    with _stage("hv.measure_polygons"):
+        ids, boxes = _grouped_bboxes(labels)
+        polys: List[np.ndarray | None] = []
+        for i in range(ids.size):
+            x, y, w, h = (int(v) for v in boxes[i])
+            patch = (labels[y : y + h, x : x + w] == ids[i]).astype(np.uint8)
+            ring = _instance_polygon(patch)
+            if ring is not None:
+                ring = ring.copy()
+                ring[:, 0] += x
+                ring[:, 1] += y
+            polys.append(ring)
+        return labels, ids, boxes, polys
 
 
 def extract_instances(

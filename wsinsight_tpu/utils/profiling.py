@@ -36,6 +36,49 @@ def reset_stage_timings() -> None:
     _STAGE_TIMINGS.clear()
 
 
+# -- fine-grained hot-loop stage profiling (WSINSIGHT_STREAM_PROFILE=1) ------
+# Used by the streaming cell engine and the HV post-processing tail: one
+# perf_counter pair per stage call when enabled, zero work when not (the
+# flag is read once at import). Thread-safe — the flusher runs on worker
+# threads concurrently with the forward loop.
+
+import threading as _threading
+
+_PROF_ENABLED = os.getenv("WSINSIGHT_STREAM_PROFILE", "0") not in ("0", "")
+_PROF: dict[str, float] = {}
+_PROF_LOCK = _threading.Lock()
+
+
+class hot_stage:
+    """Context manager accumulating wall seconds under `name` when enabled."""
+
+    __slots__ = ("name", "t0")
+
+    def __init__(self, name: str):
+        self.name = name
+
+    def __enter__(self):
+        if _PROF_ENABLED:
+            self.t0 = time.perf_counter()
+        return self
+
+    def __exit__(self, *exc):
+        if _PROF_ENABLED:
+            dt = time.perf_counter() - self.t0
+            with _PROF_LOCK:
+                _PROF[self.name] = _PROF.get(self.name, 0.0) + dt
+        return False
+
+
+def hot_stage_report(reset: bool = True) -> dict[str, float]:
+    """Cumulative stage seconds since the last reset (empty unless enabled)."""
+    with _PROF_LOCK:
+        out = dict(sorted(_PROF.items(), key=lambda kv: -kv[1]))
+        if reset:
+            _PROF.clear()
+    return out
+
+
 @contextlib.contextmanager
 def maybe_trace(stage: str) -> Iterator[None]:
     """jax.profiler trace when WSINSIGHT_PROFILE is set to a directory."""
