@@ -530,47 +530,67 @@ class TorchHoVerNetFast(nn.Module):
 # ---------------------------------------------------------------------------
 
 
-class SDConvBlock(nn.Module):
-    def __init__(self, cin, cout):
-        super().__init__()
-        self.conv1 = nn.Conv2d(cin, cout, 3, padding=1)
-        self.conv2 = nn.Conv2d(cout, cout, 3, padding=1)
-
-    def forward(self, x):
-        return torch.relu(self.conv2(torch.relu(self.conv1(x))))
-
-
 class TorchStarDistUNet(nn.Module):
-    def __init__(self, base_filters=32, depth=3, n_rays=32):
+    """Mirror of wsinsight_tpu.models.stardist.StarDistUNet — the released
+    2D_versatile_he topology: grid (2,2) pooled stem, csbdeep unet_block
+    (depth 3, base 32, 2 convs per level, middle/up blocks HALVE width on
+    their last conv), 128-wide features conv, sigmoid prob + LINEAR dist
+    heads on the 2x grid. Module names match the flax template paths so
+    convert_with_template maps the state dict verbatim."""
+
+    def __init__(self, base_filters=32, depth=3, n_conv=2, n_rays=32,
+                 features_after=128):
         super().__init__()
+        self.depth, self.n_conv = depth, n_conv
         f = base_filters
-        self.depth = depth
         cin = 3
-        for d in range(depth):
-            setattr(self, f"down{d}", SDConvBlock(cin, f * (2**d)))
-            cin = f * (2**d)
-        self.bottom = SDConvBlock(cin, f * (2**depth))
-        cin = f * (2**depth)
-        for d in reversed(range(depth)):
-            setattr(self, f"up{d}", SDConvBlock(cin + f * (2**d), f * (2**d)))
-            cin = f * (2**d)
-        self.features = nn.Conv2d(cin, 128, 3, padding=1)
-        self.prob = nn.Conv2d(128, 1, 1)
-        self.dist = nn.Conv2d(128, n_rays, 1)
+        for i in range(n_conv):
+            setattr(self, f"stem_conv_{i}", nn.Conv2d(cin, f, 3, padding=1))
+            cin = f
+        for level in range(depth):
+            w = f * 2**level
+            for i in range(n_conv):
+                setattr(self, f"down_level_{level}_no_{i}", nn.Conv2d(cin, w, 3, padding=1))
+                cin = w
+        for i in range(n_conv - 1):
+            w = f * 2**depth
+            setattr(self, f"middle_{i}", nn.Conv2d(cin, w, 3, padding=1))
+            cin = w
+        w = f * 2 ** max(0, depth - 1)
+        setattr(self, f"middle_{n_conv - 1}", nn.Conv2d(cin, w, 3, padding=1))
+        cin = w
+        for level in reversed(range(depth)):
+            cin = cin + f * 2**level  # skip concat
+            for i in range(n_conv - 1):
+                w = f * 2**level
+                setattr(self, f"up_level_{level}_no_{i}", nn.Conv2d(cin, w, 3, padding=1))
+                cin = w
+            w = f * 2 ** max(0, level - 1)
+            setattr(self, f"up_level_{level}_no_{n_conv - 1}", nn.Conv2d(cin, w, 3, padding=1))
+            cin = w
+        self.features = nn.Conv2d(cin, features_after, 3, padding=1)
+        self.prob = nn.Conv2d(features_after, 1, 1)
+        self.dist = nn.Conv2d(features_after, n_rays, 1)
 
     def forward(self, x):
+        for i in range(self.n_conv):
+            x = torch.relu(getattr(self, f"stem_conv_{i}")(x))
+        x = nn.functional.max_pool2d(x, 2)
         skips = []
-        for d in range(self.depth):
-            x = getattr(self, f"down{d}")(x)
+        for level in range(self.depth):
+            for i in range(self.n_conv):
+                x = torch.relu(getattr(self, f"down_level_{level}_no_{i}")(x))
             skips.append(x)
             x = nn.functional.max_pool2d(x, 2)
-        x = self.bottom(x)
-        for d in reversed(range(self.depth)):
+        for i in range(self.n_conv):
+            x = torch.relu(getattr(self, f"middle_{i}")(x))
+        for level in reversed(range(self.depth)):
             x = nn.functional.interpolate(x, scale_factor=2, mode="nearest")
-            x = torch.cat([x, skips[d]], dim=1)
-            x = getattr(self, f"up{d}")(x)
+            x = torch.cat([x, skips[level]], dim=1)
+            for i in range(self.n_conv):
+                x = torch.relu(getattr(self, f"up_level_{level}_no_{i}")(x))
         feat = torch.relu(self.features(x))
-        return torch.sigmoid(self.prob(feat)), nn.functional.softplus(self.dist(feat))
+        return torch.sigmoid(self.prob(feat)), self.dist(feat)
 
 
 # ---------------------------------------------------------------------------
