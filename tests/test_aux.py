@@ -118,6 +118,7 @@ def test_stardist_binned_nms_matches_allpairs_greedy():
     assert _nms(scores, centers, rays) == nms_allpairs(scores, centers, rays)
 
 
+@pytest.mark.slow  # full-gate: heavy CPU compile/e2e; fast tier keeps a representative
 def test_stardist_predict_instances_big_random_weights():
     import jax
 
@@ -308,6 +309,7 @@ def _keras_graph_oracle(weights, x):
     return conv("prob", feat, act="sigmoid"), conv("dist", feat, act="linear")
 
 
+@pytest.mark.slow  # full-gate: heavy CPU compile/e2e; fast tier keeps a representative
 def test_stardist_keras_conversion_matches_oracle(tmp_path):
     import jax
     import jax.numpy as jnp

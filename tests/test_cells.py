@@ -308,6 +308,7 @@ def _cell_kw(slide, results, **over):
     return kw
 
 
+@pytest.mark.slow  # full-gate: heavy CPU compile/e2e; fast tier keeps a representative
 def test_streaming_engine_dispatch_end_to_end(cell_setup, monkeypatch):
     """WSINSIGHT_STREAM_CELLS=1 routes run_cell_inference through the banded
     streaming engine (engine/stream_cells.py) and produces the same instances
@@ -338,6 +339,7 @@ def test_streaming_engine_dispatch_end_to_end(cell_setup, monkeypatch):
     np.testing.assert_allclose(sp[so], cp[co], atol=0.02)
 
 
+@pytest.mark.slow  # full-gate: heavy CPU compile/e2e; fast tier keeps a representative
 def test_cell_shard_invariance(cell_setup):
     """Same instances and class probabilities whether the CellViT batch
     shards over 1 or 8 CPU devices (the engine's production mesh layout)."""
@@ -715,6 +717,7 @@ def test_streaming_flusher_error_surfaces_on_main_thread():
         st.close()
 
 
+@pytest.mark.slow  # full-gate: heavy CPU compile/e2e; fast tier keeps a representative
 def test_streaming_capacity_error_falls_back_to_classic(cell_setup, monkeypatch):
     """When a band exceeds the streaming engine's instance cap, the slide is
     rerun on the classic host-canvas path instead of failing."""
@@ -801,6 +804,7 @@ def test_label_small_filtered_matches_ndi():
             assert len(ref_ids) == 1, f"trial {trial}: component split/merged"
 
 
+@pytest.mark.slow  # full-gate: heavy CPU compile/e2e; fast tier keeps a representative
 def test_cell_engine_yuv420_wire(tmp_path):
     """CellEngine consumes rank-3 YUV-wire batches (device reconstruction)
     and the prediction maps stay close to the exact RGB wire. The half-scale

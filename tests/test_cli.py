@@ -92,6 +92,7 @@ def test_cli_patch_registered_model_no_weights(tmp_path, purple_slide):
         assert f["/coords"].shape == (144, 2)
 
 
+@pytest.mark.slow  # full-gate: heavy CPU compile/e2e; fast tier keeps a representative
 def test_cli_multi_slide_cohort(tmp_path, model_files, purple_slide):
     """Two slides through `run`: per-slide CSVs, masks, and resume."""
     import os

@@ -77,6 +77,7 @@ def test_engine_resume(patched_results, local_model, purple_slide):
     assert csv.stat().st_mtime_ns == mtime
 
 
+@pytest.mark.slow  # full-gate: heavy CPU compile/e2e; fast tier keeps a representative
 def test_shard_invariance(patched_results, local_model, purple_slide, tmp_path):
     """Same CSV whether the batch shards over 1 or 8 CPU devices."""
     import shutil
@@ -208,6 +209,7 @@ def test_host_resize_bit_identical(tmp_path):
     np.testing.assert_array_equal(p_device, p_host)
 
 
+@pytest.mark.slow  # full-gate: heavy CPU compile/e2e; fast tier keeps a representative
 def test_stain_normalization_end_to_end(tmp_path, patched_results, purple_slide):
     """Macenko estimation from a shuffled sample batch + on-device
     normalization inside the jitted step (reference: run_inference.py:232-266)."""
@@ -237,6 +239,7 @@ def test_stain_normalization_end_to_end(tmp_path, patched_results, purple_slide)
     np.testing.assert_allclose(probs.sum(axis=1), 1.0, atol=1e-5)
 
 
+@pytest.mark.slow  # full-gate: heavy CPU compile/e2e; fast tier keeps a representative
 def test_sigmoid_single_logit(tmp_path, patched_results, purple_slide):
     """num_classes=1 exercises the sigmoid branch (paad-style model)."""
     cfg, weights = make_random_local_model(

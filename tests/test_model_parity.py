@@ -53,6 +53,7 @@ def test_preactresnet34_parity():
     _parity(torch_refs.torch_preactresnet34(2), "preactresnet34", 2, 64)
 
 
+@pytest.mark.slow  # full-gate: heavy CPU compile/e2e; fast tier keeps a representative
 def test_vgg16_parity():
     _parity(torch_refs.torch_vgg16(2), "vgg16mod", 2, 64, atol=5e-4)
 
@@ -99,6 +100,7 @@ def test_convtranspose_conversion_matches_torch():
     )
 
 
+@pytest.mark.slow  # full-gate: heavy CPU compile/e2e; fast tier keeps a representative
 def test_cellvit256_full_parity():
     """Template-guided conversion of a full torch CellViT-256 (ViT encoder,
     three decoder branches, tissue head) matches the flax model end to end."""
@@ -138,6 +140,7 @@ def test_cellvit256_full_parity():
         )
 
 
+@pytest.mark.slow  # full-gate: heavy CPU compile/e2e; fast tier keeps a representative
 def test_cellvit_virchow_full_parity():
     """Template-guided conversion of a torch CellViT-Virchow (DINOv2-style
     encoder: patch-14 embed, SwiGLU-packed MLP, LayerScale, cls token; three
@@ -195,6 +198,7 @@ def test_cellvit_virchow_full_parity():
         )
 
 
+@pytest.mark.slow  # full-gate: heavy CPU compile/e2e; fast tier keeps a representative
 def test_cellvit_virchow_pos_embed_interpolates():
     """Runtime grids away from the checkpoint's native grid interpolate the
     pos embedding (DINOv2 convention) instead of failing shape checks."""
@@ -300,6 +304,7 @@ def test_stardist_full_parity():
     )
 
 
+@pytest.mark.slow  # full-gate: heavy CPU compile/e2e; fast tier keeps a representative
 def test_cellvit_sam_b_full_parity():
     """SAM-encoder CellViT (windowed attention, decomposed rel-pos, no cls
     token) converts and matches numerically."""

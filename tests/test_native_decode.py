@@ -33,7 +33,18 @@ def _python_read(slide: TpuSlide, location, level, size) -> np.ndarray:
         slide._native = saved
 
 
-@pytest.mark.parametrize("compression", ["none", "deflate", "lzw", "jpeg"])
+@pytest.mark.parametrize(
+    "compression",
+    [
+        "none",
+        "deflate",
+        # LZW round-trips through the pure-Python reference codec (minutes on
+        # the 1-CPU bench host) — full-gate only; the fast tier still covers
+        # the LZW codec itself via test_tiff roundtrips.
+        pytest.param("lzw", marks=pytest.mark.slow),
+        "jpeg",
+    ],
+)
 def test_native_batch_decode_matches_python(tmp_path, compression):
     img = _checker_image(1024)
     path = tmp_path / f"s_{compression}.tif"
@@ -78,9 +89,12 @@ def test_native_out_of_bounds_zero_pads(tmp_path):
 
 
 def test_native_pyramid_levels_and_out_buffer(tmp_path):
+    # deflate (C-speed zlib both sides): this test exercises pyramid-level
+    # addressing and the out= contract, not the codec — LZW codec parity is
+    # covered by test_native_batch_decode_matches_python[lzw] (slow tier).
     img = _checker_image(1024, seed=2)
     path = tmp_path / "pyr.tif"
-    write_pyramidal_tiff(str(path), img, tile=(256, 256), compression="lzw", mpp=0.25, levels=3)
+    write_pyramidal_tiff(str(path), img, tile=(256, 256), compression="deflate", mpp=0.25, levels=3)
 
     with TpuSlide(str(path)) as s:
         assert len(s._levels) == 3
