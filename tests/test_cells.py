@@ -588,6 +588,75 @@ def test_streaming_sparse_window_transfer_is_identical(monkeypatch):
         np.testing.assert_array_equal(a, b)
 
 
+def test_device_basin_proposal_is_identical(monkeypatch):
+    """The device marker proposal (fg + boundary bitmasks + integer basin
+    computed in the window kernel) is bit-identical to the host integer
+    tail: both evaluate the same integer convolution (exact in f32), so
+    instances, class probabilities and polygons match exactly."""
+    from wsinsight_tpu.engine.stream_cells import BandedCellStitcher
+
+    rng = np.random.default_rng(7)
+    h = w = 512
+    s, k = 64, 3
+    eps = 1e-4
+    coords, preds = [], []
+    for y0 in range(0, h, s):
+        for x0 in range(0, w, s):
+            np_map = np.zeros((s, s), np.float32)
+            hv = np.zeros((2, s, s), np.float32)
+            # two touching nuclei per tile so the boundary/basin actually
+            # drives the split (not just connected components)
+            yy, xx = np.mgrid[:s, :s].astype(np.float32)
+            for cy, cx in ((26, 26), (26, 44)):
+                d = np.hypot(yy - cy, xx - cx)
+                inside = d < 12
+                np_map[inside] = 1.0
+                hv[0][inside] = ((xx - cx) / 12)[inside]
+                hv[1][inside] = ((yy - cy) / 12)[inside]
+            np_logits = np.stack([np.log1p(-np_map + eps), np.log(np_map + eps)])
+            tp = np.zeros((k, s, s), np.float32)
+            tp[0] = 1.0 - np_map
+            tp[1] = np_map * 0.6
+            tp[2] = np_map * 0.4
+            tp_logits = np.log(tp + eps) + rng.normal(0, 1e-3, (k, s, s)).astype(
+                np.float32
+            )
+            coords.append([x0, y0, s, s])
+            preds.append((np_logits, hv, tp_logits))
+    coords = np.asarray(coords, np.int64)
+
+    def run(mode: str):
+        monkeypatch.setenv("WSINSIGHT_STREAM_BASIN", mode)
+        st = BandedCellStitcher(
+            n_classes=k, slide_width=w, slide_height=h, slide_patch_size=s,
+            slide_halo_size=0, slide_mpp=0.25, model_mpp=0.25, min_object_size=20,
+            tile_size=128, padding_size=32,
+        )
+        assert st._basin_device is (mode == "device")
+        bs = 4
+        for i0 in range(0, len(coords), bs):
+            sel = slice(i0, i0 + bs)
+            batch = {
+                "np": np.stack([p[0] for p in preds[sel]]),
+                "hv": np.stack([p[1] for p in preds[sel]]),
+                "tp": np.stack([p[2] for p in preds[sel]]),
+            }
+            st.accumulate_batch(batch, coords[sel])
+        out = st.finalize()
+        st.close()
+        return out
+
+    hi_, hp, hpoly = run("host")
+    di, dp, dpoly = run("device")
+    assert len(hi_) == len(di) > 0
+    # two nuclei per 64px tile across 8x8 tiles => the split worked
+    assert len(di) == 128
+    np.testing.assert_array_equal(np.concatenate(hi_), np.concatenate(di))
+    np.testing.assert_array_equal(np.concatenate(hp), np.concatenate(dp))
+    for a, b in zip(hpoly, dpoly):
+        np.testing.assert_array_equal(a, b)
+
+
 def test_sparse_window_backend_fallback_is_silent_and_identical(monkeypatch):
     """If the sparse window kernel fails at runtime (backend quirk), the
     flusher falls back to dense windows mid-band and the results match."""
@@ -628,10 +697,12 @@ def test_sparse_window_backend_fallback_is_silent_and_identical(monkeypatch):
             def boom(*a, **kw):
                 raise RuntimeError("no nonzero on this backend")
             st._window_stage_sparse = boom
+            st._window_stage_proposal = boom  # device basin falls back first
         st.accumulate_batch(batch, coords)
         out = st.finalize()
         st.close()
         if broken:
+            assert st._basin_device is False  # host basin fallback engaged
             assert st._sparse_windows is False  # fell back and stayed dense
         return out
 
@@ -651,7 +722,7 @@ def test_class_sums_from_fg_kernel_matches_packed_upload():
 
     from wsinsight_tpu.engine.stream_cells import _cached_kernels
 
-    (_, _, sums_packed, _, _, sums_from_fg) = _cached_kernels(8, 3, 1.0, "u8")
+    (_, _, sums_packed, _, _, sums_from_fg, _) = _cached_kernels(8, 3, 1.0, "u8")
     rng = np.random.default_rng(3)
     buf_h, buf_w, k = 24, 32, 3
     np_b = jnp.asarray(rng.random((buf_h, buf_w), np.float32) > 0.7, jnp.bfloat16)
@@ -699,7 +770,7 @@ def test_streaming_flusher_error_surfaces_on_main_thread():
     try:
         boom = RuntimeError("flush boom")
 
-        def bad_flush(b, bufs):
+        def bad_flush(b, bufs, counts_dev=None):
             raise boom
 
         st._flush_band = bad_flush

@@ -213,7 +213,7 @@ def test_omecsv_header_and_content(tmp_path):
 
 def test_omecsv_vectorized_rows_match_scalar_oracle():
     """The column-wise string assembly is byte-identical to naive f-strings."""
-    from wsinsight_tpu.writers.omecsv import _dataframe_to_omecsv
+    from wsinsight_tpu.writers.omecsv import _render_table
 
     rng = np.random.default_rng(7)
     n = 40
@@ -224,7 +224,7 @@ def test_omecsv_vectorized_rows_match_scalar_oracle():
     miny2 = rng.integers(0, 99999, n)
     maxx2, maxy2 = minx2 + 224, miny2 + 224
 
-    got = _dataframe_to_omecsv(df, list(df.columns), minx2, miny2, maxx2, maxy2)
+    got = _render_table(df, list(df.columns), (minx2, miny2, maxx2, maxy2), "prob_")
 
     arr = df.to_numpy()
     names = np.array(list("abc"))

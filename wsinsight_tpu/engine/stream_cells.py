@@ -39,7 +39,10 @@ from typing import List, NamedTuple
 
 import numpy as np
 
-from ..ops.hv_postproc import extract_instance_labels
+from ..ops.hv_postproc import (
+    extract_instance_labels,
+    extract_instance_labels_from_proposal,
+)
 from ..uri_path import URIPath
 from ..utils.workers import governed_workers
 from .data import PatchBatchSource
@@ -173,6 +176,17 @@ class BandedCellStitcher:
         self._sparse_windows = mode == "u8" and os.getenv(
             "WSINSIGHT_STREAM_SPARSE", "1"
         ) not in ("0", "")
+        # Device marker proposal (VERDICT r3 #10): the window kernel ships
+        # fg + boundary bitmasks and the integer watershed basin instead of
+        # raw energy, removing the host's energy/basin stage entirely. Only
+        # meaningful with the integer tail (it IS the integer basin) and the
+        # sparse transfer (the basin gather needs the fg count cap).
+        self._basin_device = (
+            self._sparse_windows
+            and os.getenv("WSINSIGHT_STREAM_BASIN", "device") == "device"
+            and os.getenv("WSINSIGHT_HV_BASIN", "int")
+            not in ("f32", "float32", "float")
+        )
         (
             self._scatter_fused,
             self._window_stage,
@@ -180,6 +194,7 @@ class BandedCellStitcher:
             self._window_counts,
             self._window_stage_sparse,
             self._class_sums_from_fg,
+            self._window_stage_proposal,
         ) = _cached_kernels(self.s, self.k, float(self.alpha), mode)
 
     def _warm_kernels_async(self) -> None:
@@ -225,7 +240,11 @@ class BandedCellStitcher:
                         tuple(sizes) + ((y1 - y0, self.w),),
                     )
                 for wh_, ww_ in dict.fromkeys(sizes):  # unique, order kept
-                    if self._sparse_windows:
+                    if self._basin_device:
+                        self._window_stage_proposal(
+                            np_b, hv_b, 0, 0, int(wh_), int(ww_), 4096
+                        )
+                    elif self._sparse_windows:
                         self._window_stage_sparse(
                             np_b, hv_b, 0, 0, int(wh_), int(ww_), 4096
                         )
@@ -322,10 +341,61 @@ class BandedCellStitcher:
                 self._enqueue_flush(b)
 
     # -- streaming finalize ---------------------------------------------------
+    def _window_specs(self, b: int) -> tuple[list, np.ndarray, tuple]:
+        """Tile-window geometry for band b: (specs, starts, sizes).
+
+        One spec per tile: (x0, x1, wy0, wx0, r0, c0, wh, ww) — context-
+        padded and clipped like the classic path. `starts`/`sizes` append
+        the band-INTERIOR row used by the sparse count fetch.
+        """
+        y0 = self._band_origin(b)
+        y1 = min(y0 + self.band_h, self.h)
+        top = self._buffer_top(b)
+        specs = []
+        for x0 in range(0, self.w, self.tile):
+            x1 = min(x0 + self.tile, self.w)
+            wy0, wy1 = max(0, y0 - self.pad), min(self.h, y1 + self.pad)
+            wx0, wx1 = max(0, x0 - self.pad), min(self.w, x1 + self.pad)
+            specs.append(
+                (x0, x1, wy0, wx0, wy0 - top, wx0 + self.s, wy1 - wy0, wx1 - wx0)
+            )
+        interior = (y0 - top, self.s, y1 - y0, self.w)
+        sizes = tuple((sp[6], sp[7]) for sp in specs) + ((interior[2], interior[3]),)
+        starts = np.array(
+            [(sp[4], sp[5]) for sp in specs] + [(interior[0], interior[1])], np.int32
+        )
+        return specs, starts, sizes
+
     def _enqueue_flush(self, b: int) -> None:
         if self._flush_err:
             raise self._flush_err[0]
-        self._flush_q.put((b, self._bands.pop(b)))
+        bufs = self._bands.pop(b)
+        # Dispatch the band's sparse foreground-count fetch NOW, on the main
+        # thread, and start its D2H in the background: by the time a flusher
+        # picks the band up the tiny counts array has usually landed, where a
+        # synchronous fetch on the flusher thread used to put a full device
+        # round-trip (dispatch + compute + D2H) on the tail's critical path
+        # (measured 17% of the stage ledger on the tunnel-linked bench host).
+        counts_dev = None
+        if self._sparse_windows and self._band_origin(b) < self.h:
+            _, starts, sizes = self._window_specs(b)
+            with _stage("flush.counts_dispatch"):
+                try:
+                    counts_dev = self._window_counts(
+                        bufs[0], self._jnp.asarray(starts), sizes
+                    )
+                    try:
+                        counts_dev.copy_to_host_async()
+                    except Exception:
+                        pass
+                except Exception:  # backend without nonzero/packbits support
+                    logger.warning(
+                        "sparse window transfer unavailable on this backend; "
+                        "falling back to dense windows"
+                    )
+                    self._sparse_windows = False
+                    counts_dev = None
+        self._flush_q.put((b, bufs, counts_dev))
 
     def _flush_worker(self) -> None:
         while True:
@@ -340,7 +410,7 @@ class BandedCellStitcher:
             finally:
                 self._flush_q.task_done()
 
-    def _flush_band(self, b: int, bufs: tuple) -> None:
+    def _flush_band(self, b: int, bufs: tuple, counts_dev=None) -> None:
         np_b, hv_b, tp_b = bufs
         jnp = self._jnp
         y0 = self._band_origin(b)
@@ -361,48 +431,31 @@ class BandedCellStitcher:
         # O(n_tiles) window temps in HBM/host RAM.
         from collections import deque
 
-        # Window geometry (context-padded, clipped like the classic path),
-        # one spec per tile: (x0, x1, wy0, wx0, r0, c0, wh, ww).
-        specs = []
-        for x0 in range(0, self.w, self.tile):
-            x1 = min(x0 + self.tile, self.w)
-            wy0, wy1 = max(0, y0 - self.pad), min(self.h, y1 + self.pad)
-            wx0, wx1 = max(0, x0 - self.pad), min(self.w, x1 + self.pad)
-            specs.append(
-                (x0, x1, wy0, wx0, wy0 - top, wx0 + self.s, wy1 - wy0, wx1 - wx0)
-            )
+        specs, _, _ = self._window_specs(b)
 
         # Sparse mode: one tiny count fetch per band — (n_tiles) padded-window
         # counts decide each window's static gather cap (and let empty
         # windows skip their dispatch AND fetch entirely), and a final
-        # band-INTERIOR count sizes the class-sums id upload below.
+        # band-INTERIOR count sizes the class-sums id upload below. The
+        # fetch itself was dispatched at enqueue time on the main thread
+        # (_enqueue_flush); here we only resolve it.
         fg_counts = None
         band_fg = None
-        if self._sparse_windows:
+        if self._sparse_windows and counts_dev is not None:
             with _stage("flush.window_counts"):
-                interior_spec = (y0 - top, self.s, y1 - y0, self.w)
-                sizes = tuple((sp[6], sp[7]) for sp in specs) + (
-                    (interior_spec[2], interior_spec[3]),
-                )
-                starts = np.array(
-                    [(sp[4], sp[5]) for sp in specs]
-                    + [(interior_spec[0], interior_spec[1])],
-                    np.int32,
-                )
                 try:
-                    fg_counts = np.asarray(
-                        self._window_counts(np_b, self._jnp.asarray(starts), sizes)
-                    )
-                except Exception:  # backend without nonzero/packbits support
+                    fg_counts = np.asarray(counts_dev)
+                except Exception:  # backend quirk surfaced at fetch time
                     logger.warning(
-                        "sparse window transfer unavailable on this backend; "
+                        "sparse window counts fetch failed; "
                         "falling back to dense windows"
                     )
                     self._sparse_windows = False
             # Assembled from the window bitmask interiors as they land: the
             # SAME foreground definition the device recomputes, so the id
             # upload below can ride fg raster order with no index lane.
-            band_fg = np.zeros((y1 - y0, self.w), bool)
+            if fg_counts is not None:
+                band_fg = np.zeros((y1 - y0, self.w), bool)
 
         def dispatch_window(i):
             x0, x1, wy0, wx0, r0, c0, wh, ww = specs[i]
@@ -413,20 +466,37 @@ class BandedCellStitcher:
                     if cnt == 0:  # no foreground: skip dispatch AND fetch
                         return (x0, x1, wy0, wx0, "empty", None)
                     cap = _bucket(cnt, 4096, step=2)
-                    try:
-                        staged = (
-                            "sparse",
-                            (
-                                self._window_stage_sparse(
-                                    np_b, hv_b, r0, c0, int(wh), int(ww), cap
+                    if self._basin_device:
+                        try:
+                            staged = (
+                                "proposal",
+                                (
+                                    self._window_stage_proposal(
+                                        np_b, hv_b, r0, c0, int(wh), int(ww), cap
+                                    ),
                                 ),
-                            ),
-                        )
-                    except Exception:  # backend quirk: revert to dense
-                        logger.warning(
-                            "sparse window stage failed; falling back to dense"
-                        )
-                        self._sparse_windows = False
+                            )
+                        except Exception:  # backend quirk: host basin instead
+                            logger.warning(
+                                "device basin proposal failed; "
+                                "falling back to the host integer basin"
+                            )
+                            self._basin_device = False
+                    if staged is None:
+                        try:
+                            staged = (
+                                "sparse",
+                                (
+                                    self._window_stage_sparse(
+                                        np_b, hv_b, r0, c0, int(wh), int(ww), cap
+                                    ),
+                                ),
+                            )
+                        except Exception:  # backend quirk: revert to dense
+                            logger.warning(
+                                "sparse window stage failed; falling back to dense"
+                            )
+                            self._sparse_windows = False
                 if staged is None:
                     dense = self._window_stage(np_b, hv_b, r0, c0, int(wh), int(ww))
                     if not isinstance(dense, tuple):
@@ -453,21 +523,42 @@ class BandedCellStitcher:
             wh = min(self.h, y1 + self.pad) - wy0
             ww = min(self.w, x1 + self.pad) - wx0
             with _stage("flush.window_fetch_d2h"):
-                if kind == "sparse":  # sparse: [bitmask rows | fg energy]
+                boundary_win = basin_win = None
+                if kind == "proposal":
+                    # [fg bits | boundary bits | basin lo | basin hi @ fg]:
+                    # the device already ran energy -> boundary -> integer
+                    # basin; the host only unpacks and scatters.
+                    buf = np.asarray(staged[0])
+                    pw = (ww + 7) // 8
+                    nb = wh * pw
+                    np_win = np.unpackbits(buf[:nb].reshape(wh, pw), axis=1)[
+                        :, :ww
+                    ].astype(bool)
+                    boundary_win = np.unpackbits(
+                        buf[nb : 2 * nb].reshape(wh, pw), axis=1
+                    )[:, :ww].astype(bool)
+                    pos = np.flatnonzero(np_win)
+                    cap = (buf.size - 2 * nb) // 2
+                    lo = buf[2 * nb : 2 * nb + pos.size].astype(np.int32)
+                    hi = buf[2 * nb + cap : 2 * nb + cap + pos.size].astype(np.int32)
+                    basin_win = np.zeros((wh, ww), np.float32)
+                    basin_win.ravel()[pos] = -(lo | (hi << 8)).astype(np.float32)
+                elif kind == "sparse":  # sparse: [bitmask rows | fg energy]
                     buf = np.asarray(staged[0])
                     pw = (ww + 7) // 8
                     np_win = np.unpackbits(
                         buf[: wh * pw].reshape(wh, pw), axis=1
                     )[:, :ww].astype(bool)
                     pos = np.flatnonzero(np_win)
-                    energy_win = np.zeros((wh, ww), np.float32)
-                    energy_win.ravel()[pos] = (
-                        buf[wh * pw : wh * pw + pos.size].astype(np.float32) / 255.0
-                    )
+                    # u8 fixed-point straight through: the integer tail
+                    # (ops/hv_postproc) consumes e*255 natively, so no /255
+                    # float conversion pass over a multi-megapixel window.
+                    energy_win = np.zeros((wh, ww), np.uint8)
+                    energy_win.ravel()[pos] = buf[wh * pw : wh * pw + pos.size]
                 elif len(staged) == 1:  # fused u8 plane: [bitmask | energy]
                     fused = np.asarray(staged[0])
                     pack_w = fused.shape[1] - ww
-                    energy_win = fused[:, pack_w:].astype(np.float32) / 255.0
+                    energy_win = np.ascontiguousarray(fused[:, pack_w:])
                     np_win = np.unpackbits(fused[:, :pack_w], axis=1)[:, :ww].astype(bool)
                 else:
                     np_u8, energy = staged
@@ -483,9 +574,15 @@ class BandedCellStitcher:
             if band_fg is not None:  # fg raster map for the id-only upload
                 band_fg[:, x0:x1] = np_win[interior]
             with _stage("flush.extract_instances"):
-                labels, ids, boxes, polys = extract_instance_labels(
-                    np_win, energy_win, interior, self.min_object_size
-                )
+                if kind == "proposal":
+                    labels, ids, boxes, polys = extract_instance_labels_from_proposal(
+                        np_win, boundary_win, basin_win, interior,
+                        self.min_object_size,
+                    )
+                else:
+                    labels, ids, boxes, polys = extract_instance_labels(
+                        np_win, energy_win, interior, self.min_object_size
+                    )
             if ids.size == 0:
                 continue
             # relabel tile-locals into band-locals, drop degenerate contours
@@ -765,6 +862,40 @@ def _cached_kernels(s: int, k: int, alpha: float, energy_mode: str):
         vals = e_u8.reshape(-1)[idx]
         return jnp.concatenate([np_bits.reshape(-1), vals])
 
+    def window_stage_proposal(np_b, hv_b, r0, c0, wh, ww, cap):
+        """[fg bits | boundary bits | basin u16 lo | basin u16 hi @ fg].
+
+        The full device-side marker proposal (VERDICT r3 #10): threshold
+        foreground, boundary mask (e_u8 >= 102 = the 0.4 cutoff) and the
+        integer watershed basin, all computed on the accelerator. Every
+        value is an exact integer <= 4080 (exact in f32), so the host tail
+        — reduced to component filtering, seed carving and the watershed —
+        is BIT-IDENTICAL to the host integer path
+        (ops/hv_postproc._integer_basin). Wire: 0.25 B/px of bitmasks plus
+        2 B per foreground pixel.
+        """
+        from ..ops.hv_device import make_blur3_core
+
+        blur3 = make_blur3_core()
+        np_win = jax.lax.dynamic_slice(np_b, (r0, c0), (wh, ww))
+        hv_win = jax.lax.dynamic_slice(hv_b, (r0, c0, 0), (wh, ww, 2)).astype(
+            jnp.float32
+        )
+        energy = energy_core(hv_win)
+        fg = _fg(np_win)
+        e_u8 = jnp.where(
+            fg, jnp.round(jnp.clip(energy, 0.0, 1.0) * 255.0), 0.0
+        )  # f32 integers 0..255, background zeroed (the canonical u8 plane)
+        boundary = e_u8 >= 102.0
+        blur = blur3(jnp.where(fg, 255.0 - e_u8, 0.0))  # integers 0..4080
+        idx = jnp.nonzero(fg.reshape(-1), size=cap, fill_value=0)[0]
+        vals = blur.reshape(-1)[idx].astype(jnp.int32)
+        lo = (vals & 255).astype(jnp.uint8)
+        hi = (vals >> 8).astype(jnp.uint8)
+        fg_bits = jnp.packbits(fg, axis=1)
+        b_bits = jnp.packbits(boundary, axis=1)
+        return jnp.concatenate([fg_bits.reshape(-1), b_bits.reshape(-1), lo, hi])
+
     def class_sums_from_fg(tp_b, np_b, ids, interior, id_cap):
         """Per-instance class sums with an id-ONLY upload.
 
@@ -794,6 +925,7 @@ def _cached_kernels(s: int, k: int, alpha: float, energy_mode: str):
         jax.jit(window_counts, static_argnums=(2,)),
         jax.jit(window_stage_sparse, static_argnums=(4, 5, 6)),
         jax.jit(class_sums_from_fg, static_argnums=(3, 4)),
+        jax.jit(window_stage_proposal, static_argnums=(4, 5, 6)),
     )
 
 def run_streaming_cell_inference(

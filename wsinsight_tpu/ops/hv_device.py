@@ -86,6 +86,40 @@ def make_energy_core(ksize: int = 21):
     return energy
 
 
+def make_blur3_core():
+    """Pure (H, W) f32 -> (H, W) f32 [1,2,1]⊗[1,2,1] convolution, REFLECT_101.
+
+    The integer watershed-basin blur (ops/hv_postproc._integer_basin) on the
+    accelerator: inputs are integers in [0, 255], every product/sum stays
+    <= 16 * 255 = 4080, so f32 arithmetic is EXACT and the device result is
+    bit-identical to the host's integer cv2.sepFilter2D.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    taps = np.array([1.0, 2.0, 1.0], np.float64)
+
+    def _conv1d(x, axis):
+        pad = [(0, 0), (0, 0)]
+        pad[axis] = (1, 1)
+        x = jnp.pad(x, pad, mode="reflect")
+        k = jnp.asarray(taps, jnp.float32)
+        kernel = k.reshape(1, 1, 1, 3) if axis == 1 else k.reshape(1, 1, 3, 1)
+        y = jax.lax.conv_general_dilated(
+            x[None, None],
+            kernel,
+            window_strides=(1, 1),
+            padding="VALID",
+            dimension_numbers=("NCHW", "OIHW", "NCHW"),
+        )
+        return y[0, 0]
+
+    def blur3(x):
+        return _conv1d(_conv1d(x.astype(jnp.float32), axis=1), axis=0)
+
+    return blur3
+
+
 def make_energy_fn(ksize: int = 21):
     """Jitted (B, H, W, 2) HV -> (B, H, W) raw separation energy."""
     import jax

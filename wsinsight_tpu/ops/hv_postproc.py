@@ -18,6 +18,14 @@ Measurement computes all bounding boxes and per-class mean probabilities in
 single vectorised passes over the label image (sorted-pixel grouping +
 per-class bincount) rather than per-instance region loops.
 
+The default tail is the EXACT-INTEGER formulation: energy as u8 fixed-point
+(e*255) and the basin as an integer [1,2,1]⊗[1,2,1] convolution (see
+``_integer_basin``) — order-equivalent to the float Gaussian recipe over u8
+energy, one integer filter pass instead of several f32 image passes, and
+bit-identical whether evaluated here or in the streaming engine's device
+window kernel (engine/stream_cells.py window_stage_proposal).
+``WSINSIGHT_HV_BASIN=f32`` restores the float recipe end-to-end.
+
 Alignment guarantee: the returned bbox / prob / polygon lists are always the
 same length — an instance whose contour is degenerate (< 3 vertices) is
 dropped from all three. The reference keeps such instances in its bbox and
@@ -44,6 +52,7 @@ except Exception:
 # Numeric contract shared with the reference (tilefuse.py:39-103):
 _FG_THRESHOLD = 0.5       # nucleus-probability cutoff
 _BOUNDARY_THRESHOLD = 0.4  # separation-energy cutoff for seed carving
+_BOUNDARY_U8 = 102         # the same cutoff on the u8 wire: 0.4 * 255 exactly
 _SOBEL_KSIZE = 21          # large-support gradient of the HV field
 _SEED_OPEN_KSIZE = 5       # elliptic opening applied to seed blobs
 
@@ -93,14 +102,6 @@ def _fill_holes(mask: np.ndarray) -> np.ndarray:
     return (mask | (ff[1:-1, 1:-1] == 0)).astype(np.uint8)
 
 
-def _foreground(np_map: np.ndarray, min_size: int) -> np.ndarray:
-    """Boolean nucleus foreground: threshold then drop small components."""
-    raw = np_map >= _FG_THRESHOLD
-    if not raw.any():
-        return raw
-    return _label_small_filtered(raw.astype(np.uint8), int(min_size)) > 0
-
-
 def raw_separation_energy(hv_map: np.ndarray) -> np.ndarray:
     """Foreground-independent part of the separation energy (host/cv2 path).
 
@@ -127,12 +128,57 @@ def _separation_energy(
     — foreground and background never mix arithmetically, so this is
     bit-identical to the earlier f64 round trip at a fraction of the
     memory traffic (the flusher's windows are multi-megapixel)."""
-    energy = (raw_separation_energy(hv_map) if raw is None else raw).astype(
-        np.float32, copy=True
-    )
+    if raw is None:
+        energy = raw_separation_energy(hv_map).astype(np.float32, copy=True)
+    elif raw.dtype == np.uint8:  # streaming wire format: e * 255 fixed-point
+        energy = raw.astype(np.float32) / 255.0
+    else:
+        energy = raw.astype(np.float32, copy=True)
     energy[~fg] = 0.0
     np.clip(energy, 0.0, None, out=energy)
     return energy
+
+
+def _energy_u8(
+    hv_map: np.ndarray | None, fg_raw: np.ndarray, raw: np.ndarray | None
+) -> np.ndarray:
+    """Separation energy as fixed-point u8 (e/255), background zeroed.
+
+    This is the canonical representation of the integer tail: one u8 plane
+    instead of three+ f32 passes. A u8 `raw` (the streaming engine's wire
+    format) passes through untouched; f32 raw energy / the host Sobel are
+    quantised with the SAME round-half-even the device kernels use, so host
+    and device agree bit-for-bit. Masking uses the UNFILTERED threshold
+    foreground (np >= 0.5) so a device that never sees the host's
+    small-component filter computes the identical plane; the size filter
+    still governs the watershed mask and the seeds (``segment_instances``).
+    """
+    if raw is not None and raw.dtype == np.uint8:
+        e_u8 = raw.copy()
+    else:
+        e_f = raw_separation_energy(hv_map) if raw is None else raw
+        # np.rint = round-half-even, matching jnp.round on device.
+        e_u8 = np.rint(np.clip(e_f, 0.0, 1.0) * 255.0).astype(np.uint8)
+    e_u8[~fg_raw] = 0
+    return e_u8
+
+
+def _integer_basin(e_u8: np.ndarray, fg_raw: np.ndarray) -> np.ndarray:
+    """Watershed basin from u8 energy, in EXACT integer arithmetic.
+
+    The float recipe is ``-GaussianBlur3x3((1 - e) * fg)`` with the fixed
+    [1,2,1]/4 taps cv2 uses at ksize=3. Over u8-quantised energy that equals
+    ``-conv([1,2,1]⊗[1,2,1], fg ? 255 - e_u8 : 0) / (255 * 16)`` — and the
+    watershed only consumes the ORDERING of basin values, so the division
+    can be dropped and the convolution kept in integers (max 16*255 = 4080,
+    exact in int16 and in f32). One integer sepFilter2D pass replaces the
+    mask/subtract/multiply/blur float pipeline, and a device computing the
+    same convolution produces bit-identical values (no float fuzz).
+    """
+    masked = np.where(fg_raw, 255 - e_u8.astype(np.int16), 0).astype(np.uint8)
+    k = np.array([1.0, 2.0, 1.0], np.float32)
+    blur = cv2.sepFilter2D(masked, cv2.CV_16S, k, k)  # REFLECT_101, like blur
+    return -blur.astype(np.float32)
 
 
 def _seeds(fg: np.ndarray, boundary: np.ndarray, min_size: int) -> np.ndarray:
@@ -153,24 +199,51 @@ def _seeds(fg: np.ndarray, boundary: np.ndarray, min_size: int) -> np.ndarray:
     return _label_small_filtered(cleaned, int(min_size))
 
 
+def _use_float_basin() -> bool:
+    import os
+
+    return os.getenv("WSINSIGHT_HV_BASIN", "int") in ("f32", "float32", "float")
+
+
 def segment_instances(
     np_map: np.ndarray,
     hv_map: np.ndarray,
     min_object_size: int,
     raw_energy: np.ndarray | None = None,
 ) -> np.ndarray:
-    """Instance map (H, W) int32 from an NP prob map and HV offset maps."""
+    """Instance map (H, W) int32 from an NP prob map and HV offset maps.
+
+    Default tail is the exact-integer formulation (u8 energy + integer
+    basin, see ``_integer_basin``) shared bit-for-bit with the device
+    kernels; ``WSINSIGHT_HV_BASIN=f32`` restores the reference's float
+    recipe end-to-end (f32 energy, float Gaussian basin, energy masked by
+    the size-FILTERED foreground).
+    """
     with _stage("hv.foreground"):
-        fg = _foreground(np_map, min_object_size)
+        fg_raw = (
+            np_map >= _FG_THRESHOLD
+            if np_map.dtype != bool
+            else np_map
+        )
+        if not fg_raw.any():
+            return np.zeros(np_map.shape[:2], dtype=np.int32)
+        fg = _label_small_filtered(fg_raw.astype(np.uint8), int(min_object_size)) > 0
         if not fg.any():
             return np.zeros(np_map.shape[:2], dtype=np.int32)
 
-    with _stage("hv.energy_basin"):
-        energy = _separation_energy(hv_map, fg, raw=raw_energy)
-        basin = (1.0 - energy) * fg  # deep inside nuclei, shallow at contacts
-        basin = -cv2.GaussianBlur(basin.astype(np.float32), (3, 3), 0)
+    if _use_float_basin():
+        with _stage("hv.energy_basin"):
+            energy = _separation_energy(hv_map, fg, raw=raw_energy)
+            basin = (1.0 - energy) * fg  # deep in nuclei, shallow at contacts
+            basin = -cv2.GaussianBlur(basin.astype(np.float32), (3, 3), 0)
+            boundary = energy >= _BOUNDARY_THRESHOLD
+    else:
+        with _stage("hv.energy_basin"):
+            e_u8 = _energy_u8(hv_map, fg_raw, raw_energy)
+            basin = _integer_basin(e_u8, fg_raw)
+            boundary = e_u8 >= _BOUNDARY_U8
     with _stage("hv.seeds"):
-        markers = _seeds(fg, energy >= _BOUNDARY_THRESHOLD, min_object_size)
+        markers = _seeds(fg, boundary, min_object_size)
     with _stage("hv.watershed"):
         return watershed(basin, markers, mask=fg).astype(np.int32)
 
@@ -240,6 +313,26 @@ def _instance_polygon(patch: np.ndarray) -> np.ndarray | None:
     return ring
 
 
+def _measure_labels(
+    labels: np.ndarray,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, List[np.ndarray | None]]:
+    """(labels, ids, boxes, polygons) measurement shared by the streaming
+    extraction entry points; polygons[i] is None when degenerate."""
+    with _stage("hv.measure_polygons"):
+        ids, boxes = _grouped_bboxes(labels)
+        polys: List[np.ndarray | None] = []
+        for i in range(ids.size):
+            x, y, w, h = (int(v) for v in boxes[i])
+            patch = (labels[y : y + h, x : x + w] == ids[i]).astype(np.uint8)
+            ring = _instance_polygon(patch)
+            if ring is not None:
+                ring = ring.copy()
+                ring[:, 0] += x
+                ring[:, 1] += y
+            polys.append(ring)
+        return labels, ids, boxes, polys
+
+
 def extract_instance_labels(
     np_tile: np.ndarray,
     raw_energy: np.ndarray,
@@ -255,19 +348,38 @@ def extract_instance_labels(
     everywhere so the alignment guarantee holds.
     """
     labels = segment_instances(np_tile, None, min_object_size, raw_energy)[interior_slice]
-    with _stage("hv.measure_polygons"):
-        ids, boxes = _grouped_bboxes(labels)
-        polys: List[np.ndarray | None] = []
-        for i in range(ids.size):
-            x, y, w, h = (int(v) for v in boxes[i])
-            patch = (labels[y : y + h, x : x + w] == ids[i]).astype(np.uint8)
-            ring = _instance_polygon(patch)
-            if ring is not None:
-                ring = ring.copy()
-                ring[:, 0] += x
-                ring[:, 1] += y
-            polys.append(ring)
-        return labels, ids, boxes, polys
+    return _measure_labels(labels)
+
+
+def extract_instance_labels_from_proposal(
+    fg_raw: np.ndarray,
+    boundary: np.ndarray,
+    basin: np.ndarray,
+    interior_slice: tuple[slice, slice],
+    min_object_size: int,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, List[np.ndarray | None]]:
+    """Like ``extract_instance_labels``, from a DEVICE-computed proposal.
+
+    The streaming engine's proposal window kernel ships the threshold
+    foreground, the boundary mask (e_u8 >= 102) and the negated integer
+    basin (see ``_integer_basin``) — all computed on the accelerator in
+    exact integer arithmetic, so this path is bit-identical to the host
+    tail. What remains here is the intrinsically sequential part:
+    connected-component size filtering, seed carving and the watershed.
+    """
+    with _stage("hv.foreground"):
+        if not fg_raw.any():
+            z = np.zeros(fg_raw.shape, np.int32)[interior_slice]
+            return z, np.empty(0, np.int32), np.empty((0, 4), np.int32), []
+        fg = _label_small_filtered(fg_raw.astype(np.uint8), int(min_object_size)) > 0
+        if not fg.any():
+            z = np.zeros(fg_raw.shape, np.int32)[interior_slice]
+            return z, np.empty(0, np.int32), np.empty((0, 4), np.int32), []
+    with _stage("hv.seeds"):
+        markers = _seeds(fg, boundary, min_object_size)
+    with _stage("hv.watershed"):
+        labels = watershed(basin, markers, mask=fg).astype(np.int32)[interior_slice]
+    return _measure_labels(labels)
 
 
 def extract_instances(
