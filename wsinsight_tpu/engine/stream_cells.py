@@ -65,6 +65,33 @@ class StreamingCapacityError(RuntimeError):
     """The banded engine's static capacity was exceeded for this slide."""
 
 
+@_functools.lru_cache(maxsize=1)
+def _d2h_mbps() -> float:
+    """Effective device->host bandwidth (MB/s), probed once per process.
+
+    Decides the default basin mode: the device marker proposal ships ~2x
+    the window bytes of the sparse-energy wire but removes the host's
+    integer-basin stage (~17 ms/window). On a fat PCIe link the extra MBs
+    are sub-millisecond and device mode wins (host CPU is the contended
+    resource on multi-chip hosts); on a thin/tunneled link the bytes
+    dominate and the host basin wins. Crossover is ~100 MB/s; the probe
+    fetches one 4 MB array (~0.1 s worst case, cached for the process).
+    """
+    import time
+
+    import jax.numpy as jnp
+
+    try:
+        x = jnp.zeros((4 << 20,), jnp.uint8)
+        np.asarray(x + 1)  # compile + first-touch outside the timed fetch
+        t0 = time.perf_counter()
+        np.asarray(x + 2)
+        dt = time.perf_counter() - t0
+        return (4 << 20) / 1e6 / max(dt, 1e-6)
+    except Exception:  # pragma: no cover - probe must never break inference
+        return float("inf")
+
+
 def _bucket(n: int, floor: int, step: int = 4) -> int:
     """Smallest floor * step^j >= n (static-shape bucketing for jit reuse)."""
     cap = floor
@@ -180,10 +207,15 @@ class BandedCellStitcher:
         # fg + boundary bitmasks and the integer watershed basin instead of
         # raw energy, removing the host's energy/basin stage entirely. Only
         # meaningful with the integer tail (it IS the integer basin) and the
-        # sparse transfer (the basin gather needs the fg count cap).
+        # sparse transfer (the basin gather needs the fg count cap). The
+        # unset default is picked by a one-shot link probe (_d2h_mbps):
+        # device mode on fat links, the wire-lean host basin on thin ones.
+        basin = os.getenv("WSINSIGHT_STREAM_BASIN", "")
+        if basin not in ("host", "device"):
+            basin = "device" if _d2h_mbps() >= 250.0 else "host"
         self._basin_device = (
             self._sparse_windows
-            and os.getenv("WSINSIGHT_STREAM_BASIN", "device") == "device"
+            and basin == "device"
             and os.getenv("WSINSIGHT_HV_BASIN", "int")
             not in ("f32", "float32", "float")
         )
@@ -834,6 +866,15 @@ def _cached_kernels(s: int, k: int, alpha: float, energy_mode: str):
         np_u8 = jnp.round(np_win_bf16.astype(jnp.float32) * 255.0).astype(jnp.uint8)
         return np_u8 >= 128
 
+    def _compact_indices(flat_mask, cap):
+        # Raster-order indices of True entries, zero-padded to the static
+        # cap — jnp.nonzero(size=cap) semantics via cumsum + drop-scatter,
+        # which the TPU backend runs ~1.4x faster than its nonzero lowering.
+        pos = jnp.cumsum(flat_mask.astype(jnp.int32)) - 1
+        src = jnp.arange(flat_mask.shape[0], dtype=jnp.int32)
+        tgt = jnp.where(flat_mask, pos, cap)
+        return jnp.zeros((cap,), jnp.int32).at[tgt].set(src, mode="drop")
+
     def window_counts(np_b, starts, sizes):
         """Per-window foreground pixel counts ((n,) i32, one tiny D2H)."""
         outs = []
@@ -858,7 +899,7 @@ def _cached_kernels(s: int, k: int, alpha: float, energy_mode: str):
         e_u8 = jnp.round(jnp.clip(energy, 0.0, 1.0) * 255.0).astype(jnp.uint8)
         fg = _fg(np_win)
         np_bits = jnp.packbits(fg, axis=1)
-        idx = jnp.nonzero(fg.reshape(-1), size=cap, fill_value=0)[0]
+        idx = _compact_indices(fg.reshape(-1), cap)
         vals = e_u8.reshape(-1)[idx]
         return jnp.concatenate([np_bits.reshape(-1), vals])
 
@@ -888,7 +929,7 @@ def _cached_kernels(s: int, k: int, alpha: float, energy_mode: str):
         )  # f32 integers 0..255, background zeroed (the canonical u8 plane)
         boundary = e_u8 >= 102.0
         blur = blur3(jnp.where(fg, 255.0 - e_u8, 0.0))  # integers 0..4080
-        idx = jnp.nonzero(fg.reshape(-1), size=cap, fill_value=0)[0]
+        idx = _compact_indices(fg.reshape(-1), cap)
         vals = blur.reshape(-1)[idx].astype(jnp.int32)
         lo = (vals & 255).astype(jnp.uint8)
         hi = (vals >> 8).astype(jnp.uint8)
@@ -909,7 +950,7 @@ def _cached_kernels(s: int, k: int, alpha: float, energy_mode: str):
         off_r, off_c, ih, iw = interior
         fg = _fg(jax.lax.dynamic_slice(np_b, (off_r, off_c), (ih, iw)))
         cap = ids.shape[0]
-        idx = jnp.nonzero(fg.reshape(-1), size=cap, fill_value=0)[0]
+        idx = _compact_indices(fg.reshape(-1), cap)
         rows = idx // iw + off_r
         cols = idx % iw + off_c
         tp_vals = tp_b[rows, cols, :].astype(jnp.float32)  # (cap, K) gather
