@@ -25,23 +25,20 @@ def segment_tissue(
     min_hole_size_px: int = 1024,
 ) -> npt.NDArray[np.bool_]:
     """Create a boolean tissue mask from an RGB thumbnail array."""
-    im_arr = np.asarray(im_arr)
-    assert im_arr.ndim == 3
-    assert im_arr.shape[2] == 3
-
-    if median_filter_size <= 1 or median_filter_size % 2 == 0:
+    rgb = np.asarray(im_arr)
+    if rgb.ndim != 3 or rgb.shape[-1] != 3:
+        raise ValueError(f"expected an (H, W, 3) RGB array, got shape {rgb.shape}")
+    if median_filter_size % 2 == 0 or median_filter_size <= 1:
         raise ValueError(
-            "median_filter_size must be greater than 1 and odd, but got"
-            f" {median_filter_size}"
+            f"median_filter_size must be odd and > 1 (got {median_filter_size})"
         )
 
-    hsv = cv.cvtColor(im_arr, cv.COLOR_RGB2HSV)
-    sat = hsv[:, :, 1]
-    sat = cv.medianBlur(sat, median_filter_size)
-    _, binary = cv.threshold(sat, thresh=binary_threshold, maxval=255, type=cv.THRESH_BINARY)
-    mask: npt.NDArray[np.bool_] = binary > 0
+    # Saturation separates stained tissue from the near-grey glass background.
+    saturation = cv.cvtColor(rgb, cv.COLOR_RGB2HSV)[..., 1]
+    denoised = cv.medianBlur(saturation, median_filter_size)
+    mask = denoised > binary_threshold
 
-    mask = binary_closing(mask, np.ones((closing_kernel_size, closing_kernel_size), bool))
+    footprint = np.ones((closing_kernel_size,) * 2, bool)
+    mask = binary_closing(mask, footprint)
     mask = remove_small_objects(mask, min_size=min_object_size_px)
-    mask = remove_small_holes(mask, area_threshold=min_hole_size_px)
-    return mask
+    return remove_small_holes(mask, area_threshold=min_hole_size_px)

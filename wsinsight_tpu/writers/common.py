@@ -21,29 +21,24 @@ def shrunk_boxes(
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
     """Patch boxes shrunk by `overlap`, centered: (minx, miny, maxx, maxy).
 
-    pw = rint(w * (1 - overlap)) with the remainder split evenly (rint), so a
-    0-overlap grid round-trips exactly.
+    The kept extent is rint(size * (1 - overlap)) and the leftover margin is
+    split evenly (rint again), so a 0-overlap grid round-trips exactly.
     """
-    xywh = df[["minx", "miny", "width", "height"]].to_numpy(dtype=np.int64, copy=False)
-    minx, miny, w, h = xywh.T
+    cols = df[["minx", "miny", "width", "height"]].to_numpy(np.int64, copy=False)
+    origin, size = cols[:, :2], cols[:, 2:]
 
-    pw = np.rint(w * (1.0 - overlap)).astype(np.int64)
-    ph = np.rint(h * (1.0 - overlap)).astype(np.int64)
-    pmx = np.rint((w - pw) * 0.5).astype(np.int64)
-    pmy = np.rint((h - ph) * 0.5).astype(np.int64)
-
-    minx2 = minx + pmx
-    miny2 = miny + pmy
-    return minx2, miny2, minx2 + pw, miny2 + ph
+    kept = np.rint(size * (1.0 - overlap)).astype(np.int64)
+    lo = origin + np.rint((size - kept) * 0.5).astype(np.int64)
+    hi = lo + kept
+    return lo[:, 0], lo[:, 1], hi[:, 0], hi[:, 1]
 
 
 def iter_files(path, *, suffix: Optional[str] = None):
     """Yield the files directly inside `path` (URIPath- and Path-compatible),
     optionally filtered by suffix."""
-    if isinstance(path, URIPath):
-        iterator = path.iterdir(files_only=True)
-    else:
-        iterator = (child for child in path.iterdir() if child.is_file())
-    for child in iterator:
-        if suffix is None or child.suffix == suffix:
-            yield child
+    children = (
+        path.iterdir(files_only=True)
+        if isinstance(path, URIPath)
+        else filter(lambda c: c.is_file(), path.iterdir())
+    )
+    yield from (c for c in children if suffix in (None, c.suffix))
