@@ -252,3 +252,21 @@ def test_models_convert_report(tmp_path):
     res3 = runner.invoke(cli, ["models"], catch_exceptions=False)
     assert res3.exit_code == 0
     assert "resnet34" in res3.output
+
+
+def test_run_adopts_every_patch_and_infer_param():
+    """`run` must forward the full union of the stage params (reference:
+    wsinsight/cli/run.py:89-155 kept hand-written lists that drifted; ours is
+    derived from the subcommands' click declarations, so any flag added to
+    `patch` or `infer` appears on `run` automatically)."""
+    from wsinsight_tpu.cli.infer import infer
+    from wsinsight_tpu.cli.patch import patch
+    from wsinsight_tpu.cli.run import run
+
+    run_params = {p.name for p in run.params}
+    stage_params = {p.name for p in patch.params} | {p.name for p in infer.params}
+    missing = stage_params - run_params
+    assert not missing, f"run does not forward stage params: {sorted(missing)}"
+    # and run adds nothing beyond the stages except its own --qupath flag
+    extra = run_params - stage_params - {"qupath"}
+    assert not extra, f"unexpected run-only params: {sorted(extra)}"
