@@ -373,6 +373,146 @@ def bench_e2e_input_pipeline(fast: bool) -> dict:
 
 
 # ---------------------------------------------------------------------------
+# Aux 1a: decode-free cached-patch e2e (the /images HDF5 cache path)
+# ---------------------------------------------------------------------------
+
+
+def bench_e2e_cached_patches(fast: bool) -> dict:
+    """Decode-free e2e: /images HDF5 cache -> wire -> forward.
+
+    VERDICT r4 #5: the "production TPU-VM hosts are compute-bound on the
+    chip" claim needed a measurement that does not depend on extra decode
+    cores. The /images cache path (reference
+    /root/reference/wsinsight/modellib/data.py /images branch; ours
+    engine/data.py:183-230) skips JPEG decode entirely — host work is an
+    HDF5 chunk read (lzf) plus the optional host resize, so if this rate
+    approaches the device-only rate the pipeline is device-bound even on
+    this 1-CPU host; any gap is wire/dispatch overhead, now visible.
+    """
+    import tempfile
+
+    import jax
+
+    from __graft_entry__ import _build_forward
+    from wsinsight_tpu.engine.data import PatchBatchSource
+    from wsinsight_tpu.patchlib.io import save_hdf5
+
+    patch = 350
+    n = 64 if fast else 529  # mirrors the 8192-px e2e grid (23x23 @ 350 px)
+    rng = np.random.default_rng(3)
+    import cv2
+
+    # Tissue-statistics patches (same spatial-correlation recipe as the e2e
+    # bench) so lzf sees realistic entropy, not worst-case noise.
+    base = rng.normal(0, 1, size=(n, patch // 14, patch // 14, 3)).astype(np.float32)
+    imgs = np.empty((n, patch, patch, 3), np.uint8)
+    for i in range(n):
+        up = cv2.resize(base[i], (patch, patch), interpolation=cv2.INTER_CUBIC)
+        imgs[i] = np.clip(
+            np.stack(
+                [200 + 28 * up[..., 0], 120 + 40 * up[..., 1], 170 + 34 * up[..., 2]],
+                -1,
+            ),
+            0,
+            255,
+        ).astype(np.uint8)
+    del base
+
+    n_side = int(np.ceil(np.sqrt(n)))
+    gy, gx = np.mgrid[0:n_side, 0:n_side]
+    coords = np.stack([gx.ravel() * patch, gy.ravel() * patch], axis=1)[:n].astype(
+        np.int32
+    )
+
+    with tempfile.TemporaryDirectory(prefix="wsinsight_cache_bench_") as td:
+        h5_path = os.path.join(td, "cached.h5")
+        save_hdf5(
+            h5_path, coords, None, np.array([n_side, n_side], np.int32),
+            patch_size=patch, patch_spacing_um_px=0.25, images=imgs,
+            slide_mpp=0.25, slide_width=n_side * patch, slide_height=n_side * patch,
+        )
+
+        forward, params = _build_forward()
+
+        def step(params, batch):
+            with jax.default_matmul_precision("high"):
+                return forward(params, batch)
+
+        step = jax.jit(step)
+        params = jax.device_put(params)
+        batch_size = 8 if fast else 32
+        _ = np.asarray(step(params, np.zeros((batch_size, patch, patch, 3), np.uint8)))
+        _ = np.asarray(step(params, np.zeros((batch_size, 224, 224, 3), np.uint8)))
+
+        from pathlib import Path as _P
+
+        def timed_pass(host_resize):
+            from collections import deque
+
+            src = PatchBatchSource(
+                wsi_path=None, patch_path=_P(h5_path), use_hdf5_images=True,
+                batch_size=batch_size, num_threads=6, host_resize=host_resize,
+            )
+            put = lambda x: jax.device_put(x)  # noqa: E731
+            n_done = 0
+            pending: deque = deque()
+            t0 = time.perf_counter()
+            for b in src.device_prefetch(put, depth=2):
+                pending.append((step(params, b.images), b.n_valid))
+                if len(pending) > 2:
+                    out, nv = pending.popleft()
+                    _ = np.asarray(out)
+                    n_done += nv
+            while pending:
+                out, nv = pending.popleft()
+                _ = np.asarray(out)
+                n_done += nv
+            src.close()
+            return n_done, time.perf_counter() - t0
+
+        # Two interleaved passes per config, best kept (host-noise policy of
+        # the decode e2e bench).
+        n_full, dt_full = timed_pass(None)
+        n_hr, dt_hr = timed_pass((224, 224))
+        n2, dt2 = timed_pass(None)
+        if n2 / dt2 > n_full / dt_full:
+            n_full, dt_full = n2, dt2
+        n_hr2, dt_hr2 = timed_pass((224, 224))
+        if n_hr2 / dt_hr2 > n_hr / dt_hr:
+            n_hr, dt_hr = n_hr2, dt_hr2
+
+        # Cache-read-only rate (no device work): the host-side ceiling of
+        # this path, analogous to decode_only in the decode e2e bench.
+        src = PatchBatchSource(
+            wsi_path=None, patch_path=_P(h5_path), use_hdf5_images=True,
+            batch_size=batch_size, num_threads=6, host_resize=None,
+        )
+        t0 = time.perf_counter()
+        n_read = 0
+        for b in src:
+            n_read += b.n_valid
+        read_dt = time.perf_counter() - t0
+        src.close()
+
+    value = max(n_full / dt_full, n_hr / dt_hr)
+    return {
+        "metric": "e2e_cached_patches_per_sec",
+        "value": round(value, 2),
+        "unit": "patches/s",
+        "n_patches": int(n_full),
+        "full_res_h2d_patches_per_sec": round(n_full / dt_full, 2),
+        "host_resize_patches_per_sec": round(n_hr / dt_hr, 2),
+        "cache_read_only_patches_per_sec": round(n_read / read_dt, 2),
+        "note": (
+            "decode-free /images HDF5 (lzf) cache -> async device_put "
+            "prefetch -> async dispatch; value = best exact-path config. "
+            "Compare against the device-only headline: the gap, if any, is "
+            "wire/dispatch overhead, not decode."
+        ),
+    }
+
+
+# ---------------------------------------------------------------------------
 # Aux 1b: full-slide simulation — the BASELINE.md north-star shape
 # ---------------------------------------------------------------------------
 
@@ -402,7 +542,14 @@ def bench_slide_sim(fast: bool) -> dict:
     from wsinsight_tpu.writers.geojson import _worker as _geojson_worker
     from wsinsight_tpu.zoo import load_local_model, make_random_local_model
 
-    side = 4096 if fast else 24576
+    # 12288 px (~1.2k patches @ 350 px) keeps the full-pipeline shape while
+    # fitting a guaranteed slot inside the driver window every round
+    # (VERDICT r4 #3: 24576 px ran ~79 s and was budget-skipped twice; the
+    # north star scales by tissue patch count). WSINSIGHT_BENCH_SLIDE_SIDE
+    # overrides for a full-size local run.
+    side = int(
+        os.getenv("WSINSIGHT_BENCH_SLIDE_SIDE", "0")
+    ) or (4096 if fast else 12288)
     rng = np.random.default_rng(7)
     base = rng.normal(0, 1, size=(side // 16, side // 16, 3)).astype(np.float32)
     base = cv2.resize(base, (side, side), interpolation=cv2.INTER_CUBIC)
@@ -707,7 +854,7 @@ def bench_cellvit_cells(fast: bool, variant: str | None = None) -> dict:
 # ---------------------------------------------------------------------------
 
 
-def bench_streaming_cells(fast: bool) -> dict:
+def bench_streaming_cells(fast: bool, basin: str | None = None) -> dict:
     """Streaming pipeline throughput with controlled nucleus content.
 
     One timed loop drives the REAL CellViT-256 forward on device and, in the
@@ -716,7 +863,27 @@ def bench_streaming_cells(fast: bool) -> dict:
     production shape, where the flusher thread's watershed tail overlaps the
     next batches' forward. Reported cells/s is wall-clock over the whole
     overlapped pipeline including finalize.
+
+    ``basin`` forces WSINSIGHT_STREAM_BASIN for the whole run: ``None`` keeps
+    the link-probe default (what the CLI ships), ``"device"``/``"host"`` pin
+    one regime so BOTH link configurations land in the official artifact
+    (VERDICT r4 #4: the fat-link device-basin number previously lived only in
+    a script's output).
     """
+    saved_basin = os.environ.get("WSINSIGHT_STREAM_BASIN")
+    if basin is not None:
+        os.environ["WSINSIGHT_STREAM_BASIN"] = basin
+    try:
+        return _bench_streaming_cells_inner(fast, basin)
+    finally:
+        if basin is not None:
+            if saved_basin is None:
+                os.environ.pop("WSINSIGHT_STREAM_BASIN", None)
+            else:
+                os.environ["WSINSIGHT_STREAM_BASIN"] = saved_basin
+
+
+def _bench_streaming_cells_inner(fast: bool, basin: str | None) -> dict:
     import jax
 
     from wsinsight_tpu.engine.stream_cells import BandedCellStitcher
@@ -801,11 +968,14 @@ def bench_streaming_cells(fast: bool) -> dict:
     ).astype(np.int64)
     coords = np.concatenate([coords, np.full((len(coords), 2), patch_px, np.int64)], 1)
 
+    basin_used = {"device": False}
+
     def run_pipeline(step_fn):
         st = BandedCellStitcher(
             n_classes=n_classes, slide_width=side, slide_height=side,
             slide_patch_size=s, slide_halo_size=halo_px, slide_mpp=mpp, model_mpp=mpp,
         )
+        basin_used["device"] = bool(getattr(st, "_basin_device", False))
         last = None
         for i0 in range(0, n_patches, batch_size):
             if step_fn is not None:
@@ -844,8 +1014,15 @@ def bench_streaming_cells(fast: bool) -> dict:
 
     t_bf16, t_high, t_stream = med("bf16"), med("high"), med("stream_only")
     n_cells = len(inst)
+    metric = (
+        f"cellvit_256_streaming_{basin}_basin_cells_per_sec"
+        if basin
+        else "cellvit_256_streaming_cells_per_sec"
+    )
     return {
-        "metric": "cellvit_256_streaming_cells_per_sec",
+        "metric": metric,
+        "basin_mode": "device" if basin_used["device"] else "host",
+        "basin_forced": basin or "probe-default",
         # bf16 matmuls are the production cell setting (the parity budget
         # binds classifier logits; NP/HV feed a 0.5 threshold) — it is the
         # headline; 3-pass "high" precision is the aux number.
@@ -909,16 +1086,13 @@ def main() -> None:
     headline = bench_resnet_device(fast)
     _aux_log(headline)  # full headline (incl. MFU estimate) for the perf log
 
-    # stdout contract: EXACTLY the four driver keys, printed BEFORE any aux
-    # bench runs — a driver-side timeout mid-aux must never cost the official
-    # headline record (round 3's BENCH_r03.json: rc=124, parsed=null, because
-    # this line used to print last).
-    print(
-        json.dumps(
-            {k: headline[k] for k in ("metric", "value", "unit", "vs_baseline")}
-        ),
-        flush=True,
+    headline_line = json.dumps(
+        {k: headline[k] for k in ("metric", "value", "unit", "vs_baseline")}
     )
+    if run_aux:
+        # Timeout insurance: a driver-side kill mid-aux must never cost the
+        # official record (BENCH_r03: rc=124 with the headline queued last).
+        print(headline_line, flush=True)
     if not fast:
         _merge_detail(headline, None)
 
@@ -929,6 +1103,9 @@ def main() -> None:
             raise RuntimeError("skipped in fast mode")
         return bench_cellvit_cells(fast, variant="cellvit-sam-h")
 
+    def bench_streaming_device_basin(fast: bool) -> dict:
+        return bench_streaming_cells(fast, basin="device")
+
     # WSINSIGHT_BENCH_ONLY=e2e,streaming (comma list) narrows the aux set for
     # quick iteration; unset runs everything. Order is priority order under
     # the budget: the BASELINE.md-named SAM-H number runs before the (slow)
@@ -938,20 +1115,34 @@ def main() -> None:
     }
     aux_benches = {
         "e2e": bench_e2e_input_pipeline,
+        "e2e_cached": bench_e2e_cached_patches,
         "cellvit": bench_cellvit_cells,
         "streaming": bench_streaming_cells,
+        "streaming_device": bench_streaming_device_basin,
         "samh": bench_sam_h,
         "slide_sim": bench_slide_sim,
     }
     # Internal wall-clock budget: skip remaining aux benches once spent (the
     # headline has already printed either way). WSINSIGHT_BENCH_BUDGET_SEC
-    # overrides (0 = unlimited).
+    # overrides (0 = unlimited). Benches named in WSINSIGHT_BENCH_RESERVED
+    # run even past the budget — slide_sim gets a guaranteed slot so a fresh
+    # end-to-end wall-clock lands in the driver tail EVERY round (VERDICT r4
+    # #3: it was budget-skipped twice at the old 24.5k-px size).
     budget = float(os.getenv("WSINSIGHT_BENCH_BUDGET_SEC", "1200") or 0)
+    reserved = {
+        t
+        for t in os.getenv("WSINSIGHT_BENCH_RESERVED", "slide_sim").split(",")
+        if t.strip()
+    }
     if run_aux:
         for name, fn in aux_benches.items():
             if only and name not in only:
                 continue
-            if budget and time.perf_counter() - t_start > budget:
+            if (
+                budget
+                and name not in reserved
+                and time.perf_counter() - t_start > budget
+            ):
                 print(
                     f"aux-bench {name} skipped: {budget:.0f}s budget spent",
                     file=sys.stderr,
@@ -964,6 +1155,18 @@ def main() -> None:
                     _merge_detail(None, result)
             except Exception as e:  # aux failures never break the headline
                 print(f"aux-bench {fn.__name__} failed: {e!r}", file=sys.stderr)
+
+    # Driver contract: the driver parses the LAST line of COMBINED
+    # stdout+stderr. BENCH_r01/r02 parsed with the headline printed last;
+    # r03 lost it to rc=124 (hence the early insurance print above); r04
+    # printed it first and a trailing stderr skip-message became the final
+    # line -> parsed=null. So: flush stderr, re-print the exact 4-key JSON
+    # as the very last write, then _exit so no interpreter-teardown output
+    # (thread/GC warnings) can trail it.
+    sys.stderr.flush()
+    print(headline_line, flush=True)
+    sys.stdout.flush()
+    os._exit(0)
 
 
 if __name__ == "__main__":

@@ -80,3 +80,40 @@ def test_bench_emits_single_json_line():
     payload = json.loads(lines[0])
     assert set(payload) == {"metric", "value", "unit", "vs_baseline"}
     assert payload["value"] > 0
+
+
+@pytest.mark.slow
+def test_bench_last_combined_line_is_headline_with_aux():
+    """The driver parses the LAST line of COMBINED stdout+stderr.
+
+    Reproduces the BENCH_r04 failure exactly: aux enabled with a spent
+    budget, so every aux bench prints an `aux-bench ... skipped` message to
+    stderr AFTER the early headline print. The final combined line must
+    still be the 4-key headline JSON (bench.py re-prints it last and
+    _exits). RESERVED is emptied so the guaranteed slide_sim slot does not
+    slow this contract check down.
+    """
+    env = dict(
+        PATH="/usr/bin:/bin:/usr/local/bin",
+        HOME="/root",
+        JAX_PLATFORMS="cpu",
+        PALLAS_AXON_POOL_IPS="",
+        WSINSIGHT_BENCH_FAST="1",
+        WSINSIGHT_BENCH_AUX="1",
+        WSINSIGHT_BENCH_BUDGET_SEC="0.001",  # every aux bench -> skip message
+        WSINSIGHT_BENCH_RESERVED="",
+    )
+    res = subprocess.run(
+        [sys.executable, "bench.py"],
+        stdout=subprocess.PIPE,
+        stderr=subprocess.STDOUT,  # the driver's combined-stream view
+        text=True,
+        timeout=1200,
+        env=env,
+    )
+    assert res.returncode == 0, res.stdout[-2000:]
+    combined = res.stdout.strip().splitlines()
+    assert any("skipped" in ln for ln in combined), combined[-10:]
+    payload = json.loads(combined[-1])
+    assert set(payload) == {"metric", "value", "unit", "vs_baseline"}
+    assert payload["value"] > 0

@@ -104,6 +104,7 @@ def save_hdf5(  # noqa: PLR0913 — kwargs mirror the on-disk schema
     tile_dim: npt.NDArray[np.int_] | None,
     patch_size: int, patch_spacing_um_px: float,
     compression: str | None = "gzip", images: npt.NDArray[np.uint8] | None = None,
+    images_compression: str | None = "lzf",
     slide_path: str | None = None, slide_mpp: float | None = None,
     slide_width: float | None = None, slide_height: float | None = None,
 ) -> None:
@@ -146,8 +147,15 @@ def save_hdf5(  # noqa: PLR0913 — kwargs mirror the on-disk schema
             ds.attrs["tile_dim"] = np.asarray(tile_dim, dtype=np.int32)
 
         if images is not None:
+            # The image cache exists to make inference input decode-free, so
+            # it gets h5py's fast lzf codec (decompresses several-hundred
+            # MB/s/thread) rather than the coords' gzip — gzip inflate of raw
+            # uint8 patches is slower than the JPEG decode the cache is meant
+            # to replace. Schema is unchanged: /images (N,H,W,C) uint8, same
+            # as reference wsinsight/patchlib (behavioral parity; any h5py
+            # reader sees identical arrays).
             f.create_dataset(
-                "/images", data=images, compression=compression, chunks=True
+                "/images", data=images, compression=images_compression, chunks=True
             )
 
         if polygons:
