@@ -16,8 +16,23 @@ import jax
 
 jax.config.update("jax_platforms", "cpu")
 
+import importlib.util
+
 import numpy as np
 import pytest
+
+# Torch is a TEST-ONLY dependency (parity references). When it is absent the
+# torch-dependent modules must skip at collection, not explode with
+# ModuleNotFoundError — otherwise a torch-less environment cannot even run
+# the fast tier (ADVICE r4 high: CI collected these and went red).
+if importlib.util.find_spec("torch") is None:
+    collect_ignore = [
+        "torch_refs.py",
+        "torch_refs_cells.py",
+        "test_model_parity.py",
+        "test_e2e_torch_parity.py",
+        "test_stitch_parity.py",
+    ]
 
 
 @pytest.fixture(scope="session")

@@ -17,7 +17,7 @@ from . import _options as opt
 @click.option("--cme-annotation", is_flag=True, default=False, show_default=True)
 @click.option("--cme-soft-mode", is_flag=True, default=False, show_default=True)
 @click.option("--cme-clustering-k", type=int, default=0, show_default=True,
-              help="Number of clusters; 0 = automatic (Louvain sweep).")
+              help="Number of clusters; 0 = automatic (Leiden sweep; Louvain fallback).")
 @click.option("--cme-clustering-resolutions", type=str, default="0.25,0.5,1.0,2.0",
               show_default=True)
 @click.option("--cme-max-edge-len-um", type=float, default=25.0, show_default=True)

@@ -110,7 +110,7 @@ def default_stitch_workers() -> int:
               help="Run CME region merging (annotation-level outputs).")
 @click.option("--cme-soft-mode", is_flag=True, default=False, show_default=True)
 @click.option("--cme-clustering-k", type=int, default=0, show_default=True,
-              help="Number of CME clusters; 0 = automatic (Leiden sweep).")
+              help="Number of CME clusters; 0 = automatic (Leiden sweep; Louvain fallback).")
 @click.option("--cme-clustering-resolutions", type=str, default="0.25,0.5,1.0,2.0",
               show_default=True)
 def infer(
