@@ -7,10 +7,17 @@ wsinsight/insightlib/hplot_generation.py:29-331) with SURVEY.md §2.11 fixes:
   overwrote per iteration, so only the last type counted),
 * works with an explicit slide list (the reference required wsi_dir and
   crashed when infer passed None).
+
+Layout: one :class:`_SlideJob` per slide fans out over a spawn-safe process
+pool; each worker resolves its artifact paths, short-circuits on resume,
+builds the cell graph and writes the three per-slide artifacts; the parent
+folds worker results into the two cohort tables with pandas reindex/upsert
+(no per-layer Python loops).
 """
 
 from __future__ import annotations
 
+import dataclasses
 import json
 import logging
 import multiprocessing
@@ -64,105 +71,199 @@ HMETRIC_COLUMNS = [
 ]
 
 
-def _worker(
-    wsi_path_str: str,
-    model_output_csv_str: str,
-    insight_dir_str: str,
-    max_neighbor_distance_um: float,
-    base_type_list: List[str],
-    target_type_list: List[str],
-    hplot_k: int,
-    hplot_N: int,
-    hplot_R: float,
-    range_min: int | None,
-    range_max: int | None,
-    samples_with_valid_range_only: bool,
-):
+@dataclasses.dataclass(frozen=True)
+class _SlideJob:
+    """Everything one slide's worker needs, picklable for spawn pools."""
+
+    wsi_path: str
+    model_output_csv: str
+    insight_dir: str
+    max_neighbor_distance_um: float
+    base_types: tuple
+    target_types: tuple
+    k: int
+    N: int
+    R: float
+    range_min: int | None
+    range_max: int | None
+    valid_range_only: bool
+
+    @property
+    def stem(self) -> str:
+        return URIPath(self.wsi_path).stem
+
+    def artifact(self, kind: str, suffix: str) -> Path:
+        return Path(self.insight_dir) / kind / f"{self.stem}{suffix}"
+
+
+def _load_typed_cells(job: _SlideJob) -> pd.DataFrame | None:
+    """Model-output CSV -> cell table with OR'd base/target flags + centers."""
+    try:
+        cells = pd.read_csv(job.model_output_csv)
+    except Exception:
+        return None
+    probs = [c for c in cells.columns if c.startswith("prob_")]
+    winner = cells[probs].idxmax(axis=1)
+    cells["is_base_type"] = winner.isin([f"prob_{t}" for t in job.base_types])
+    cells["is_target_type"] = winner.isin([f"prob_{t}" for t in job.target_types])
+    cells = compute_cell_center_points(cells)
+    return cells if len(cells) >= 4 else None
+
+
+def _layer_and_annotate(job: _SlideJob, cells: pd.DataFrame, dist_px: float):
+    """Delaunay graph -> k-hop enrichment -> regions/border/distance."""
+    edges = delaunay_triangulation(cells[["center_x", "center_y"]].values, dist_px)
+    if not {"source", "target"} <= set(edges.columns):
+        return None, None
+    adj = edges_to_csr(edges, len(cells))
+    reach = k_hop_reachability(adj, job.k)
+    cells = compute_enrichment_index(cells, reach)
+    cells = identify_region_by_cell_function_enrichment(reach, cells, job.N, job.R)
+    cells = identify_border_cells(cells, adj)
+    cells = calculate_distance_to_border(cells, adj)
+    return cells, edges
+
+
+def _worker(job: _SlideJob):
     """Per-slide worker: graph build -> layers -> H-plot -> metrics."""
-    wsi_path = URIPath(wsi_path_str)
-    insight_dir = Path(insight_dir_str)
-    stem = wsi_path.stem
-    hplot_csv = insight_dir / "hplots" / f"{stem}.csv"
-    hmetric_json = insight_dir / "hmetrics" / f"{stem}.json"
-    cells_csv = insight_dir / "cells" / f"{stem}.csv"
+    out_cells = job.artifact("cells", ".csv")
+    out_hplot = job.artifact("hplots", ".csv")
+    out_metrics = job.artifact("hmetrics", ".json")
 
     # Resume: reuse per-slide artifacts (reference: hplot_generation.py:40-46).
-    if cells_csv.exists() and hplot_csv.exists() and hmetric_json.exists():
-        hplot_df = pd.read_csv(hplot_csv)
-        with open(hmetric_json, "r", encoding="utf-8") as f:
-            hmetric_dict = json.load(f)
-        return stem, hplot_df, hmetric_dict
+    if all(p.exists() for p in (out_cells, out_hplot, out_metrics)):
+        return (
+            job.stem,
+            pd.read_csv(out_hplot),
+            json.loads(out_metrics.read_text(encoding="utf-8")),
+        )
 
     try:
-        mpp = get_avg_mpp(wsi_path)
+        um_per_px = get_avg_mpp(URIPath(job.wsi_path))
     except Exception:
-        return stem, None, None
-    max_neighbor_distance_px = max_neighbor_distance_um / mpp
+        return job.stem, None, None
 
-    try:
-        nodes_df = pd.read_csv(model_output_csv_str)
-    except Exception:
-        return stem, None, None
-
-    prob_columns = [c for c in nodes_df.columns if c.startswith("prob_")]
-    argmax_col = nodes_df[prob_columns].idxmax(axis=1)
-    nodes_df["is_base_type"] = argmax_col.isin([f"prob_{bt}" for bt in base_type_list])
-    nodes_df["is_target_type"] = argmax_col.isin([f"prob_{tt}" for tt in target_type_list])
-
-    nodes_df = compute_cell_center_points(nodes_df)
-    if len(nodes_df) < 4:
-        return stem, None, None
-    edges_df = delaunay_triangulation(
-        nodes_df[["center_x", "center_y"]].values, max_neighbor_distance_px
+    cells = _load_typed_cells(job)
+    if cells is None:
+        return job.stem, None, None
+    cells, edges = _layer_and_annotate(
+        job, cells, job.max_neighbor_distance_um / um_per_px
     )
-    if "source" not in edges_df.columns or "target" not in edges_df.columns:
-        return stem, None, None
+    if cells is None:
+        return job.stem, None, None
 
-    adj = edges_to_csr(edges_df, len(nodes_df))
-    reach = k_hop_reachability(adj, hplot_k)
+    out_cells.parent.mkdir(parents=True, exist_ok=True)
+    cells.to_csv(out_cells, index=False)
 
-    nodes_df = compute_enrichment_index(nodes_df, reach)
-    nodes_df = identify_region_by_cell_function_enrichment(reach, nodes_df, hplot_N, hplot_R)
-    nodes_df = identify_border_cells(nodes_df, adj)
-    nodes_df = calculate_distance_to_border(nodes_df, adj)
+    layers = compute_hplot(cells, edges)
+    out_hplot.parent.mkdir(parents=True, exist_ok=True)
+    layers.to_csv(out_hplot, index=False)
 
-    cells_csv.parent.mkdir(parents=True, exist_ok=True)
-    nodes_df.to_csv(cells_csv, index=False)
-
-    hplot_df = compute_hplot(nodes_df, edges_df)
-    hplot_csv.parent.mkdir(parents=True, exist_ok=True)
-    hplot_df.to_csv(hplot_csv, index=False)
-
-    hmetric_dict = compute_hmetrics(
-        hplot_df=hplot_df,
-        range_min=range_min,
-        range_max=range_max,
-        hplot_samples_with_valid_range_only=samples_with_valid_range_only,
+    metrics = compute_hmetrics(
+        hplot_df=layers,
+        range_min=job.range_min,
+        range_max=job.range_max,
+        hplot_samples_with_valid_range_only=job.valid_range_only,
     )
-    hmetric_json.parent.mkdir(parents=True, exist_ok=True)
-    with open(hmetric_json, "w") as f:
-        json.dump(hmetric_dict, f, indent=2)
+    out_metrics.parent.mkdir(parents=True, exist_ok=True)
+    out_metrics.write_text(json.dumps(metrics, indent=2))
 
-    return stem, hplot_df, hmetric_dict
+    return job.stem, layers, metrics
 
 
 def upsert_by_key(df_old: pd.DataFrame, df_new: pd.DataFrame, key: str) -> pd.DataFrame:
-    """Update/insert rows by unique key; new wins (reference:
-    hplot_generation.py:101-138)."""
-    if key not in df_old.columns or key not in df_new.columns:
-        raise KeyError(f"Key column '{key}' must exist in both DataFrames.")
-    cols = list(df_old.columns)
-    new_aligned = df_new.reindex(columns=cols)
-    new_dedup = new_aligned.drop_duplicates(subset=[key], keep="last")
-    old_idx = df_old.set_index(key).copy()
-    new_idx = new_dedup.set_index(key)
-    common = old_idx.index.intersection(new_idx.index)
-    if len(common):
-        old_idx.loc[common] = new_idx.loc[common]
-    new_only = new_idx.index.difference(old_idx.index)
-    if len(new_only):
-        old_idx = pd.concat([old_idx, new_idx.loc[new_only]], axis=0)
-    return old_idx.reset_index()
+    """Update/insert rows by unique key, new values winning.
+
+    Same contract as the reference's cohort upsert (reference:
+    hplot_generation.py:101-138): existing ids keep their row position with
+    refreshed values, unseen ids append below in the new frame's order.
+    """
+    for frame in (df_old, df_new):
+        if key not in frame.columns:
+            raise KeyError(f"Key column '{key}' must exist in both DataFrames.")
+    fresh = (
+        df_new.reindex(columns=df_old.columns)
+        .drop_duplicates(subset=[key], keep="last")
+        .set_index(key)
+    )
+    stacked = pd.concat([df_old.set_index(key), fresh])
+    stacked = stacked[~stacked.index.duplicated(keep="last")]
+    order = df_old[key].tolist()
+    order += [k for k in fresh.index if k not in set(order)]
+    return stacked.loc[order].reset_index()
+
+
+def _resolve_slides(wsi_dir, wsi_paths) -> list:
+    if wsi_paths is None:
+        if wsi_dir is None:
+            raise errors.WholeSlideImageDirectoryNotFound(
+                "hplot_generation needs wsi_dir or wsi_paths"
+            )
+        wsi_dir = URIPath(wsi_dir)
+        if not wsi_dir.exists():
+            raise errors.WholeSlideImageDirectoryNotFound(f"directory not found: {wsi_dir}")
+        _validate_wsi_directory(wsi_dir)
+        wsi_paths = [p for p in wsi_dir.iterdir() if p.is_file()]
+    slides = [URIPath(p) for p in wsi_paths]
+    if not slides:
+        raise errors.WholeSlideImagesNotFound(str(wsi_dir))
+    return slides
+
+
+_COMPOSITE_EPS = 1e-6
+
+
+def _flatten_metrics(stem: str, hm: dict) -> list:
+    """One cohort hmetrics row: the 12 scoped fields then the composites."""
+    scoped = [
+        hm[scope][field]
+        for scope, fields in (
+            ("intra", ("convergence_distance", "abundance_score", "penetration_score",
+                       "layerwise_enrichment_index", "global_enrichment_index",
+                       "weighted_global_enrichment_index")),
+            ("peri", ("convergence_distance", "abundance_score", "proximity_score",
+                      "layerwise_enrichment_index", "global_enrichment_index",
+                      "weighted_global_enrichment_index")),
+        )
+        for field in fields
+    ]
+    ab_in, ab_out = hm["intra"]["abundance_score"], hm["peri"]["abundance_score"]
+
+    def mean_of(field: str) -> float:
+        return 0.5 * (hm["intra"][field] + hm["peri"][field])
+
+    composites = [
+        ab_out / (_COMPOSITE_EPS + ab_out + ab_in),  # exclusion
+        1 - 0.5 * (ab_in + ab_out),                  # desert
+        0.5 * (ab_in + ab_out),                      # inflammation
+        mean_of("layerwise_enrichment_index"),
+        mean_of("global_enrichment_index"),
+        mean_of("weighted_global_enrichment_index"),
+    ]
+    return [stem, hm["valid"], *scoped, *composites]
+
+
+def _layer_rows(stem: str, layers: pd.DataFrame) -> list[list]:
+    """Dense per-layer rows over the slide's observed layer span.
+
+    Missing layers inside [floor(min), ceil(max)] get NaN value/distance —
+    the cohort table is rectangular per slide (reference cohort loop,
+    hplot_generation.py:269-283), built here by reindex instead of a scan.
+    """
+    numeric = pd.to_numeric(layers["layer"], errors="coerce")
+    numeric = numeric[np.isfinite(numeric)]
+    if numeric.empty:
+        return []
+    span = range(int(np.floor(numeric.min())), int(np.ceil(numeric.max())) + 1)
+    dense = (
+        layers.drop_duplicates(subset=["layer"], keep="first")
+        .set_index("layer")
+        .reindex(span)
+    )
+    return [
+        [stem, layer, row.target_type_prop, row.distance]
+        for layer, row in dense.iterrows()
+    ]
 
 
 def hplot_generation(
@@ -181,19 +282,7 @@ def hplot_generation(
     num_workers: int = 8,
 ) -> list[str]:
     """Compute per-slide H-Plot layers/metrics and the cohort aggregates."""
-    if wsi_paths is None:
-        if wsi_dir is None:
-            raise errors.WholeSlideImageDirectoryNotFound(
-                "hplot_generation needs wsi_dir or wsi_paths"
-            )
-        wsi_dir = URIPath(wsi_dir)
-        if not wsi_dir.exists():
-            raise errors.WholeSlideImageDirectoryNotFound(f"directory not found: {wsi_dir}")
-        _validate_wsi_directory(wsi_dir)
-        wsi_paths = [p for p in wsi_dir.iterdir() if p.is_file()]
-    wsi_paths = [URIPath(p) for p in wsi_paths]
-    if not wsi_paths:
-        raise errors.WholeSlideImagesNotFound(str(wsi_dir))
+    slides = _resolve_slides(wsi_dir, wsi_paths)
 
     results_dir = URIPath(results_dir)
     if not results_dir.exists():
@@ -201,138 +290,88 @@ def hplot_generation(
     model_output_dir = results_dir / "model-outputs-csv"
     if not model_output_dir.exists():
         raise errors.ResultsDirectoryNotFound(
-            "The 'model-outputs-csv' directory was not found in results directory."
+            "results directory has no 'model-outputs-csv' (run inference first)"
         )
 
     hplot_dir = results_dir / "hplot-outputs-csv"
-    for sub in ("", "hplots", "hmetrics", "cells"):
-        (hplot_dir / sub if sub else hplot_dir).mkdir(exist_ok=True, parents=True)
+    for sub in ("hplots", "hmetrics", "cells"):
+        (hplot_dir / sub).mkdir(exist_ok=True, parents=True)
 
-    hplot_hplots_csv = results_dir / "hplot-outputs.csv"
-    hplot_hmetrics_csv = results_dir / "hmetrics-outputs.csv"
-
-    failed_generation: list[str] = []
-    hplot_rows: list[list] = []
-    hmetric_rows: list[list] = []
-
-    jobs = []
-    for wsi_path in wsi_paths:
-        model_output_csv = model_output_dir / f"{wsi_path.stem}.csv"
-        if not model_output_csv.exists():
-            print(f"Skipping because model output not found: {model_output_csv}")
+    jobs: list[_SlideJob] = []
+    for slide in slides:
+        csv = model_output_dir / f"{slide.stem}.csv"
+        if not csv.exists():
+            logger.warning(f"no model output for {slide.stem}, skipping: {csv}")
             continue
         jobs.append(
-            (
-                str(wsi_path),
-                str(model_output_csv.materialize()),
-                str(hplot_dir),
-                max_neighbor_distance_um,
-                list(base_type_list or []),
-                list(target_type_list or []),
-                hplot_k,
-                hplot_N,
-                hplot_R,
-                hplot_range_min,
-                hplot_range_max,
-                hplot_samples_with_valid_range_only,
+            _SlideJob(
+                wsi_path=str(slide),
+                model_output_csv=str(csv.materialize()),
+                insight_dir=str(hplot_dir),
+                max_neighbor_distance_um=max_neighbor_distance_um,
+                base_types=tuple(base_type_list or ()),
+                target_types=tuple(target_type_list or ()),
+                k=hplot_k,
+                N=hplot_N,
+                R=hplot_R,
+                range_min=hplot_range_min,
+                range_max=hplot_range_max,
+                valid_range_only=hplot_samples_with_valid_range_only,
             )
         )
 
-    ctx = multiprocessing.get_context("spawn")
     # Governor clamp, mirroring the reference's governed hplot pool
     # (num_worker_optimizer.py:74-165 via hplot_generation.py:257).
     from ..utils.workers import governed_workers
 
-    num_workers = governed_workers(max(1, num_workers))
-    with ProcessPoolExecutor(max_workers=num_workers, mp_context=ctx) as ex:
-        futures = {ex.submit(_worker, *args): args[0] for args in jobs}
-        pbar = tqdm(total=len(futures), desc="H-Plot")
-        for f in as_completed(futures):
-            try:
-                image_id, df, hm = f.result()
-            except Exception as err:
-                # A degenerate slide (e.g. QhullError on collinear centers,
-                # missing prob_* columns) must not abort the cohort — record
-                # it and keep aggregating the slides that succeeded.
-                image_id = Path(futures[f]).stem
-                logger.error(f"H-plot worker failed for {image_id}: {err!r}")
-                failed_generation.append(image_id)
-                pbar.update(1)
-                continue
-            if df is None or hm is None:
-                failed_generation.append(image_id)
-                pbar.update(1)
-                continue
-            layers = pd.to_numeric(df["layer"], errors="coerce")
-            layers = layers[np.isfinite(layers)]
-            if not layers.empty:
-                mn = int(np.floor(layers.min()))
-                mx = int(np.ceil(layers.max()))
-                layer_list = df["layer"].tolist()
-                for layer in range(mn, mx + 1):
-                    if layer in layer_list:
-                        value = df[df["layer"] == layer]["target_type_prop"].values[0]
-                        distance = df[df["layer"] == layer]["distance"].values[0]
-                    else:
-                        value = distance = np.nan
-                    hplot_rows.append([image_id, layer, value, distance])
-                hmetric_rows.append(
-                    [
-                        image_id,
-                        hm["valid"],
-                        hm["intra"]["convergence_distance"],
-                        hm["intra"]["abundance_score"],
-                        hm["intra"]["penetration_score"],
-                        hm["intra"]["layerwise_enrichment_index"],
-                        hm["intra"]["global_enrichment_index"],
-                        hm["intra"]["weighted_global_enrichment_index"],
-                        hm["peri"]["convergence_distance"],
-                        hm["peri"]["abundance_score"],
-                        hm["peri"]["proximity_score"],
-                        hm["peri"]["layerwise_enrichment_index"],
-                        hm["peri"]["global_enrichment_index"],
-                        hm["peri"]["weighted_global_enrichment_index"],
-                        hm["peri"]["abundance_score"]
-                        / (1e-6 + hm["peri"]["abundance_score"] + hm["intra"]["abundance_score"]),
-                        1 - 0.5 * (hm["intra"]["abundance_score"] + hm["peri"]["abundance_score"]),
-                        0.5 * (hm["intra"]["abundance_score"] + hm["peri"]["abundance_score"]),
-                        0.5
-                        * (
-                            hm["peri"]["layerwise_enrichment_index"]
-                            + hm["intra"]["layerwise_enrichment_index"]
-                        ),
-                        0.5
-                        * (
-                            hm["intra"]["global_enrichment_index"]
-                            + hm["peri"]["global_enrichment_index"]
-                        ),
-                        0.5
-                        * (
-                            hm["intra"]["weighted_global_enrichment_index"]
-                            + hm["peri"]["weighted_global_enrichment_index"]
-                        ),
-                    ]
-                )
-            pbar.update(1)
-        pbar.close()
+    failed: list[str] = []
+    layer_rows: list[list] = []
+    metric_rows: list[list] = []
+    pool_kw = dict(
+        max_workers=governed_workers(max(1, num_workers)),
+        mp_context=multiprocessing.get_context("spawn"),
+    )
+    with ProcessPoolExecutor(**pool_kw) as pool:
+        pending = {pool.submit(_worker, job): job for job in jobs}
+        with tqdm(total=len(pending), desc="H-Plot") as progress:
+            for done in as_completed(pending):
+                try:
+                    stem, layers, hm = done.result()
+                except Exception as err:
+                    # A degenerate slide (e.g. QhullError on collinear
+                    # centers, missing prob_* columns) must not abort the
+                    # cohort — record it and keep aggregating the rest.
+                    stem = pending[done].stem
+                    logger.error(f"H-plot worker failed for {stem}: {err!r}")
+                    layers = hm = None
+                if layers is None or hm is None:
+                    failed.append(stem)
+                else:
+                    rows = _layer_rows(stem, layers)
+                    layer_rows.extend(rows)
+                    if rows:
+                        metric_rows.append(_flatten_metrics(stem, hm))
+                progress.update(1)
 
-    hplot_df = pd.DataFrame(hplot_rows, columns=["id", "layer", "value", "distance"])
-    hmetrics_df = pd.DataFrame(hmetric_rows, columns=HMETRIC_COLUMNS)
+    cohort_layers = pd.DataFrame(layer_rows, columns=["id", "layer", "value", "distance"])
+    cohort_metrics = pd.DataFrame(metric_rows, columns=HMETRIC_COLUMNS)
 
-    if hplot_hplots_csv.exists():
+    layers_csv = results_dir / "hplot-outputs.csv"
+    if layers_csv.exists():
         # Multi-row-per-id table: replace all rows of re-processed ids (the
         # reference's single-key upsert silently dropped layers here).
-        old = pd.read_csv(hplot_hplots_csv.materialize())
-        old = old[~old["id"].isin(set(hplot_df["id"]))]
-        hplot_df = pd.concat([old, hplot_df], ignore_index=True)
-    with hplot_hplots_csv.open("w") as fh:
-        hplot_df.to_csv(fh, index=False)
+        prior = pd.read_csv(layers_csv.materialize())
+        prior = prior[~prior["id"].isin(set(cohort_layers["id"]))]
+        cohort_layers = pd.concat([prior, cohort_layers], ignore_index=True)
+    with layers_csv.open("w") as fh:
+        cohort_layers.to_csv(fh, index=False)
 
-    if hplot_hmetrics_csv.exists():
-        hmetrics_df = upsert_by_key(
-            pd.read_csv(hplot_hmetrics_csv.materialize()), hmetrics_df, key="id"
+    metrics_csv = results_dir / "hmetrics-outputs.csv"
+    if metrics_csv.exists():
+        cohort_metrics = upsert_by_key(
+            pd.read_csv(metrics_csv.materialize()), cohort_metrics, key="id"
         )
-    with hplot_hmetrics_csv.open("w") as fh:
-        hmetrics_df.to_csv(fh, index=False)
+    with metrics_csv.open("w") as fh:
+        cohort_metrics.to_csv(fh, index=False)
 
-    return failed_generation
+    return failed
