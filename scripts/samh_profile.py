@@ -26,16 +26,37 @@ import numpy as np
 
 
 def med_time(fn, args, reps: int, warm: int = 2) -> float:
+    """Median wall-clock of a jitted call, synced by materializing a scalar.
+
+    The tunneled TPU backend's block_until_ready can return before the
+    computation actually runs (measured: 6.8 TFLOP "in" 0.66 ms), so every
+    profiled fn is wrapped to reduce its outputs to one scalar and the timer
+    waits on np.asarray of that scalar — a 4-byte D2H that cannot complete
+    before the compute does.
+    """
     for _ in range(warm):
         out = fn(*args)
-    jax.block_until_ready(out)
+    _ = np.asarray(out)
     ts = []
     for _ in range(reps):
         t0 = time.perf_counter()
-        out = fn(*args)
-        jax.block_until_ready(out)
+        _ = np.asarray(fn(*args))
         ts.append(time.perf_counter() - t0)
     return float(np.median(ts))
+
+
+def scalarize(fn):
+    """Wrap fn so it returns the sum of all its output leaves (negligible
+    extra FLOPs; forces full execution before the scalar exists)."""
+    import jax.tree_util as jtu
+
+    def wrapped(*args):
+        out = fn(*args)
+        return sum(
+            jnp.sum(leaf.astype(jnp.float32)) for leaf in jtu.tree_leaves(out)
+        )
+
+    return jax.jit(wrapped)
 
 
 def flops_of(fn, args) -> float:
@@ -116,7 +137,7 @@ def main() -> None:
             with jax.default_matmul_precision("default"):
                 return model.apply({"params": params}, preprocess(b))
 
-        jfull = jax.jit(full)
+        jfull = scalarize(full)
         t = med_time(jfull, (params, batch_u8), args.reps)
         report(f"full_forward[{acts}]", t, flops_of(jfull, (params, batch_u8)), pk)
 
@@ -127,7 +148,7 @@ def main() -> None:
             with jax.default_matmul_precision("default"):
                 return enc.apply({"params": p}, preprocess(b))
 
-        jenc = jax.jit(enc_only)
+        jenc = scalarize(enc_only)
         ep = params["encoder"]
         t = med_time(jenc, (ep, batch_u8), args.reps)
         report(f"encoder[{acts}]", t, flops_of(jenc, (ep, batch_u8)), pk)
@@ -150,7 +171,7 @@ def main() -> None:
                 with jax.default_matmul_precision("default"):
                     return _blk.apply({"params": p}, g)
 
-            jone = jax.jit(one)
+            jone = scalarize(one)
             t = med_time(jone, (bp, grid), args.reps)
             report(f"{tag}[{acts}]", t, flops_of(jone, (bp, grid)), pk)
 
@@ -171,7 +192,7 @@ def main() -> None:
             with jax.default_matmul_precision("default"):
                 return branch.apply({"params": p}, i, z1, z2, z3, z4)
 
-        jdec = jax.jit(dec)
+        jdec = scalarize(dec)
         t = med_time(jdec, (bp, img, *skips), args.reps)
         report(f"decoder_branch_x1[{acts}]", t, flops_of(jdec, (bp, img, *skips)), pk)
 
