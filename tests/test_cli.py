@@ -13,9 +13,12 @@ from wsinsight_tpu.zoo import make_random_local_model
 
 @pytest.fixture(scope="module")
 def model_files(tmp_path_factory):
+    # resize_size 32: the grid anchors (144 patches, geojson geometry,
+    # metadata) depend on patch size/spacing, not the model input; 32 px
+    # quarters the forward FLOPs on the 1-core fast-tier host.
     d = tmp_path_factory.mktemp("climodel")
     return make_random_local_model(
-        "resnet34", 2, d, class_names=["Other", "Tumor"], resize_size=64
+        "resnet34", 2, d, class_names=["Other", "Tumor"], resize_size=32
     )
 
 

@@ -32,8 +32,10 @@ def patched_results(purple_slide, tmp_path_factory):
 @pytest.fixture(scope="module")
 def local_model(tmp_path_factory):
     d = tmp_path_factory.mktemp("model")
+    # 32-px model input: grid anchors depend on patch size/spacing, not
+    # the model resolution; quarters forward FLOPs on the 1-core host.
     cfg, weights = make_random_local_model(
-        "resnet34", 2, d, class_names=["Other", "Tumor"], resize_size=64
+        "resnet34", 2, d, class_names=["Other", "Tumor"], resize_size=32
     )
     return load_local_model(cfg, weights)
 

@@ -327,31 +327,46 @@ def hplot_generation(
     failed: list[str] = []
     layer_rows: list[list] = []
     metric_rows: list[list] = []
-    pool_kw = dict(
-        max_workers=governed_workers(max(1, num_workers)),
-        mp_context=multiprocessing.get_context("spawn"),
-    )
-    with ProcessPoolExecutor(**pool_kw) as pool:
-        pending = {pool.submit(_worker, job): job for job in jobs}
-        with tqdm(total=len(pending), desc="H-Plot") as progress:
-            for done in as_completed(pending):
+
+    def fold(stem: str, layers, hm) -> None:
+        if layers is None or hm is None:
+            failed.append(stem)
+            return
+        rows = _layer_rows(stem, layers)
+        layer_rows.extend(rows)
+        if rows:
+            metric_rows.append(_flatten_metrics(stem, hm))
+
+    n_workers = governed_workers(max(1, num_workers))
+    with tqdm(total=len(jobs), desc="H-Plot") as progress:
+        if n_workers <= 1 or len(jobs) == 1:
+            # Inline: a spawn worker costs a fresh interpreter + imports —
+            # more than one slide's graph build on a small host.
+            for job in jobs:
                 try:
-                    stem, layers, hm = done.result()
+                    fold(*_worker(job))
                 except Exception as err:
-                    # A degenerate slide (e.g. QhullError on collinear
-                    # centers, missing prob_* columns) must not abort the
-                    # cohort — record it and keep aggregating the rest.
-                    stem = pending[done].stem
-                    logger.error(f"H-plot worker failed for {stem}: {err!r}")
-                    layers = hm = None
-                if layers is None or hm is None:
-                    failed.append(stem)
-                else:
-                    rows = _layer_rows(stem, layers)
-                    layer_rows.extend(rows)
-                    if rows:
-                        metric_rows.append(_flatten_metrics(stem, hm))
+                    logger.error(f"H-plot worker failed for {job.stem}: {err!r}")
+                    failed.append(job.stem)
                 progress.update(1)
+        else:
+            pool_kw = dict(
+                max_workers=n_workers,
+                mp_context=multiprocessing.get_context("spawn"),
+            )
+            with ProcessPoolExecutor(**pool_kw) as pool:
+                pending = {pool.submit(_worker, job): job for job in jobs}
+                for done in as_completed(pending):
+                    try:
+                        fold(*done.result())
+                    except Exception as err:
+                        # A degenerate slide (e.g. QhullError on collinear
+                        # centers, missing prob_* columns) must not abort the
+                        # cohort — record it and keep aggregating the rest.
+                        stem = pending[done].stem
+                        logger.error(f"H-plot worker failed for {stem}: {err!r}")
+                        failed.append(stem)
+                    progress.update(1)
 
     cohort_layers = pd.DataFrame(layer_rows, columns=["id", "layer", "value", "distance"])
     cohort_metrics = pd.DataFrame(metric_rows, columns=HMETRIC_COLUMNS)

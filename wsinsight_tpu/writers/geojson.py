@@ -273,10 +273,6 @@ def write_geojsons(
     # after JAX initialization can deadlock worker processes.
     from ..utils.workers import governed_workers
 
-    pool = ProcessPoolExecutor(
-        max_workers=governed_workers(num_workers),
-        mp_context=multiprocessing.get_context("spawn"),
-    )
     job_args = (
         overlap, results_dir, output_dir, prefix, object_type,
         set_classification, annotation_shape, usecols, dtype, atomic_writes,
@@ -286,11 +282,25 @@ def write_geojsons(
         if show_progress
         else None
     )
-    with pool:
-        futures = [pool.submit(_worker, csv, *job_args) for csv in pending]
-        for future in as_completed(futures):
-            future.result()
+    n_workers = governed_workers(num_workers)
+    if n_workers <= 1 or len(pending) == 1:
+        # Inline: a spawn worker pays a fresh interpreter + package import
+        # (~10 s on a small host) — more than a single slide's export. Same
+        # worker function, same artifacts.
+        for csv in pending:
+            _worker(csv, *job_args)
             if progress:
                 progress.update(1)
+    else:
+        pool = ProcessPoolExecutor(
+            max_workers=n_workers,
+            mp_context=multiprocessing.get_context("spawn"),
+        )
+        with pool:
+            futures = [pool.submit(_worker, csv, *job_args) for csv in pending]
+            for future in as_completed(futures):
+                future.result()
+                if progress:
+                    progress.update(1)
     if progress:
         progress.close()

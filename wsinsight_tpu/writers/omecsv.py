@@ -145,17 +145,24 @@ def write_omecsvs(
     from ..utils.workers import governed_workers
 
     bar = tqdm(total=len(todo), desc="OME-CSVs", dynamic_ncols=True) if show_progress else None
-    spawn = _mp.get_context("spawn")
-    with ProcessPoolExecutor(
-        max_workers=governed_workers(num_workers), mp_context=spawn
-    ) as pool:
-        pending = [
-            pool.submit(make_omecsv, p, results_dir, output_dir, overlap, prefix, usecols, dtype)
-            for p in todo
-        ]
-        for fut in as_completed(pending):
-            fut.result()
+    n_workers = governed_workers(num_workers)
+    if n_workers <= 1 or len(todo) == 1:
+        # Inline path: skip the spawn pool's interpreter+import startup cost
+        # when it could not parallelize anything anyway (see write_geojsons).
+        for p in todo:
+            make_omecsv(p, results_dir, output_dir, overlap, prefix, usecols, dtype)
             if bar is not None:
                 bar.update(1)
+    else:
+        spawn = _mp.get_context("spawn")
+        with ProcessPoolExecutor(max_workers=n_workers, mp_context=spawn) as pool:
+            pending = [
+                pool.submit(make_omecsv, p, results_dir, output_dir, overlap, prefix, usecols, dtype)
+                for p in todo
+            ]
+            for fut in as_completed(pending):
+                fut.result()
+                if bar is not None:
+                    bar.update(1)
     if bar is not None:
         bar.close()
