@@ -41,6 +41,23 @@ def enable_compilation_cache() -> None:
         loc = os.path.join(
             os.path.expanduser("~"), ".cache", "wsinsight_tpu", "jax_cache"
         )
+        # Partition the default cache by host CPU identity: XLA:CPU AOT
+        # entries bake in the compile machine's vector features, and a shared
+        # home directory (or a remote-compile server writing entries) makes
+        # another machine's executables load with machine-feature mismatch
+        # warnings and a SIGILL risk (observed: +amx-fp16 entries on a host
+        # without it). TPU executables key on the platform instead.
+        import hashlib
+
+        try:
+            with open("/proc/cpuinfo") as fh:
+                lines = fh.read().splitlines()
+            ident = ";".join(
+                sorted({ln for ln in lines if ln.startswith(("model name", "flags"))})
+            )
+            loc = os.path.join(loc, hashlib.sha1(ident.encode()).hexdigest()[:12])
+        except OSError:
+            pass
     try:
         os.makedirs(loc, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", loc)
