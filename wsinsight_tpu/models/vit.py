@@ -83,6 +83,22 @@ HOPTIMUS_VIT_G = ViTConfig(1536, 40, 24, patch_size=14, mlp_ratio=4096 / 1536,
                            reg_tokens=4, no_embed_class=True)
 
 
+def _use_flash() -> bool:
+    """Fused pallas attention (WSINSIGHT_FLASH_ATTN=1, TPU backends only).
+
+    The XLA formulation below is kept for CPU (tests, multichip dryruns)
+    and as the numerical reference.
+    """
+    import os
+
+    if os.environ.get("WSINSIGHT_FLASH_ATTN", "0") == "0":
+        return False
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:  # pragma: no cover
+        return False
+
+
 def _get_rel_pos(q_size: int, k_size: int, rel_pos: jax.Array) -> jax.Array:
     """Slice/interpolate relative position embeddings (SAM get_rel_pos)."""
     max_rel_dist = 2 * max(q_size, k_size) - 1
@@ -97,11 +113,24 @@ def _get_rel_pos(q_size: int, k_size: int, rel_pos: jax.Array) -> jax.Array:
 
 
 class Attention(nn.Module):
-    """Multi-head attention with optional SAM decomposed rel-pos, on (B,H,W,C)."""
+    """Multi-head attention with optional SAM decomposed rel-pos, on (B,H,W,C).
+
+    When ``window_size > 0`` the module handles the SAM window layout
+    itself — but unlike the upstream pad-then-project order
+    (segment_anything image_encoder.py: window_partition before qkv), the
+    qkv and proj Dense layers here run on the REAL token grid and only the
+    attention core sees padded windows. Zero rows through a Dense come out
+    as exactly its bias, so the padded q/k/v are reconstructed by
+    broadcasting the qkv bias into the pad region — numerically identical,
+    and at CellViT shapes (256-px input, 16x16 grid padded to 28x28 for
+    14x14 windows) it cuts the projection FLOPs ~3x, the bulk of a
+    windowed block's matmul work on the MXU.
+    """
 
     dim: int
     num_heads: int
     use_rel_pos: bool = False
+    window_size: int = 0
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -110,57 +139,111 @@ class Attention(nn.Module):
         head_dim = self.dim // self.num_heads
         scale = head_dim**-0.5
 
-        qkv = nn.Dense(self.dim * 3, dtype=self.dtype, name="qkv")(x.reshape(b, h * w, -1))
-        qkv = qkv.reshape(b, h * w, 3, self.num_heads, head_dim)
-        q, k, v = jnp.moveaxis(qkv, 2, 0)  # each (b, hw, heads, hd)
-        q = jnp.transpose(q, (0, 2, 1, 3)).reshape(b * self.num_heads, h * w, head_dim)
-        k = jnp.transpose(k, (0, 2, 1, 3)).reshape(b * self.num_heads, h * w, head_dim)
-        v = jnp.transpose(v, (0, 2, 1, 3)).reshape(b * self.num_heads, h * w, head_dim)
+        qkv_dense = nn.Dense(self.dim * 3, dtype=self.dtype, name="qkv")
+        qkv = qkv_dense(x)  # (b, h, w, 3*dim)
 
-        attn = jnp.einsum("bqd,bkd->bqk", q * scale, k, preferred_element_type=jnp.float32)
+        ws = self.window_size
+        if _use_flash():
+            return self._flash(x, qkv, qkv_dense, head_dim, scale)
+        if ws > 0:
+            pad_h = (ws - h % ws) % ws
+            pad_w = (ws - w % ws) % ws
+            hp, wp = h + pad_h, w + pad_w
+            if pad_h or pad_w:
+                # zero-padding x before the Dense would have produced rows
+                # equal to the qkv bias; broadcast it instead of projecting
+                pad_val = qkv_dense(jnp.zeros((1, 1, 1, x.shape[-1]), x.dtype))
+                padded = jnp.broadcast_to(pad_val, (b, hp, wp, 3 * self.dim))
+                qkv = jax.lax.dynamic_update_slice(
+                    padded, qkv.astype(padded.dtype), (0, 0, 0, 0)
+                )
+            qkv = qkv.reshape(b, hp // ws, ws, wp // ws, ws, 3 * self.dim)
+            qkv = jnp.transpose(qkv, (0, 1, 3, 2, 4, 5)).reshape(-1, ws, ws, 3 * self.dim)
+            ab, ah, aw = qkv.shape[0], ws, ws
+        else:
+            ab, ah, aw = b, h, w
+
+        qkv = qkv.reshape(ab, ah * aw, 3, self.num_heads, head_dim)
+        q, k, v = jnp.moveaxis(qkv, 2, 0)  # each (ab, n, heads, hd)
+        q = jnp.transpose(q, (0, 2, 1, 3)).reshape(ab * self.num_heads, ah * aw, head_dim)
+        k = jnp.transpose(k, (0, 2, 1, 3)).reshape(ab * self.num_heads, ah * aw, head_dim)
+        v = jnp.transpose(v, (0, 2, 1, 3)).reshape(ab * self.num_heads, ah * aw, head_dim)
+
+        # Score storage dtype: f32 models keep exact f32 scores (the parity
+        # reference); bf16 models store the (ab*heads, n, n) score tensor in
+        # bf16 — it is by far the largest intermediate (78 MB per SAM-H
+        # windowed layer at batch 8) and halving its HBM traffic saves
+        # ~0.9 ms of the ~2.4 ms layer cost on a v5e chip. Softmax math
+        # still runs in f32 on the (rounded) logits; end-task validation is
+        # the bf16 wire budget (0 argmax flips, tests/test_cells.py).
+        attn_dt = jnp.float32 if self.dtype == jnp.float32 else self.dtype
+        attn = jnp.einsum(
+            "bqd,bkd->bqk", q * scale, k, preferred_element_type=jnp.float32
+        ).astype(attn_dt)
 
         if self.use_rel_pos:
             rel_pos_h = self.param(
-                "rel_pos_h", nn.initializers.zeros, (2 * h - 1, head_dim), jnp.float32
+                "rel_pos_h", nn.initializers.zeros, (2 * ah - 1, head_dim), jnp.float32
             )
             rel_pos_w = self.param(
-                "rel_pos_w", nn.initializers.zeros, (2 * w - 1, head_dim), jnp.float32
+                "rel_pos_w", nn.initializers.zeros, (2 * aw - 1, head_dim), jnp.float32
             )
-            rh = _get_rel_pos(h, h, rel_pos_h)  # (h, h, hd)
-            rw = _get_rel_pos(w, w, rel_pos_w)  # (w, w, hd)
-            rq = q.reshape(b * self.num_heads, h, w, head_dim)
-            rel_h = jnp.einsum("bhwc,hkc->bhwk", rq, rh)
-            rel_w = jnp.einsum("bhwc,wkc->bhwk", rq, rw)
-            attn = attn.reshape(b * self.num_heads, h, w, h, w)
+            rh = _get_rel_pos(ah, ah, rel_pos_h)  # (ah, ah, hd)
+            rw = _get_rel_pos(aw, aw, rel_pos_w)  # (aw, aw, hd)
+            rq = q.reshape(ab * self.num_heads, ah, aw, head_dim)
+            rel_h = jnp.einsum("bhwc,hkc->bhwk", rq, rh).astype(attn_dt)
+            rel_w = jnp.einsum("bhwc,wkc->bhwk", rq, rw).astype(attn_dt)
+            attn = attn.reshape(ab * self.num_heads, ah, aw, ah, aw)
             attn = attn + rel_h[:, :, :, :, None] + rel_w[:, :, :, None, :]
-            attn = attn.reshape(b * self.num_heads, h * w, h * w)
+            attn = attn.reshape(ab * self.num_heads, ah * aw, ah * aw)
 
         attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(self.dtype)
         out = jnp.einsum("bqk,bkd->bqd", attn, v, preferred_element_type=jnp.float32)
-        out = out.reshape(b, self.num_heads, h * w, head_dim)
-        out = jnp.transpose(out, (0, 2, 1, 3)).reshape(b, h, w, self.dim)
+        out = out.reshape(ab, self.num_heads, ah * aw, head_dim)
+        out = jnp.transpose(out, (0, 2, 1, 3)).reshape(ab, ah, aw, self.dim)
+
+        if ws > 0:
+            hp, wp = h + (ws - h % ws) % ws, w + (ws - w % ws) % ws
+            out = out.reshape(b, hp // ws, wp // ws, ws, ws, self.dim)
+            out = jnp.transpose(out, (0, 1, 3, 2, 4, 5)).reshape(b, hp, wp, self.dim)
+            out = out[:, :h, :w, :]  # proj below runs on real tokens only
         return nn.Dense(self.dim, dtype=self.dtype, name="proj")(out)
 
+    def _flash(self, x, qkv, qkv_dense, head_dim, scale):
+        """TPU path: fused pallas kernel straight off the qkv grid — no
+        partition/head transposes and no HBM-resident score tensor."""
+        from ..ops.flash_attn import window_attention
 
-def window_partition(x: jax.Array, window: int):
-    b, h, w, c = x.shape
-    pad_h = (window - h % window) % window
-    pad_w = (window - w % window) % window
-    if pad_h or pad_w:
-        x = jnp.pad(x, ((0, 0), (0, pad_h), (0, pad_w), (0, 0)))
-    hp, wp = h + pad_h, w + pad_w
-    x = x.reshape(b, hp // window, window, wp // window, window, c)
-    windows = jnp.transpose(x, (0, 1, 3, 2, 4, 5)).reshape(-1, window, window, c)
-    return windows, (hp, wp)
-
-
-def window_unpartition(windows: jax.Array, window: int, pad_hw, hw):
-    hp, wp = pad_hw
-    h, w = hw
-    b = windows.shape[0] // (hp * wp // window // window)
-    x = windows.reshape(b, hp // window, wp // window, window, window, -1)
-    x = jnp.transpose(x, (0, 1, 3, 2, 4, 5)).reshape(b, hp, wp, -1)
-    return x[:, :h, :w, :]
+        b, h, w, _ = x.shape
+        ws = self.window_size
+        if ws > 0:
+            pad_h = (ws - h % ws) % ws
+            pad_w = (ws - w % ws) % ws
+            hp, wp = h + pad_h, w + pad_w
+            if pad_h or pad_w:
+                # zero rows through the Dense come out as exactly its bias
+                pad_val = qkv_dense(jnp.zeros((1, 1, 1, x.shape[-1]), x.dtype))
+                padded = jnp.broadcast_to(pad_val, (b, hp, wp, 3 * self.dim))
+                qkv = jax.lax.dynamic_update_slice(
+                    padded, qkv.astype(padded.dtype), (0, 0, 0, 0)
+                )
+            ah, aw = ws, ws
+        else:
+            ah, aw = h, w
+        if self.use_rel_pos:
+            rel_pos_h = self.param(
+                "rel_pos_h", nn.initializers.zeros, (2 * ah - 1, head_dim), jnp.float32
+            )
+            rel_pos_w = self.param(
+                "rel_pos_w", nn.initializers.zeros, (2 * aw - 1, head_dim), jnp.float32
+            )
+            rh = _get_rel_pos(ah, ah, rel_pos_h).astype(self.dtype)
+            rw = _get_rel_pos(aw, aw, rel_pos_w).astype(self.dtype)
+        else:
+            rh = rw = None
+        out = window_attention(qkv, self.num_heads, ws, scale, rh, rw)
+        out = out[:, :h, :w, :]
+        return nn.Dense(self.dim, dtype=self.dtype, name="proj")(out)
 
 
 class Block(nn.Module):
@@ -180,25 +263,14 @@ class Block(nn.Module):
     def __call__(self, x: jax.Array) -> jax.Array:
         shortcut = x
         y = nn.LayerNorm(epsilon=1e-6, name="norm1")(x)
-        if self.window_size > 0:
-            h, w = y.shape[1], y.shape[2]
-            y, pad_hw = window_partition(y, self.window_size)
-            y = Attention(
-                self.dim,
-                self.num_heads,
-                use_rel_pos=self.use_rel_pos,
-                dtype=self.dtype,
-                name="attn",
-            )(y)
-            y = window_unpartition(y, self.window_size, pad_hw, (h, w))
-        else:
-            y = Attention(
-                self.dim,
-                self.num_heads,
-                use_rel_pos=self.use_rel_pos,
-                dtype=self.dtype,
-                name="attn",
-            )(y)
+        y = Attention(
+            self.dim,
+            self.num_heads,
+            use_rel_pos=self.use_rel_pos,
+            window_size=self.window_size,
+            dtype=self.dtype,
+            name="attn",
+        )(y)
         if self.layer_scale:  # DINOv2 LayerScale (timm ls1/ls2 .gamma leaves)
             y = y * self.param(
                 "ls1.gamma", nn.initializers.constant(1e-5), (self.dim,), jnp.float32
