@@ -747,7 +747,11 @@ def bench_cellvit_cells(fast: bool, variant: str | None = None) -> dict:
     ).astype(np.int64)
     coords = np.concatenate([coords, np.full((len(coords), 2), patch_px, np.int64)], axis=1)
 
-    batch_size = 4 if fast else (16 if variant == "cellvit-256" else 8)
+    # Batch 16 for both variants: the tunneled bench host pays ~25 ms of
+    # dispatch+sync per step, so SAM-H at batch 8 (~115 ms/call) loses ~18%
+    # of its throughput to the link; 16 halves that share. HBM fits easily
+    # (bf16 scores since r5: 78 MB/layer of score traffic at batch 8).
+    batch_size = 4 if fast else 16
     rng = np.random.default_rng(2)
     batch = rng.integers(0, 256, size=(batch_size, patch_px, patch_px, 3), dtype=np.uint8)
     batch = jax.device_put(batch)
