@@ -7,30 +7,35 @@ memory and adds decomposed rel-pos to it with two broadcast adds. On TPU
 that layout churn — window partition/unpartition transposes, per-head
 q/k/v transposes, and three HBM round-trips over the score tensor — costs
 more than every matmul in the block combined (measured ~1.5-2.4 ms per
-SAM-H windowed block at batch 8 vs ~0.5 ms of matmul work).
+SAM-H windowed block at batch 8 vs ~0.5 ms of matmul work; docs/design.md
+"CellViT-SAM-H roofline").
 
-Design here: one (image, head) pair per grid step. The qkv grid is
-re-laid out once in XLA to head-major lanes padded to the 128-lane MXU
-tile — (B, HP, WP, heads * 3 * hdp) with hdp = ceil(hd / 128) * 128 — so
-every block satisfies Mosaic's (8, 128) tiling rule, and the kernel walks
-the windows with static in-VMEM slices. The whole attention core stays in
-VMEM:
+Kernel design (one grid step per (image, window, head) triple):
 
-- No partition/unpartition or per-head transposes ever hit HBM.
-- Decomposed rel-pos is computed on the MXU from three small constant
-  matrices (a one-hot row selector, the Toeplitz-expanded table, a one-hot
-  column expander), so the (N, N) score tensor never leaves VMEM and the
-  broadcast adds disappear:
-      rel_h[(qh,qw), (kh,kw)] = sum_c q[(qh,qw),c] * Rh[qh,kh,c]
-                              = ((tile(q) * Mh) @ Wh @ Eh)[(qh,qw), (kh,kw)]
-  with Mh[(qh,qw),(j,c)] = [j==qh], Wh[(j,c),kh] = Rh[j,kh,c],
-  Eh[kh,(kh',kw)] = [kh==kh'].
-- Softmax runs in f32 in VMEM; only the output grid is written back.
+- XLA prepares the qkv grid once in a window-major, head-major layout
+  padded to the 128-lane MXU tile: (B, nw, N, heads * 3 * hdp) with
+  hdp = ceil(hd/128)*128. Every pallas block is then
+  (1, 1, N, 3*hdp) — second-minor equal to the array dim, lanes a
+  multiple of 128 — so Mosaic never relayouts inside the kernel.
+- The whole attention core stays in VMEM; the (N, N) score tensor never
+  touches HBM.
+- Decomposed rel-pos runs as three ALIGNED MXU matmuls per axis instead
+  of broadcast adds, using the identity
+      rel_h[(qh,qw),(kh,kw)] = sum_c q[(qh,qw),c] * Rh[qh,kh,c]
+                             = (((q @ W2h) * Mh) @ Eh)[(qh,qw),(kh,kw)]
+  where W2h[c,(j,kh)] = Rh[j,kh,c] computes the full cross product
+  G[(qh,qw),(j,kh)] = q . Rh[j,kh], the constant one-hot mask
+  Mh[(qh,qw),(j,kh)] = [j==qh] selects the diagonal j=qh, and the
+  constant expander Eh[(j,kh),(kh',kw)] = [kh==kh'] broadcasts over kw.
+  The j != qh entries of G are wasted FLOPs (ah x over the minimal
+  einsum) but they ride the MXU at full tile utilization, which beats
+  the tiny-N batched einsums XLA emits for the decomposed form.
+- Softmax runs in f32 in VMEM; only the (N, hdp) output block is written.
 
 Numerics match the unfused formulation to f32 rounding (same contraction
 dtype, same f32 softmax); with bf16 activations the rel values round to
-bf16 before the score accumulate (<=1e-3 absolute on normalized scores,
-validated against the XLA path in tests/test_flash_attn.py).
+bf16 before the score accumulate, the same rounding the shipped bf16
+score-storage path applies (validated in tests/test_flash_attn.py).
 """
 
 from __future__ import annotations
@@ -49,89 +54,66 @@ except Exception:  # pragma: no cover
 
 
 def _rel_consts(ah: int, aw: int, hdp: int, rh, rw, dtype):
-    """Constant matrices that turn decomposed rel-pos into two matmuls.
+    """Constants for the masked cross-product rel-pos formulation.
 
     rh: (ah, ah, hd) table with rh[qh, kh] = rel_pos_h[qh - kh + ah - 1];
     rw likewise over (aw, aw, hd). Token order is row-major (qh major).
-    Tables are zero-padded to hdp channels to match the kernel layout.
     """
-    n = ah * aw
     hd = rh.shape[-1]
-    # row selectors: M[(qh,qw), (j,c)] = [j == qh] (resp. qw)
-    mh = np.kron(np.eye(ah, dtype=np.float32), np.ones((aw, 1), np.float32))
-    mh = np.repeat(mh, hdp, axis=1)  # (n, ah*hdp)
-    mw = np.tile(np.eye(aw, dtype=np.float32), (ah, 1))
-    mw = np.repeat(mw, hdp, axis=1)  # (n, aw*hdp)
-    # tables: W[(j,c), k] = R[j, k, c], channel-padded
-    rh = jnp.pad(jnp.asarray(rh), ((0, 0), (0, 0), (0, hdp - hd)))
-    rw = jnp.pad(jnp.asarray(rw), ((0, 0), (0, 0), (0, hdp - hd)))
-    wh = rh.transpose(0, 2, 1).reshape(ah * hdp, ah)
-    ww = rw.transpose(0, 2, 1).reshape(aw * hdp, aw)
-    # column expanders: E[k, (kh,kw)] = [k == kh] (resp. kw)
-    eh = np.repeat(np.eye(ah, dtype=np.float32), aw, axis=1)  # (ah, n)
-    ew = np.tile(np.eye(aw, dtype=np.float32), (1, ah))  # (aw, n), kh-major
+    n = ah * aw
+    # W2[c, (j,k)] = R[j, k, c], channel-padded to hdp
+    w2h = jnp.pad(jnp.asarray(rh), ((0, 0), (0, 0), (0, hdp - hd)))
+    w2h = w2h.transpose(2, 0, 1).reshape(hdp, ah * ah)
+    w2w = jnp.pad(jnp.asarray(rw), ((0, 0), (0, 0), (0, hdp - hd)))
+    w2w = w2w.transpose(2, 0, 1).reshape(hdp, aw * aw)
+    # Mh[(qh,qw), (j,kh)] = [j == qh]; Mw[(qh,qw), (j,kw)] = [j == qw]
+    mh = np.kron(np.eye(ah, dtype=np.float32), np.ones((aw, ah), np.float32))
+    mw = np.tile(np.repeat(np.eye(aw, dtype=np.float32), aw, axis=1), (ah, 1))
+    # Eh[(j,kh), (kh',kw)] = [kh == kh']; Ew[(j,kw), (kh,kw')] = [kw == kw']
+    eh = np.tile(np.repeat(np.eye(ah, dtype=np.float32), aw, axis=1), (ah, 1))
+    ew = np.tile(np.tile(np.eye(aw, dtype=np.float32), (1, ah)), (aw, 1))
+    assert mh.shape == (n, ah * ah) and eh.shape == (ah * ah, n)
+    assert mw.shape == (n, aw * aw) and ew.shape == (aw * aw, n)
     return (
+        w2h.astype(dtype),
+        w2w.astype(dtype),
         jnp.asarray(mh, dtype),
         jnp.asarray(mw, dtype),
-        wh.astype(dtype),
-        ww.astype(dtype),
         jnp.asarray(eh, dtype),
         jnp.asarray(ew, dtype),
     )
 
 
-def _one_window(q, k, v, scale, rel, f32=jnp.float32):
-    """(n, hdp) q/k/v -> (n, hdp) attention output, all in VMEM."""
-    s = jax.lax.dot_general(
-        q * jnp.asarray(scale, q.dtype), k,
-        (((1,), (1,)), ((), ())), preferred_element_type=f32,
-    )
-    if rel is not None:
-        mh, mw, wh, ww, eh, ew = rel
-        ah = wh.shape[-1]
-        aw = ww.shape[-1]
-        qt_h = jnp.concatenate([q] * ah, axis=1) * mh
-        rel_h = jax.lax.dot_general(
-            qt_h, wh, (((1,), (0,)), ((), ())), preferred_element_type=f32
-        ).astype(q.dtype)
-        s += jax.lax.dot_general(
-            rel_h, eh, (((1,), (0,)), ((), ())), preferred_element_type=f32
-        )
-        qt_w = jnp.concatenate([q] * aw, axis=1) * mw
-        rel_w = jax.lax.dot_general(
-            qt_w, ww, (((1,), (0,)), ((), ())), preferred_element_type=f32
-        ).astype(q.dtype)
-        s += jax.lax.dot_general(
-            rel_w, ew, (((1,), (0,)), ((), ())), preferred_element_type=f32
-        )
-    m = jnp.max(s, axis=-1, keepdims=True)
-    p = jnp.exp(s - m)
-    p = p / jnp.sum(p, axis=-1, keepdims=True)
-    return jax.lax.dot_general(
-        p.astype(v.dtype), v, (((1,), (0,)), ((), ())), preferred_element_type=f32
-    )
-
-
-def _make_kernel(window: int, hp: int, wp: int, hdp: int, scale: float):
-    gh = hp // window if window else 1
-    gw = wp // window if window else 1
-    ah = window or hp
-    aw = window or wp
-    n = ah * aw
+def _make_kernel(n: int, hdp: int, scale: float, with_rel: bool):
+    f32 = jnp.float32
 
     def kernel(qkv_ref, *rest):
         o_ref = rest[-1]
-        rel = tuple(r[...] for r in rest[:-1]) if len(rest) > 1 else None
-        for wi in range(gh):
-            for wj in range(gw):
-                blk = qkv_ref[0, wi * ah:(wi + 1) * ah, wj * aw:(wj + 1) * aw, :]
-                q = blk[..., 0:hdp].reshape(n, hdp)
-                k = blk[..., hdp:2 * hdp].reshape(n, hdp)
-                v = blk[..., 2 * hdp:3 * hdp].reshape(n, hdp)
-                out = _one_window(q, k, v, scale, rel)
-                o_ref[0, wi * ah:(wi + 1) * ah, wj * aw:(wj + 1) * aw, :] = (
-                    out.astype(o_ref.dtype).reshape(ah, aw, hdp)
+        blk = qkv_ref[0, 0]  # (n, 3*hdp)
+        q = blk[:, 0:hdp]
+        k = blk[:, hdp:2 * hdp]
+        v = blk[:, 2 * hdp:3 * hdp]
+        s = jax.lax.dot_general(
+            q * jnp.asarray(scale, q.dtype), k,
+            (((1,), (1,)), ((), ())), preferred_element_type=f32,
+        )
+        if with_rel:
+            w2h, w2w, mh, mw, eh, ew = (r[...] for r in rest[:-1])
+            for w2, m, e in ((w2h, mh, eh), (w2w, mw, ew)):
+                g = jax.lax.dot_general(  # full cross product q . R[j,k]
+                    q, w2, (((1,), (0,)), ((), ())), preferred_element_type=f32
+                ).astype(q.dtype)
+                s += jax.lax.dot_general(  # select j == q-row, expand over n
+                    g * m, e, (((1,), (0,)), ((), ())), preferred_element_type=f32
                 )
+        mx = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s - mx)
+        p = p / jnp.sum(p, axis=-1, keepdims=True)
+        out = jax.lax.dot_general(
+            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=f32,
+        )
+        o_ref[0, 0] = out.astype(o_ref.dtype)
 
     return kernel
 
@@ -167,35 +149,44 @@ def window_attention(
     dim = c3 // 3
     hd = dim // num_heads
     hdp = -(-hd // 128) * 128  # lane-pad each head to the MXU tile
-    ah = window or hp
-    aw = window or wp
+    if window:
+        ah = aw = window
+        gh, gw = hp // window, wp // window
+    else:
+        ah, aw = hp, wp
+        gh = gw = 1
+    nw, n = gh * gw, ah * aw
+    ch = num_heads * 3 * hdp
 
-    # head-major, lane-padded layout: (B, HP, WP, heads * 3 * hdp)
+    # head-major lane-padded, then window-major: (B, nw, N, heads*3*hdp)
     q6 = qkv.reshape(b, hp, wp, 3, num_heads, hd)
     q6 = jnp.transpose(q6, (0, 1, 2, 4, 3, 5))
     if hdp != hd:
         q6 = jnp.pad(q6, ((0, 0),) * 5 + ((0, hdp - hd),))
-    arr = q6.reshape(b, hp, wp, num_heads * 3 * hdp)
+    arr = q6.reshape(b, hp, wp, ch)
+    if window:
+        arr = arr.reshape(b, gh, ah, gw, aw, ch)
+        arr = jnp.transpose(arr, (0, 1, 3, 2, 4, 5))
+    arr = arr.reshape(b, nw, n, ch)
 
-    kernel = _make_kernel(window, hp, wp, hdp, scale)
-    qkv_spec = pl.BlockSpec((1, hp, wp, 3 * hdp), lambda i, h: (i, 0, 0, h))
-    o_spec = pl.BlockSpec((1, hp, wp, hdp), lambda i, h: (i, 0, 0, h))
+    in_specs = [pl.BlockSpec((1, 1, n, 3 * hdp), lambda i, j, h: (i, j, 0, h))]
     operands = [arr]
-    in_specs = [qkv_spec]
     if rh is not None:
         consts = _rel_consts(ah, aw, hdp, rh, rw, qkv.dtype)
         for cst in consts:
-            in_specs.append(pl.BlockSpec(cst.shape, lambda i, h: (0, 0)))
+            in_specs.append(pl.BlockSpec(cst.shape, lambda i, j, h: (0, 0)))
         operands.extend(consts)
 
     out = pl.pallas_call(
-        kernel,
-        out_shape=jax.ShapeDtypeStruct((b, hp, wp, num_heads * hdp), qkv.dtype),
-        grid=(b, num_heads),
+        _make_kernel(n, hdp, scale, rh is not None),
+        out_shape=jax.ShapeDtypeStruct((b, nw, n, num_heads * hdp), qkv.dtype),
+        grid=(b, nw, num_heads),
         in_specs=in_specs,
-        out_specs=o_spec,
+        out_specs=pl.BlockSpec((1, 1, n, hdp), lambda i, j, h: (i, j, 0, h)),
         interpret=interpret,
     )(*operands)
-    if hdp != hd:
-        out = out.reshape(b, hp, wp, num_heads, hdp)[..., :hd]
+
+    # window-major -> grid, drop the lane padding
+    out = out.reshape(b, gh, gw, ah, aw, num_heads, hdp)[..., :hd]
+    out = jnp.transpose(out, (0, 1, 3, 2, 4, 5, 6))
     return out.reshape(b, hp, wp, dim)
