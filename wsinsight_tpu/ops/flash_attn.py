@@ -84,36 +84,43 @@ def _rel_consts(ah: int, aw: int, hdp: int, rh, rw, dtype):
     )
 
 
-def _make_kernel(n: int, hdp: int, scale: float, with_rel: bool):
+def _make_kernel(n: int, hdp: int, scale: float, with_rel: bool, hpp: int):
+    """hpp = heads per program: amortizes the per-grid-step control/DMA
+    overhead (~1-2 us on the tunneled v5e) over several heads; lane slices
+    at multiples of 3*hdp stay 128-aligned so Mosaic never relayouts."""
     f32 = jnp.float32
 
     def kernel(qkv_ref, *rest):
         o_ref = rest[-1]
-        blk = qkv_ref[0, 0]  # (n, 3*hdp)
-        q = blk[:, 0:hdp]
-        k = blk[:, hdp:2 * hdp]
-        v = blk[:, 2 * hdp:3 * hdp]
-        s = jax.lax.dot_general(
-            q * jnp.asarray(scale, q.dtype), k,
-            (((1,), (1,)), ((), ())), preferred_element_type=f32,
-        )
-        if with_rel:
-            w2h, w2w, mh, mw, eh, ew = (r[...] for r in rest[:-1])
-            for w2, m, e in ((w2h, mh, eh), (w2w, mw, ew)):
-                g = jax.lax.dot_general(  # full cross product q . R[j,k]
-                    q, w2, (((1,), (0,)), ((), ())), preferred_element_type=f32
-                ).astype(q.dtype)
-                s += jax.lax.dot_general(  # select j == q-row, expand over n
-                    g * m, e, (((1,), (0,)), ((), ())), preferred_element_type=f32
-                )
-        mx = jnp.max(s, axis=-1, keepdims=True)
-        p = jnp.exp(s - mx)
-        p = p / jnp.sum(p, axis=-1, keepdims=True)
-        out = jax.lax.dot_general(
-            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
-            preferred_element_type=f32,
-        )
-        o_ref[0, 0] = out.astype(o_ref.dtype)
+        rel = tuple(r[...] for r in rest[:-1]) if with_rel else None
+        for i in range(hpp):
+            blk = qkv_ref[0, 0, :, i * 3 * hdp:(i + 1) * 3 * hdp]  # (n, 3*hdp)
+            q = blk[:, 0:hdp]
+            k = blk[:, hdp:2 * hdp]
+            v = blk[:, 2 * hdp:3 * hdp]
+            s = jax.lax.dot_general(
+                q * jnp.asarray(scale, q.dtype), k,
+                (((1,), (1,)), ((), ())), preferred_element_type=f32,
+            )
+            if with_rel:
+                w2h, w2w, mh, mw, eh, ew = rel
+                for w2, m, e in ((w2h, mh, eh), (w2w, mw, ew)):
+                    g = jax.lax.dot_general(  # full cross product q . R[j,k]
+                        q, w2, (((1,), (0,)), ((), ())),
+                        preferred_element_type=f32,
+                    ).astype(q.dtype)
+                    s += jax.lax.dot_general(  # select j == q-row, expand
+                        g * m, e, (((1,), (0,)), ((), ())),
+                        preferred_element_type=f32,
+                    )
+            mx = jnp.max(s, axis=-1, keepdims=True)
+            p = jnp.exp(s - mx)
+            p = p / jnp.sum(p, axis=-1, keepdims=True)
+            out = jax.lax.dot_general(
+                p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+                preferred_element_type=f32,
+            )
+            o_ref[0, 0, :, i * hdp:(i + 1) * hdp] = out.astype(o_ref.dtype)
 
     return kernel
 
@@ -157,6 +164,12 @@ def window_attention(
         gh = gw = 1
     nw, n = gh * gw, ah * aw
     ch = num_heads * 3 * hdp
+    # heads per program: amortize grid-step overhead while keeping the
+    # input block (n, hpp*3*hdp) comfortably inside VMEM double-buffering.
+    hpp = 1
+    for cand in (2, 4, 8):
+        if num_heads % cand == 0 and n * cand * 3 * hdp * 2 <= 4 << 20:
+            hpp = cand
 
     # head-major lane-padded, then window-major: (B, nw, N, heads*3*hdp)
     q6 = qkv.reshape(b, hp, wp, 3, num_heads, hd)
@@ -169,7 +182,9 @@ def window_attention(
         arr = jnp.transpose(arr, (0, 1, 3, 2, 4, 5))
     arr = arr.reshape(b, nw, n, ch)
 
-    in_specs = [pl.BlockSpec((1, 1, n, 3 * hdp), lambda i, j, h: (i, j, 0, h))]
+    in_specs = [
+        pl.BlockSpec((1, 1, n, hpp * 3 * hdp), lambda i, j, h: (i, j, 0, h))
+    ]
     operands = [arr]
     if rh is not None:
         consts = _rel_consts(ah, aw, hdp, rh, rw, qkv.dtype)
@@ -178,11 +193,13 @@ def window_attention(
         operands.extend(consts)
 
     out = pl.pallas_call(
-        _make_kernel(n, hdp, scale, rh is not None),
+        _make_kernel(n, hdp, scale, rh is not None, hpp),
         out_shape=jax.ShapeDtypeStruct((b, nw, n, num_heads * hdp), qkv.dtype),
-        grid=(b, nw, num_heads),
+        grid=(b, nw, num_heads // hpp),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, 1, n, hdp), lambda i, j, h: (i, j, 0, h)),
+        out_specs=pl.BlockSpec(
+            (1, 1, n, hpp * hdp), lambda i, j, h: (i, j, 0, h)
+        ),
         interpret=interpret,
     )(*operands)
 
