@@ -91,6 +91,42 @@ def test_window_attention_plain_matches_xla():
     np.testing.assert_allclose(np.asarray(got, np.float32), want, atol=2e-5, rtol=1e-5)
 
 
+def test_attention_bf16_augk_close_to_f32():
+    """The bf16 XLA path folds rel-pos into the QK matmul (augmented
+    channels); it must stay within bf16 rounding of the exact f32 path."""
+    from wsinsight_tpu.models.vit import Attention
+
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.normal(0, 0.5, (2, 6, 6, 32)), jnp.float32)
+    kw = dict(dim=32, num_heads=2, use_rel_pos=True, window_size=3)
+    m32 = Attention(dtype=jnp.float32, **kw)
+    params = m32.init(jax.random.PRNGKey(0), x)["params"]
+    params = dict(params)
+    params["rel_pos_h"] = jnp.asarray(
+        rng.normal(0, 0.5, params["rel_pos_h"].shape), jnp.float32
+    )
+    params["rel_pos_w"] = jnp.asarray(
+        rng.normal(0, 0.5, params["rel_pos_w"].shape), jnp.float32
+    )
+    want = np.asarray(m32.apply({"params": params}, x), np.float32)
+    got = np.asarray(
+        Attention(dtype=jnp.bfloat16, **kw).apply({"params": params}, x),
+        np.float32,
+    )
+    np.testing.assert_allclose(got, want, atol=6e-2, rtol=6e-2)
+    # not degenerate: rel-pos actually contributes
+    plain = np.asarray(
+        m32.apply(
+            {"params": {**params,
+                        "rel_pos_h": jnp.zeros_like(params["rel_pos_h"]),
+                        "rel_pos_w": jnp.zeros_like(params["rel_pos_w"])}},
+            x,
+        ),
+        np.float32,
+    )
+    assert np.abs(plain - want).max() > 1e-3
+
+
 def test_window_attention_bf16_close():
     rng = np.random.default_rng(2)
     b, hp, wp, heads, hd = 1, 3, 3, 2, 16

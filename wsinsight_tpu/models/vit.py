@@ -177,9 +177,8 @@ class Attention(nn.Module):
         # still runs in f32 on the (rounded) logits; end-task validation is
         # the bf16 wire budget (0 argmax flips, tests/test_cells.py).
         attn_dt = jnp.float32 if self.dtype == jnp.float32 else self.dtype
-        attn = jnp.einsum(
-            "bqd,bkd->bqk", q * scale, k, preferred_element_type=jnp.float32
-        ).astype(attn_dt)
+        bh = ab * self.num_heads
+        n = ah * aw
 
         if self.use_rel_pos:
             rel_pos_h = self.param(
@@ -190,12 +189,52 @@ class Attention(nn.Module):
             )
             rh = _get_rel_pos(ah, ah, rel_pos_h)  # (ah, ah, hd)
             rw = _get_rel_pos(aw, aw, rel_pos_w)  # (aw, aw, hd)
-            rq = q.reshape(ab * self.num_heads, ah, aw, head_dim)
-            rel_h = jnp.einsum("bhwc,hkc->bhwk", rq, rh).astype(attn_dt)
-            rel_w = jnp.einsum("bhwc,wkc->bhwk", rq, rw).astype(attn_dt)
-            attn = attn.reshape(ab * self.num_heads, ah, aw, ah, aw)
-            attn = attn + rel_h[:, :, :, :, None] + rel_w[:, :, :, None, :]
-            attn = attn.reshape(ab * self.num_heads, ah * aw, ah * aw)
+            rq = q.reshape(bh, ah, aw, head_dim)
+            rel_h = jnp.einsum("bhwc,hkc->bhwk", rq, rh)  # (bh, ah, aw, ah)
+            rel_w = jnp.einsum("bhwc,wkc->bhwk", rq, rw)  # (bh, ah, aw, aw)
+            if attn_dt == jnp.float32:
+                attn = jnp.einsum(
+                    "bqd,bkd->bqk", q * scale, k,
+                    preferred_element_type=jnp.float32,
+                ).reshape(bh, ah, aw, ah, aw)
+                attn = attn + rel_h[:, :, :, :, None] + rel_w[:, :, :, None, :]
+                attn = attn.reshape(bh, n, n)
+            else:
+                # bf16 models fold rel-pos INTO the QK matmul: augment q
+                # with the per-query rel values and k with constant one-hot
+                # position channels (hd 80 + ah + aw <= 128 stays inside one
+                # MXU lane tile), so the two broadcast adds over the score
+                # tensor disappear — measured 1.53 -> 1.38 ms per SAM-H
+                # windowed layer. The rel values round to bf16 before the
+                # accumulate, the same rounding class as the bf16 score
+                # storage above (f32 models keep the exact formulation).
+                oh = jnp.concatenate(
+                    [
+                        jnp.repeat(jnp.eye(ah, dtype=attn_dt), aw, axis=0),
+                        jnp.tile(jnp.eye(aw, dtype=attn_dt), (ah, 1)),
+                    ],
+                    axis=-1,
+                )  # (n, ah+aw): [onehot(kh) | onehot(kw)] per key token
+                q_aug = jnp.concatenate(
+                    [
+                        (q * scale).astype(attn_dt),
+                        rel_h.reshape(bh, n, ah).astype(attn_dt),
+                        rel_w.reshape(bh, n, aw).astype(attn_dt),
+                    ],
+                    axis=-1,
+                )
+                k_aug = jnp.concatenate(
+                    [k.astype(attn_dt), jnp.broadcast_to(oh, (bh, n, ah + aw))],
+                    axis=-1,
+                )
+                attn = jnp.einsum(
+                    "bqd,bkd->bqk", q_aug, k_aug,
+                    preferred_element_type=jnp.float32,
+                ).astype(attn_dt)
+        else:
+            attn = jnp.einsum(
+                "bqd,bkd->bqk", q * scale, k, preferred_element_type=jnp.float32
+            ).astype(attn_dt)
 
         attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(self.dtype)
         out = jnp.einsum("bqk,bkd->bqd", attn, v, preferred_element_type=jnp.float32)
