@@ -127,6 +127,32 @@ def test_attention_bf16_augk_close_to_f32():
     assert np.abs(plain - want).max() > 1e-3
 
 
+@pytest.mark.slow  # SAM-H-width single layer (~5 GF on CPU)
+def test_attention_bf16_augk_production_geometry():
+    """Same check at the exact SAM-H geometry the bench runs: dim 1280,
+    16 heads, 16x16 grid padded to 28x28 for 14x14 windows."""
+    from wsinsight_tpu.models.vit import Attention
+
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.normal(0, 0.3, (1, 16, 16, 1280)), jnp.float32)
+    kw = dict(dim=1280, num_heads=16, use_rel_pos=True, window_size=14)
+    m32 = Attention(dtype=jnp.float32, **kw)
+    params = dict(m32.init(jax.random.PRNGKey(0), x)["params"])
+    params["rel_pos_h"] = jnp.asarray(
+        rng.normal(0, 0.1, params["rel_pos_h"].shape), jnp.float32
+    )
+    params["rel_pos_w"] = jnp.asarray(
+        rng.normal(0, 0.1, params["rel_pos_w"].shape), jnp.float32
+    )
+    want = np.asarray(m32.apply({"params": params}, x), np.float32)
+    got = np.asarray(
+        Attention(dtype=jnp.bfloat16, **kw).apply({"params": params}, x),
+        np.float32,
+    )
+    # bf16 rounding of scores/values; the augk fold must not add more
+    np.testing.assert_allclose(got, want, atol=8e-2, rtol=8e-2)
+
+
 def test_window_attention_bf16_close():
     rng = np.random.default_rng(2)
     b, hp, wp, heads, hd = 1, 3, 3, 2, 16
