@@ -1062,6 +1062,75 @@ def _bench_streaming_cells_inner(fast: bool, basin: str | None) -> dict:
 
 
 # ---------------------------------------------------------------------------
+# Aux: the non-CellViT cell families — zoo perf coverage beyond the flagship
+# ---------------------------------------------------------------------------
+
+
+def bench_cell_family_forwards(fast: bool) -> dict:
+    """Device forward throughput for HoVer-Net-fast and the StarDist U-Net.
+
+    The reference runs both as released-weights object detectors
+    (reference: modellib/run_inference.py stardist/hovernet branches); this
+    measures the jitted forward alone on device-resident batches at the
+    production tile size, so regressions in the two non-ViT cell families
+    are hardware-visible too. Normalized float inputs (each family's wrapper
+    owns its own preprocessing; this is the compute path).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from wsinsight_tpu.models import create_model
+    from wsinsight_tpu.models.stardist import StarDistUNet
+
+    rng = np.random.default_rng(3)
+    # px stays 256 even in fast mode: HoVer-Net fast's VALID-conv chain is
+    # intrinsically input-256 -> output-164 (the built-in 46 px halo).
+    batch = 1 if fast else 16
+    px = 256
+    out: dict = {
+        "metric": "cell_family_forward_patches_per_sec",
+        "unit": "patches/s",
+        "batch": batch,
+        "patch_px": px,
+        "note": "jitted bf16-matmul forward, device-resident normalized"
+                " inputs, median of 5; per-family MFU recorded",
+    }
+    import jax.tree_util as jtu
+
+    for name, model in (
+        ("hovernet_fast", create_model("hovernet-fast", 6)),
+        ("stardist_unet", StarDistUNet()),
+    ):
+        params = jax.device_put(
+            model.init(jax.random.PRNGKey(0), jnp.zeros((1, px, px, 3), jnp.float32))[
+                "params"
+            ]
+        )
+        xb = jax.device_put(rng.normal(size=(batch, px, px, 3)).astype(np.float32))
+
+        @jax.jit
+        def step(p, x, _m=model):
+            with jax.default_matmul_precision("default"):
+                res = _m.apply({"params": p}, x)
+            return sum(jnp.sum(l.astype(jnp.float32)) for l in jtu.tree_leaves(res))
+
+        for _ in range(2):
+            _ = np.asarray(step(params, xb))
+        ts = []
+        for _ in range(5):
+            t0 = time.perf_counter()
+            _ = np.asarray(step(params, xb))
+            ts.append(time.perf_counter() - t0)
+        t = float(np.median(ts))
+        out[f"{name}_patches_per_sec"] = round(batch / t, 2)
+        out[f"{name}_ms_per_call"] = round(t * 1e3, 2)
+        for k, v in _mfu(step, (params, xb), t).items():
+            out[f"{name}_{k}"] = v
+    out["value"] = out["hovernet_fast_patches_per_sec"]
+    return out
+
+
+# ---------------------------------------------------------------------------
 
 
 def _merge_detail(headline: dict | None, aux_result: dict | None) -> None:
@@ -1138,6 +1207,7 @@ def main() -> None:
         "streaming": bench_streaming_cells,
         "streaming_device": bench_streaming_device_basin,
         "e2e": bench_e2e_input_pipeline,
+        "families": bench_cell_family_forwards,
         "slide_sim": bench_slide_sim,
     }
     # Internal wall-clock budget: skip remaining aux benches once spent (the
